@@ -1,0 +1,43 @@
+"""summingbird_spark — a PySpark-native dataflow/aggregation engine with the
+query surface of twitter/summingbird (see SURVEY.md), built Spark-first:
+DataFrame/Column expressions compiled by Catalyst, Structured Streaming for
+the online path, versioned parquet snapshot stores for the batch path, and a
+serving-side batch⊕realtime merge."""
+
+from .core.graph import Keyed, Producer, Source, source, TIME_COL
+from .core import semigroup
+from .core.semigroup import Semigroup, TopKSemigroup
+from .batch import batcher
+from .batch.batcher import Batcher, of_days, of_hours, of_millis, of_minutes, of_seconds, UNIT
+from .batch.planner import BatchPlanner, plan, to_dataframe
+from .batch.store import InitialBatchedStore, VersionedBatchStore, rollforward
+from .core.service import Service
+from .sinks.sinks import MemorySink, ParquetSink
+
+__all__ = [
+    "Producer",
+    "Keyed",
+    "Source",
+    "source",
+    "TIME_COL",
+    "semigroup",
+    "Semigroup",
+    "TopKSemigroup",
+    "batcher",
+    "Batcher",
+    "of_millis",
+    "of_seconds",
+    "of_minutes",
+    "of_hours",
+    "of_days",
+    "UNIT",
+    "BatchPlanner",
+    "plan",
+    "to_dataframe",
+    "VersionedBatchStore",
+    "InitialBatchedStore",
+    "rollforward",
+    "Service",
+    "MemorySink",
+    "ParquetSink",
+]

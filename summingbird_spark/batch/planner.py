@@ -1,0 +1,293 @@
+"""Batch planner: Producer DAG → DataFrame (Catalyst does the rest).
+
+The Spark analog of the reference's Scalding ``buildFlow`` recursion
+(summingbird-scalding/.../ScaldingPlatform.scala:322-579): one case per node
+kind, memoized per node so diamond fan-outs compile once
+(ScaldingPlatform.scala:343-359 forceNode/memoize — Catalyst's
+ReusedExchange covers the physical side within one action).
+
+Where the reference hand-plans shuffle avoidance (map-side partial
+aggregation, key-shard edges — SURVEY §4.2/§4.3), we declare the logical
+plan and rely on Catalyst: partial aggregation, EnsureRequirements
+partitioning, predicate pushdown, and whole-stage codegen are automatic.
+Custom logic is confined to exactly what Catalyst lacks (SURVEY §4.5):
+the semigroup prev/delta window and store rollforward.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..core import graph as g
+from ..core import semigroup as sg_mod
+from ..core.graph import TIME_COL
+from . import batcher as b_mod
+
+# Semigroups whose cross-batch merge is itself a builtin window aggregate —
+# keeps the prev/delta computation in whole-stage codegen (no arrays).
+# Each entry: (col, window) -> Column.
+_WINDOW_MERGE = {
+    "sum": lambda c, w: F.sum(c).over(w),
+    "sum_long": lambda c, w: F.sum(c).over(w).cast("long"),
+    "count": lambda c, w: F.sum(c).over(w),  # merging counts = summing them
+    "min": lambda c, w: F.min(c).over(w),
+    "max": lambda c, w: F.max(c).over(w),
+}
+
+
+class BatchPlan:
+    """Compiled plan: a result DataFrame plus deferred sink writes
+    (the reference's FlowToPipe + write effects, scalding/Sink.scala:19-21)."""
+
+    def __init__(self, df: DataFrame, writes: list):
+        self.dataframe = df
+        self.writes = writes
+
+    def run(self) -> DataFrame:
+        for sink, wdf in self.writes:
+            sink.write(wdf)
+        return self.dataframe
+
+
+class BatchPlanner:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._memo: dict[int, DataFrame] = {}
+        self._writes: list = []
+
+    def plan(self, node: g.Producer) -> BatchPlan:
+        df = self.compile(node)
+        return BatchPlan(df, self._writes)
+
+    def compile(self, node: g.Producer) -> DataFrame:
+        key = id(node)
+        if key not in self._memo:
+            self._memo[key] = self._compile(node)
+        return self._memo[key]
+
+    # ---- per-node cases (ScaldingPlatform.scala:368-579 analog) --------
+    def _compile(self, node: g.Producer) -> DataFrame:
+        if isinstance(node, g.Source):
+            df = node.loader(self.spark)
+            if node.time_col and node.time_col != TIME_COL:
+                df = df.withColumn(TIME_COL, F.col(node.time_col).cast("timestamp"))
+            elif TIME_COL not in df.columns:
+                # timeless source: constant epoch time (Batcher.unit world)
+                df = df.withColumn(TIME_COL, F.lit("1970-01-01").cast("timestamp"))
+            return df
+
+        if isinstance(node, g.MapCols):
+            df = self.compile(node.parents[0])
+            df = df.withColumns(dict(node.cols))
+            if node.drop:
+                df = df.drop(*node.drop)
+            return df
+
+        if isinstance(node, g.Select):
+            df = self.compile(node.parents[0])
+            cols = [F.col(TIME_COL)] if TIME_COL not in node.keep else []
+            cols += [F.col(c) for c in node.keep]
+            cols += [c.alias(a) for a, c in node.named.items()]
+            return df.select(*cols)
+
+        if isinstance(node, g.Filter):
+            return self.compile(node.parents[0]).where(node.predicate)
+
+        if isinstance(node, g.FlatMap):
+            df = self.compile(node.parents[0])
+            keep = [F.col(TIME_COL), *[F.col(c) for c in node.keep]]
+            return df.select(*keep, F.explode(node.expr).alias(node.alias))
+
+        if isinstance(node, g.ExplodeKeep):
+            df = self.compile(node.parents[0])
+            others = [c for c in df.columns if c not in (*node.drop, node.alias)]
+            return df.select(*others, F.explode(node.expr).alias(node.alias))
+
+        if isinstance(node, g.Transform):
+            return node.fn(self.compile(node.parents[0]))
+
+        if isinstance(node, g.MapInPandas):
+            return self.compile(node.parents[0]).mapInPandas(node.fn, node.schema)
+
+        if isinstance(node, g.Merged):
+            left = self.compile(node.parents[0])
+            right = self.compile(node.parents[1])
+            return left.unionByName(right, allowMissingColumns=True)
+
+        if isinstance(node, g.Named):
+            return self.compile(node.parents[0])
+
+        if isinstance(node, g.Written):
+            df = self.compile(node.parents[0])
+            self._writes.append((node.sink, df))
+            return df
+
+        if isinstance(node, g.Also):
+            effects = node.parents[0]
+            self.compile(effects)  # register its writes
+            return self.compile(node.parents[1])
+
+        if isinstance(node, g.LeftJoin):
+            return self._compile_left_join(node)
+
+        if isinstance(node, g.Repartition):
+            df = self.compile(node.parents[0])
+            if node.cols:
+                return df.repartition(node.num, *node.cols) if node.num else df.repartition(*node.cols)
+            return df.repartition(node.num)
+
+        if isinstance(node, g.Summer):
+            return self._compile_summer(node)
+
+        if isinstance(node, g.SummerUpdates):
+            summer = node.summer
+            sg = sg_mod.get(summer.semigroup)
+            df = self.compile(summer)
+            return df.withColumn(
+                summer.value_alias, sg.merge_null_safe(F.col("prev"), F.col("delta"))
+            ).drop("prev", "delta")
+
+        if isinstance(node, g.SummerSnapshot):
+            return self._compile_snapshot(node.summer)
+
+        raise TypeError(f"batch planner: unknown node {type(node).__name__}")
+
+    # ---- joins ---------------------------------------------------------
+    def _resolve_service(self, service) -> DataFrame:
+        if isinstance(service, DataFrame):
+            return service
+        if isinstance(service, g.Producer):
+            return self.compile(service)
+        if hasattr(service, "dataframe"):
+            return service.dataframe(self.spark)
+        if callable(service):
+            return service(self.spark)
+        raise TypeError(f"cannot resolve service {service!r}")
+
+    def _compile_left_join(self, node: g.LeftJoin) -> DataFrame:
+        """Key-equi left join vs a dimension snapshot
+        (scalding/service/SimpleService.scala:34-41,
+        UniqueKeyedService.doJoin:40-55). Small dims broadcast —
+        the storehaus-lookup analog without per-event IO."""
+        left = self.compile(node.parents[0])
+        right = self._resolve_service(node.service)
+        if TIME_COL in right.columns:
+            right = right.drop(TIME_COL)
+        bcast = node.broadcast
+        if bcast or (bcast is None and getattr(node.service, "broadcast_hint", False)):
+            right = F.broadcast(right)
+        return left.join(right, on=node.on, how="left")
+
+    # ---- the Summer (SURVEY §2.1 #24, §4.3) -----------------------------
+    def _summer_parts(self, node: g.Summer):
+        sg = sg_mod.get(node.semigroup)
+        batcher = node.batcher or b_mod.UNIT
+        df = self.compile(node.parents[0])
+        va = node.value_alias
+        base = df.select(
+            *node.keys,
+            batcher.batch_col(F.col(TIME_COL)).alias("batch_id"),
+            F.col(TIME_COL),
+            node.value.alias(va),
+        )
+        return sg, batcher, base, va
+
+    def _per_batch_delta(self, sg, base: DataFrame, keys, va: str) -> DataFrame:
+        """Per-(key, batch) partial sums — map-side combine is automatic
+        (the reference hand-builds this: BatchedStore.scala:115-130
+        sumByBatches; FinalFlatMap map-side caches)."""
+        if sg.commutative:
+            agg = sg.agg(F.col(va))
+        else:
+            # non-commutative ⇒ time-sorted fold (BatchedStore.scala:199-203)
+            agg = sg.agg_ordered(F.col(TIME_COL), F.col(va))
+        return base.groupBy(*keys, "batch_id").agg(
+            agg.alias("delta"), F.max(TIME_COL).alias(TIME_COL)
+        )
+
+    def _compile_summer(self, node: g.Summer) -> DataFrame:
+        """Emit (key, batch_id, prev, delta): the reference summer's
+        (Option[previous-total], delta) stream (Producer.scala:412-420),
+        computed as a cumulative window over per-batch partials
+        (BatchedStore.scala:157-244 groupedSum/partials equivalent).
+        """
+        sg, batcher, base, va = self._summer_parts(node)
+        per_batch = self._per_batch_delta(sg, base, node.keys, va)
+
+        w = (
+            Window.partitionBy(*node.keys)
+            .orderBy("batch_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        merge_fn = _WINDOW_MERGE.get(getattr(sg, "name", None))
+        if merge_fn is not None:
+            prev = merge_fn(F.col("delta"), w)
+        else:
+            # generic semigroup: fold the (few, bounded-by-batch-count)
+            # prior per-batch aggregates in time order
+            prior = F.collect_list(F.col("delta")).over(
+                w  # window is already batch-ordered
+            )
+            prev = F.when(F.size(prior) == 0, F.lit(None)).otherwise(
+                F.aggregate(
+                    F.slice(prior, 2, F.greatest(F.size(prior) - 1, F.lit(0))),
+                    F.element_at(prior, 1),
+                    lambda acc, x: sg.merge(acc, x),
+                )
+            )
+        out = per_batch.withColumn("prev", prev)
+
+        init = self._initial_snapshot(node)
+        if init is not None:
+            out = out.join(
+                F.broadcast(init.select(*node.keys, F.col("value").alias("__init__")))
+                if init.isStreaming is False
+                else init,
+                on=node.keys,
+                how="left",
+            ).withColumn("prev", sg.merge_null_safe(F.col("__init__"), F.col("prev"))).drop(
+                "__init__"
+            )
+        return out.select(*node.keys, "batch_id", TIME_COL, "prev", "delta")
+
+    def _initial_snapshot(self, node: g.Summer) -> Optional[DataFrame]:
+        store = node.store
+        if store is None:
+            return None
+        snap = store.read_last(self.spark)
+        return None if snap is None else snap[1]
+
+    def _compile_snapshot(self, node: g.Summer) -> DataFrame:
+        """Final store contents (one row per key) — aggregate raw events in
+        one pass rather than folding per-batch deltas."""
+        sg, batcher, base, va = self._summer_parts(node)
+        if sg.commutative:
+            agg = sg.agg(F.col(va))
+        else:
+            agg = sg.agg_ordered(F.col(TIME_COL), F.col(va))
+        out = base.groupBy(*node.keys).agg(agg.alias("value"))
+        init = self._initial_snapshot(node)
+        if init is not None:
+            out = (
+                out.join(
+                    init.select(*node.keys, F.col("value").alias("__init__")),
+                    on=node.keys,
+                    how="full",
+                )
+                .withColumn("value", sg.merge_null_safe(F.col("__init__"), F.col("value")))
+                .drop("__init__")
+            )
+        return out
+
+
+def plan(spark: SparkSession, node: g.Producer) -> BatchPlan:
+    return BatchPlanner(spark).plan(node)
+
+
+def to_dataframe(spark: SparkSession, node: g.Producer) -> DataFrame:
+    """Plan and execute side-effect writes; return the tail DataFrame."""
+    return plan(spark, node).run()

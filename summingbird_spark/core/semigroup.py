@@ -1,0 +1,209 @@
+"""Semigroup registry — the aggregation algebra.
+
+The reference's only engine-visible value structure is an associative
+``Semigroup[V]`` carried by the Summer node
+(reference: summingbird-core/src/main/scala/com/twitter/summingbird/Producer.scala:331-334),
+with commutativity *declared* via ``MonoidIsCommutative``
+(summingbird-core/.../option/Commutativity.scala:23-48); non-commutative
+semigroups force time-sorted reduction
+(summingbird-scalding/.../batch/BatchedStore.scala:199-203).
+
+Spark-first design: every semigroup exposes
+
+* ``agg(col)``      — a JVM-side aggregate Column (partial-agg / whole-stage
+                      codegen friendly; usable both in ``groupBy().agg`` and
+                      as a window function for cumulative prev/delta),
+* ``merge(a, b)``   — a Column expression combining two already-aggregated
+                      semigroup values (store-merge, client read-merge),
+* ``commutative``   — if False, ``agg`` must be order-correct: we aggregate
+                      ``struct(event_time, value)`` lists sorted by time
+                      (never raw shuffle order).
+
+Everything stays in Catalyst expressions — no Python UDFs — so partial
+(map-side) aggregation and codegen apply automatically; this is the Spark
+analog of the reference's AsyncSummer map-side caches
+(summingbird-online/.../executor/FinalFlatMap.scala:54-138).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class Semigroup:
+    """Associative merge on values; subclasses define agg/merge."""
+
+    name: str = "abstract"
+    commutative: bool = True
+
+    def agg(self, col: Column) -> Column:
+        """Aggregate a column of raw values into one semigroup value."""
+        raise NotImplementedError
+
+    def merge(self, a: Column, b: Column) -> Column:
+        """Combine two aggregated values (associative)."""
+        raise NotImplementedError
+
+    def merge_null_safe(self, a: Column, b: Column) -> Column:
+        """merge() treating NULL as identity (monoid-with-zero view).
+
+        Used by the store rollforward (snapshot ⊕ delta where either side
+        may be absent) and the client read-merge.
+        """
+        return (
+            F.when(a.isNull(), b)
+            .when(b.isNull(), a)
+            .otherwise(self.merge(a, b))
+        )
+
+    # Ordered (non-commutative) semigroups aggregate (time, value) pairs.
+    def agg_ordered(self, time_col: Column, col: Column) -> Column:
+        """Time-ordered fold; default = sort collected pairs then reduce.
+
+        Scale note: collect_list per (key, batch) bounds memory by the
+        per-key-per-batch event count, the same bound the reference's
+        reducer-side iterator fold has (BatchedStore.scala:157-244). For
+        heavier keys, pre-reduce with a finer batcher first.
+        """
+        pairs = F.array_sort(F.collect_list(F.struct(time_col.alias("t"), col.alias("v"))))
+        vals = F.transform(pairs, lambda p: p["v"])
+        return F.aggregate(
+            F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+            F.element_at(vals, 1),
+            lambda acc, x: self.merge(acc, x),
+        )
+
+
+class _ExprSemigroup(Semigroup):
+    """Semigroup from a builtin aggregate fn + a merge expression."""
+
+    def __init__(self, name, agg_fn, merge_fn, commutative=True):
+        self.name = name
+        self._agg = agg_fn
+        self._merge = merge_fn
+        self.commutative = commutative
+
+    def agg(self, col: Column) -> Column:
+        return self._agg(col)
+
+    def merge(self, a: Column, b: Column) -> Column:
+        return self._merge(a, b)
+
+
+class TopKSemigroup(Semigroup):
+    """Top-k largest values as a sorted array (reference idiom: top-k is a
+    value monoid fed to sumByKey, SURVEY §2.5)."""
+
+    def __init__(self, k: int, descending: bool = True):
+        self.k = k
+        self.descending = descending
+        self.name = f"top{k}"
+
+    def _trim(self, arr: Column) -> Column:
+        s = F.array_sort(arr)
+        if self.descending:
+            s = F.reverse(s)
+        return F.slice(s, 1, self.k)
+
+    def agg(self, col: Column) -> Column:
+        return self._trim(F.collect_list(col))
+
+    def merge(self, a: Column, b: Column) -> Column:
+        return self._trim(F.concat(a, b))
+
+
+class ConcatSemigroup(Semigroup):
+    """Non-commutative string concatenation (ordered fold path)."""
+
+    name = "concat"
+    commutative = False
+
+    def agg(self, col: Column) -> Column:  # only valid when input already ordered
+        return F.array_join(F.collect_list(col), "")
+
+    def merge(self, a: Column, b: Column) -> Column:
+        return F.concat(a, b)
+
+    def agg_ordered(self, time_col: Column, col: Column) -> Column:
+        pairs = F.array_sort(F.collect_list(F.struct(time_col.alias("t"), col.alias("v"))))
+        return F.array_join(F.transform(pairs, lambda p: p["v"]), "")
+
+
+class ListSemigroup(Semigroup):
+    """Non-commutative list concatenation, time-ordered."""
+
+    name = "list"
+    commutative = False
+
+    def agg(self, col: Column) -> Column:
+        return F.collect_list(col)
+
+    def merge(self, a: Column, b: Column) -> Column:
+        return F.concat(a, b)
+
+    def agg_ordered(self, time_col: Column, col: Column) -> Column:
+        pairs = F.array_sort(F.collect_list(F.struct(time_col.alias("t"), col.alias("v"))))
+        return F.transform(pairs, lambda p: p["v"])
+
+
+class AvgSemigroup(Semigroup):
+    """Mergeable average as a (sum, count) struct; present() finalizes."""
+
+    name = "avg"
+
+    def agg(self, col: Column) -> Column:
+        return F.struct(F.sum(col).alias("s"), F.count(col).alias("n"))
+
+    def merge(self, a: Column, b: Column) -> Column:
+        return F.struct((a["s"] + b["s"]).alias("s"), (a["n"] + b["n"]).alias("n"))
+
+    @staticmethod
+    def present(v: Column) -> Column:
+        return v["s"] / v["n"]
+
+
+_REGISTRY: dict[str, Semigroup] = {}
+
+
+def register(sg: Semigroup) -> Semigroup:
+    _REGISTRY[sg.name] = sg
+    return sg
+
+
+def get(name_or_sg) -> Semigroup:
+    if isinstance(name_or_sg, Semigroup):
+        return name_or_sg
+    try:
+        return _REGISTRY[name_or_sg]
+    except KeyError:
+        raise KeyError(
+            f"unknown semigroup {name_or_sg!r}; registered: {sorted(_REGISTRY)}"
+        ) from None
+
+
+register(_ExprSemigroup("sum", F.sum, lambda a, b: a + b))
+register(_ExprSemigroup("count", F.count, lambda a, b: a + b))
+register(_ExprSemigroup("min", F.min, F.least))
+register(_ExprSemigroup("max", F.max, F.greatest))
+register(
+    _ExprSemigroup(
+        "set",
+        lambda c: F.array_sort(F.collect_set(c)),
+        lambda a, b: F.array_sort(F.array_union(a, b)),
+    )
+)
+register(_ExprSemigroup("first", F.first, lambda a, b: a))  # needs ordered input
+register(
+    _ExprSemigroup(
+        "sum_long",
+        lambda c: F.sum(c).cast("long"),
+        lambda a, b: a + b,
+    )
+)
+register(AvgSemigroup())
+register(ConcatSemigroup())
+register(ListSemigroup())
+register(TopKSemigroup(10))

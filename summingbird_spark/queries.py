@@ -1,0 +1,507 @@
+"""Query inventory — one named query per implemented operator (SURVEY §2),
+each with a DuckDB oracle. This is the correctness surface the driver
+grades: ``__spark_entry__.queries()`` / ``oracle_sql()`` re-export these.
+
+Conventions for oracle hash-stability:
+* every computed column is aliased identically in Spark and SQL;
+* integer-ish outputs are cast to BIGINT on both sides;
+* double aggregates are ``round(x, 2..4)`` identically on both sides
+  (raw parquet doubles pass through unrounded — they're bit-identical);
+* timestamps are compared as ``epoch ms`` BIGINTs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import source, to_dataframe, of_days, Service, TopKSemigroup
+from .client.merge import client_view
+from .functions import text as T
+from .operators.asof import as_of_join
+from .sources.tables import load_table, read_parquet
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def dec(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = " ".join(oracle.split())
+        return fn
+
+    return dec
+
+
+def _events(sf: str):
+    return source(lambda s: load_table(s, sf, "events"), time_col="ts", name="events")
+
+
+# ---------------------------------------------------------------- core algebra
+
+@query(
+    "wordcount",
+    """
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def q_wordcount(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship: the reference's canonical job (ExampleJob.scala:23-50) —
+    source → flatMap tokenize → sumByKey(count)."""
+    p = (
+        source(lambda s: load_table(s, sf, "documents"), name="documents")
+        .flat_map(T.tokenize(F.col("text")), alias="word")
+        .sum_by_key("word", F.lit(1), semigroup="sum_long")
+        .snapshot()
+    )
+    return to_dataframe(spark, p).select("word", F.col("value").alias("cnt"))
+
+
+@query(
+    "map_filter",
+    """
+    SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_map_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """map + filter (Producer.scala:242-258), fused by Catalyst into the scan."""
+    p = (
+        _events(sf)
+        .filter("event_type = 'purchase'")
+        .map(value_cents=F.round(F.col("value") * 100).cast("long"))
+        .select("event_id", "user_id", "value_cents")
+    )
+    return to_dataframe(spark, p).drop("__time__")
+
+
+@query(
+    "option_map",
+    """
+    SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+    FROM events WHERE value > 50
+    """,
+)
+def q_option_map(spark: SparkSession, sf: str) -> DataFrame:
+    """optionMap: fused filter+projection (Producer.scala:263-264)."""
+    p = _events(sf).option_map(
+        "value > 50",
+        event_id=F.col("event_id"),
+        k=F.regexp_extract("props", '"k": ([0-9]+)', 1).cast("long"),
+    )
+    return to_dataframe(spark, p).select("event_id", "k")
+
+
+@query(
+    "sum_by_key",
+    """
+    SELECT user_id, round(sum(value), 2) AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def q_sum_by_key(spark: SparkSession, sf: str) -> DataFrame:
+    """sumByKey final store contents (Producer.scala:421-422)."""
+    p = _events(sf).sum_by_key("user_id", "value", semigroup="sum").snapshot()
+    return to_dataframe(spark, p).select("user_id", F.round("value", 2).alias("total"))
+
+
+@query(
+    "sum_by_key_batched",
+    """
+    WITH per AS (
+      SELECT user_id,
+             CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS batch_id,
+             CAST(count(*) AS BIGINT) AS delta
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, batch_id,
+           CAST(sum(delta) OVER (PARTITION BY user_id ORDER BY batch_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev,
+           delta
+    FROM per
+    """,
+)
+def q_sum_by_key_batched(spark: SparkSession, sf: str) -> DataFrame:
+    """The (Option[prev], delta) summer stream per (key, daily batch) —
+    Producer.scala:412-420 + MillisecondBatcher."""
+    p = _events(sf).sum_by_key(
+        "user_id", F.lit(1), semigroup="sum_long", batcher=of_days(1)
+    )
+    return to_dataframe(spark, p).select("user_id", "batch_id", "prev", "delta")
+
+
+@query(
+    "prev_delta_sum",
+    """
+    WITH per AS (
+      SELECT user_id,
+             CAST(floor(epoch_ms(ts) / 604800000.0) AS BIGINT) AS batch_id,
+             sum(value) AS rawdelta
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, batch_id,
+           round(sum(rawdelta) OVER (PARTITION BY user_id ORDER BY batch_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 2) AS prev,
+           round(rawdelta, 2) AS delta
+    FROM per
+    """,
+)
+def q_prev_delta_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly batches, double-sum semigroup, cumulative prev."""
+    from . import of_millis
+
+    p = _events(sf).sum_by_key(
+        "user_id", "value", semigroup="sum", batcher=of_millis(604_800_000)
+    )
+    return to_dataframe(spark, p).select(
+        "user_id",
+        "batch_id",
+        F.round("prev", 2).alias("prev"),
+        F.round("delta", 2).alias("delta"),
+    )
+
+
+@query(
+    "left_join_service",
+    """
+    SELECT c.c_mktsegment AS segment, count(*) AS n, round(sum(e.value), 2) AS total
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_left_join_service(spark: SparkSession, sf: str) -> DataFrame:
+    """leftJoin vs a (broadcast) dimension service —
+    SimpleService/UniqueKeyedService (scalding/service/*.scala)."""
+    dim = Service(
+        lambda s: load_table(s, sf, "customer").withColumnRenamed(
+            "c_custkey", "user_id"
+        ),
+        key_cols=["user_id"],
+        broadcast=True,
+    )
+    p = _events(sf).left_join(dim, on="user_id")
+    return (
+        to_dataframe(spark, p)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+@query(
+    "flat_map_keys_rollup",
+    """
+    SELECT event_type AS rkey, count(*) AS n FROM events GROUP BY 1
+    UNION ALL
+    SELECT 'ALL' AS rkey, count(*) AS n FROM events
+    """,
+)
+def q_flat_map_keys_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """flatMapKeys rollup idiom + map-side partial agg
+    (ScaldingPlatform.scala:497-531)."""
+    p = (
+        _events(sf)
+        .key_by("event_type")
+        .flat_map_keys(F.array(F.col("event_type"), F.lit("ALL")), alias="rkey")
+        .sum_by_key(F.lit(1), semigroup="sum_long")
+        .snapshot()
+    )
+    return to_dataframe(spark, p).select("rkey", F.col("value").alias("n"))
+
+
+@query(
+    "merge_streams",
+    """
+    SELECT user_id, count(*) AS n FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id FROM events WHERE event_type = 'error'
+    ) GROUP BY user_id
+    """,
+)
+def q_merge_streams(spark: SparkSession, sf: str) -> DataFrame:
+    """merge = bag union, no dedup (Producer.scala:222-231)."""
+    a = _events(sf).filter("event_type = 'purchase'")
+    b = _events(sf).filter("event_type = 'error'")
+    p = a.merge(b).sum_by_key("user_id", F.lit(1), semigroup="sum_long").snapshot()
+    return to_dataframe(spark, p).select("user_id", F.col("value").alias("n"))
+
+
+@query(
+    "either_counts",
+    """
+    SELECT 'L' AS side, count(*) AS n FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT 'R' AS side, count(*) AS n FROM events WHERE event_type = 'signup'
+    """,
+)
+def q_either_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """either: tagged union (Producer.scala:280-282)."""
+    a = _events(sf).filter("event_type = 'purchase'")
+    b = _events(sf).filter("event_type = 'signup'")
+    p = a.either(b).sum_by_key("__side__", F.lit(1), semigroup="sum_long").snapshot()
+    return to_dataframe(spark, p).select(
+        F.col("__side__").alias("side"), F.col("value").alias("n")
+    )
+
+
+@query(
+    "map_values",
+    """
+    SELECT event_type, CAST(sum(CAST(round(value * 10) AS BIGINT)) AS BIGINT) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def q_map_values(spark: SparkSession, sf: str) -> DataFrame:
+    """mapValues is shuffle-free (Producer.scala:409-410)."""
+    p = (
+        _events(sf)
+        .key_by("event_type")
+        .map_values(decis=F.round(F.col("value") * 10).cast("long"))
+        .sum_by_key("decis", semigroup="sum_long")
+        .snapshot()
+    )
+    return to_dataframe(spark, p).select("event_type", F.col("value").alias("total"))
+
+
+# ------------------------------------------------------- extension operators
+
+@query(
+    "topk_per_group",
+    """
+    SELECT event_type, CAST(rn AS BIGINT) AS rn, value FROM (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value DESC) AS rn
+      FROM events
+    ) WHERE rn <= 5
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k as a value monoid fed to sumByKey (SURVEY §2.5 idiom)."""
+    p = _events(sf).sum_by_key("event_type", "value", semigroup=TopKSemigroup(5)).snapshot()
+    df = to_dataframe(spark, p)
+    return df.select(
+        "event_type", F.posexplode(F.col("value")).alias("pos", "value")
+    ).select("event_type", (F.col("pos") + 1).cast("long").alias("rn"), "value")
+
+
+@query(
+    "distinct_users",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """distinct via the set monoid (SURVEY §2.5: summingbird does distinct
+    with a set/HLL value monoid)."""
+    p = _events(sf).sum_by_key("event_type", "user_id", semigroup="set").snapshot()
+    return to_dataframe(spark, p).select(
+        "event_type", F.size("value").cast("long").alias("n_users")
+    )
+
+
+@query(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Native rollup — what the reference does via flatMapKeys (SURVEY §2.5)."""
+    return (
+        load_table(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@query(
+    "window_lag",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           lag(l_quantity) OVER (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey) AS prev_qty
+    FROM lineitem
+    """,
+)
+def q_window_lag(spark: SparkSession, sf: str) -> DataFrame:
+    """Window functions (absent in the reference; SURVEY §2.5 built-in).
+    Ordering includes the full unique key — (orderkey, linenumber) alone is
+    not unique in this dataset, and lag must be deterministic."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey")
+    return load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        F.lag("l_quantity").over(w).alias("prev_qty"),
+    )
+
+
+# ------------------------------------------------------------ temporal joins
+
+@query(
+    "asof_latest_order",
+    """
+    WITH r AS (
+      SELECT o_custkey AS user_id, o_orderdate,
+             max(o_totalprice) AS price, epoch_ms(o_orderdate) AS odate_ms
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms, r.odate_ms, r.price
+    FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+    """,
+)
+def q_asof_latest_order(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: BatchedService.lookup semantics
+    (BatchedService.scala:37-99 / LookupJoin) — latest right value with
+    right_time <= left_time. One-shuffle union+window plan."""
+    ev = load_table(spark, sf, "events")
+    orders = (
+        load_table(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_totalprice").alias("price"))
+        .withColumn("odate_ms", F.unix_millis("o_orderdate"))
+    )
+    joined = as_of_join(
+        ev.select("event_id", "user_id", "ts"),
+        orders,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["odate_ms", "price"],
+    )
+    return joined.select(
+        "event_id", "user_id", F.unix_millis("ts").alias("ts_ms"), "odate_ms", "price"
+    )
+
+
+@query(
+    "asof_running_total",
+    """
+    SELECT e.event_id, e.user_id, round(sum(o.o_totalprice), 2) AS running_total
+    FROM events e LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def q_asof_running_total(spark: SparkSession, sf: str) -> DataFrame:
+    """LookupJoin.rightSumming (ScaldingPlatform.scala:402-428): each left
+    event sees the running semigroup total as of its time."""
+    ev = load_table(spark, sf, "events")
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate"),
+        F.col("o_totalprice").alias("running_total"),
+    )
+    joined = as_of_join(
+        ev.select("event_id", "user_id", "ts"),
+        orders,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["running_total"],
+        mode="sum",
+        semigroup="sum",
+    )
+    return joined.select(
+        "event_id", "user_id", F.round("running_total", 2).alias("running_total")
+    )
+
+
+# --------------------------------------------------------------- lambda view
+
+@query(
+    "client_merge",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_client_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """ClientStore.multiGet (ClientStore.scala:123-174): offline snapshot
+    (events < cutoff) ⊕ online deltas (events ≥ cutoff) == full history."""
+    cutoff = "2024-01-15"
+    ev = load_table(spark, sf, "events")
+    offline = (
+        ev.where(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("value"))
+    )
+    online = ev.where(F.col("ts") >= cutoff).select(
+        "user_id", F.lit(1).cast("long").alias("value")
+    )
+    return client_view(offline, online, ["user_id"], semigroup="sum_long")
+
+
+# ------------------------------------------------------------- text pipeline
+
+@query(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup by content hash: keep the smallest doc_id per text.
+    Hash-groupBy scales: the shuffle key is the digest, not the document."""
+    docs = load_table(spark, sf, "documents")
+    return docs.groupBy(F.md5("text").alias("__h__")).agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("copies")
+    ).select("doc_id", "copies")
+
+
+@query(
+    "text_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq,
+           round(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','that')))
+                 / greatest(len(t), 1), 4) AS stop_ratio
+    FROM toks
+    """,
+)
+def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting + quality signals as pure Column expressions
+    (scan-speed text analysis; functions/text.py)."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.lower(F.col("text"))).alias("n_tokens"),
+        T.unique_token_count(F.lower(F.col("text"))).alias("n_uniq"),
+        T.stopword_ratio(F.col("text")).alias("stop_ratio"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, md5(array_to_string(list_filter(string_split(lower(text), ' '),
+           x -> x <> ''), ' ')) AS fp
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic document fingerprint (portable md5 of the normalized
+    token stream); xxhash64 variant exists for pure-Spark pipelines."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", T.md5_fingerprint(F.col("text")).alias("fp"))
+
+
+# language-ID has no compact ANSI-SQL oracle (argmax over stopword votes);
+# registered without an oracle → driver records the weaker rows-only check.
+@query("lang_id")
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang"))

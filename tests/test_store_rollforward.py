@@ -1,0 +1,108 @@
+"""Incremental rollforward properties — the reference's multi-run batch
+tests (BatchedStoreProperties.scala:1-191, VersionBatchedStoreTest.scala):
+running k sequential merges must equal the one-shot aggregation.
+"""
+
+import datetime as dt
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+import summingbird_spark as sb
+from summingbird_spark import TIME_COL, VersionedBatchStore, rollforward
+
+
+def ts(i):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)
+
+
+@pytest.fixture()
+def events_df(spark):
+    rows = [(ts(i), f"k{i % 7}", i % 13) for i in range(200)]
+    return (
+        spark.createDataFrame(rows, "ts timestamp, key string, value long")
+        .withColumn(TIME_COL, F.col("ts"))
+    )
+
+
+def oracle_through(hours):
+    per = defaultdict(int)
+    for i in range(min(hours, 200)):
+        per[f"k{i % 7}"] += i % 13
+    return dict(per)
+
+
+def test_incremental_equals_oneshot(spark, events_df, tmp_path):
+    batcher = sb.of_days(1)  # 200 hours ≈ 9 daily batches
+    inc_store = VersionedBatchStore(str(tmp_path / "inc"), ["key"], "sum")
+    one_store = VersionedBatchStore(str(tmp_path / "one"), ["key"], "sum")
+
+    first_batch = batcher.batch_of(ts(0))
+    # incremental: roll forward 3 batches at a time
+    for through in range(first_batch + 2, first_batch + 9, 3):
+        snap = rollforward(spark, inc_store, events_df, batcher, through)
+    final_inc = {r.key: r.value for r in snap.collect()}
+
+    snap_one = rollforward(spark, one_store, events_df, batcher, first_batch + 8)
+    final_one = {r.key: r.value for r in snap_one.collect()}
+
+    assert final_inc == final_one == oracle_through(9 * 24)
+
+
+def test_rollforward_only_reads_new_batches(spark, events_df, tmp_path):
+    """After a merge, re-merging through the same batch is a no-op read;
+    later merges only aggregate the (last, through] interval."""
+    batcher = sb.of_days(1)
+    store = VersionedBatchStore(str(tmp_path / "s"), ["key"], "sum")
+    b0 = batcher.batch_of(ts(0))
+    rollforward(spark, store, events_df, batcher, b0 + 3)
+    assert store.last_batch() == b0 + 3
+    # day 0-3 inclusive = hours 0..95
+    got = {r.key: r.value for r in store.read_last(spark)[1].collect()}
+    assert got == oracle_through(96)
+    # roll to the end
+    rollforward(spark, store, events_df, batcher, b0 + 8)
+    got = {r.key: r.value for r in store.read_last(spark)[1].collect()}
+    assert got == oracle_through(240)
+    assert store.versions() == [b0 + 3, b0 + 8]
+
+
+def test_write_each_batch_and_retention(spark, events_df, tmp_path):
+    batcher = sb.of_days(2)
+    store = VersionedBatchStore(str(tmp_path / "s"), ["key"], "sum", versions_to_keep=3)
+    b0 = batcher.batch_of(ts(0))
+    rollforward(spark, store, events_df, batcher, b0 + 4, write_each_batch=True)
+    assert len(store.versions()) == 3  # retention pruned older versions
+    got = {r.key: r.value for r in store.read_last(spark)[1].collect()}
+    assert got == oracle_through(240)
+
+
+def test_initial_store_seed(spark, events_df, tmp_path):
+    init = spark.createDataFrame([("k0", 1000), ("zzz", 5)], "key string, value long")
+    batcher = sb.of_days(1)
+    b0 = batcher.batch_of(ts(0))
+    store = sb.InitialBatchedStore(str(tmp_path / "s"), ["key"], "sum", init, b0 - 1)
+    snap = rollforward(spark, store, events_df, batcher, b0 + 8)
+    got = {r.key: r.value for r in snap.collect()}
+    want = oracle_through(240)
+    want["k0"] += 1000
+    want["zzz"] = 5
+    assert got == want
+
+
+def test_summer_with_store_prev_includes_snapshot(spark, events_df, tmp_path):
+    """sum_by_key(store=...) folds the persisted snapshot into prev —
+    BatchedStore.merge semantics (BatchedStore.scala:373-401)."""
+    init = spark.createDataFrame([("k1", 100)], "key string, value long")
+    batcher = sb.of_days(1)
+    b0 = batcher.batch_of(ts(0))
+    store = sb.InitialBatchedStore(str(tmp_path / "s"), ["key"], "sum", init, b0 - 1)
+    p = sb.source(events_df, time_col="ts").sum_by_key(
+        "key", "value", semigroup="sum", store=store, batcher=batcher
+    )
+    rows = sb.to_dataframe(spark, p).collect()
+    first_k1 = min((r for r in rows if r.key == "k1"), key=lambda r: r.batch_id)
+    assert first_k1.prev == 100
+    first_k0 = min((r for r in rows if r.key == "k0"), key=lambda r: r.batch_id)
+    assert first_k0.prev is None
