@@ -47,6 +47,22 @@ class Semigroup:
         """Combine two aggregated values (associative)."""
         raise NotImplementedError
 
+    def py_merge(self, a, b):
+        """Driver/executor-side Python merge of two semigroup values — used
+        by the streaming stateful summer's state updates (the reference's
+        online ``store.multiMerge``, online/executor/Summer.scala:101-108).
+        """
+        raise NotImplementedError(f"{self.name}: no python merge")
+
+    def py_agg(self, values):
+        """Python fold of raw values (in arrival order; callers pre-sort by
+        time for non-commutative semigroups)."""
+        it = iter(values)
+        acc = next(it)
+        for v in it:
+            acc = self.py_merge(acc, v)
+        return acc
+
     def merge_null_safe(self, a: Column, b: Column) -> Column:
         """merge() treating NULL as identity (monoid-with-zero view).
 
@@ -80,17 +96,23 @@ class Semigroup:
 class _ExprSemigroup(Semigroup):
     """Semigroup from a builtin aggregate fn + a merge expression."""
 
-    def __init__(self, name, agg_fn, merge_fn, commutative=True):
+    def __init__(self, name, agg_fn, merge_fn, commutative=True, py_merge_fn=None):
         self.name = name
         self._agg = agg_fn
         self._merge = merge_fn
         self.commutative = commutative
+        self._py_merge = py_merge_fn
 
     def agg(self, col: Column) -> Column:
         return self._agg(col)
 
     def merge(self, a: Column, b: Column) -> Column:
         return self._merge(a, b)
+
+    def py_merge(self, a, b):
+        if self._py_merge is None:
+            raise NotImplementedError(f"{self.name}: no python merge")
+        return self._py_merge(a, b)
 
 
 class TopKSemigroup(Semigroup):
@@ -114,6 +136,9 @@ class TopKSemigroup(Semigroup):
     def merge(self, a: Column, b: Column) -> Column:
         return self._trim(F.concat(a, b))
 
+    def py_merge(self, a, b):
+        return sorted(list(a) + list(b), reverse=self.descending)[: self.k]
+
 
 class ConcatSemigroup(Semigroup):
     """Non-commutative string concatenation (ordered fold path)."""
@@ -126,6 +151,9 @@ class ConcatSemigroup(Semigroup):
 
     def merge(self, a: Column, b: Column) -> Column:
         return F.concat(a, b)
+
+    def py_merge(self, a, b):
+        return a + b
 
     def agg_ordered(self, time_col: Column, col: Column) -> Column:
         pairs = F.array_sort(F.collect_list(F.struct(time_col.alias("t"), col.alias("v"))))
@@ -144,6 +172,9 @@ class ListSemigroup(Semigroup):
     def merge(self, a: Column, b: Column) -> Column:
         return F.concat(a, b)
 
+    def py_merge(self, a, b):
+        return list(a) + list(b)
+
     def agg_ordered(self, time_col: Column, col: Column) -> Column:
         pairs = F.array_sort(F.collect_list(F.struct(time_col.alias("t"), col.alias("v"))))
         return F.transform(pairs, lambda p: p["v"])
@@ -159,6 +190,9 @@ class AvgSemigroup(Semigroup):
 
     def merge(self, a: Column, b: Column) -> Column:
         return F.struct((a["s"] + b["s"]).alias("s"), (a["n"] + b["n"]).alias("n"))
+
+    def py_merge(self, a, b):
+        return {"s": a["s"] + b["s"], "n": a["n"] + b["n"]}
 
     @staticmethod
     def present(v: Column) -> Column:
@@ -184,23 +218,25 @@ def get(name_or_sg) -> Semigroup:
         ) from None
 
 
-register(_ExprSemigroup("sum", F.sum, lambda a, b: a + b))
-register(_ExprSemigroup("count", F.count, lambda a, b: a + b))
-register(_ExprSemigroup("min", F.min, F.least))
-register(_ExprSemigroup("max", F.max, F.greatest))
+register(_ExprSemigroup("sum", F.sum, lambda a, b: a + b, py_merge_fn=lambda a, b: a + b))
+register(_ExprSemigroup("count", F.count, lambda a, b: a + b, py_merge_fn=lambda a, b: a + b))
+register(_ExprSemigroup("min", F.min, F.least, py_merge_fn=min))
+register(_ExprSemigroup("max", F.max, F.greatest, py_merge_fn=max))
 register(
     _ExprSemigroup(
         "set",
         lambda c: F.array_sort(F.collect_set(c)),
         lambda a, b: F.array_sort(F.array_union(a, b)),
+        py_merge_fn=lambda a, b: sorted(set(a) | set(b)),
     )
 )
-register(_ExprSemigroup("first", F.first, lambda a, b: a))  # needs ordered input
+register(_ExprSemigroup("first", F.first, lambda a, b: a, py_merge_fn=lambda a, b: a))
 register(
     _ExprSemigroup(
         "sum_long",
         lambda c: F.sum(c).cast("long"),
         lambda a, b: a + b,
+        py_merge_fn=lambda a, b: a + b,
     )
 )
 register(AvgSemigroup())

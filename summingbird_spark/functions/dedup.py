@@ -1,0 +1,252 @@
+"""Deduplication operators for training-data pipelines at 100 TB scale.
+
+Four families, all shuffle-frugal:
+
+* **exact** — hash-groupBy on a content digest: the shuffle key is a 16-32
+  byte digest, never the document; keep-policy = min(id).
+* **MinHash + LSH** — per-row signatures (pure Column expressions, no
+  explode), banded into LSH buckets; candidate pairs come from a self-join
+  on (band, band_hash) — the only shuffle is on tiny bucket keys, and真
+  similar pairs collide with prob 1-(1-s^r)^b.
+* **SimHash** — 60-bit near-dup fingerprint; Hamming-ball candidates via
+  banded sub-fingerprints.
+* **n-gram Jaccard** — exact verification for candidate pairs (array
+  intersect/union sizes, JVM-side).
+
+Hash choice: ``xxhash64`` (fast, JVM) by default; ``portable='md5'`` uses
+md5-hex minima so results are reproducible in any engine (the DuckDB
+oracles use this mode). Both are deterministic — no RNG state anywhere, so
+re-runs and retries are idempotent (exactly-once-by-value, the same
+monoid-idempotence argument the reference leans on, SURVEY §4.4).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles, tokenize
+
+
+def content_digest(text: Column) -> Column:
+    return F.md5(text)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One survivor (min id) per distinct content; adds ``copies``."""
+    return (
+        df.groupBy(content_digest(F.col(text_col)).alias("__digest__"))
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("copies"))
+        .drop("__digest__")
+    )
+
+
+def _tokens_or_shingles(text: Column, shingle_n: int) -> Column:
+    return tokenize(F.lower(text)) if shingle_n <= 1 else shingles(text, shingle_n)
+
+
+def minhash_signature(
+    text: Column,
+    num_perm: int = 16,
+    shingle_n: int = 1,
+    portable: bool = False,
+) -> Column:
+    """Array of ``num_perm`` min-hashes of the shingle set — one Column
+    expression, no explode, whole-stage codegen.
+
+    portable=True: elements are min(md5(seed || '|' || shingle)) hex
+    strings (engine-agnostic); default: min(xxhash64(shingle, seed)) longs.
+    """
+    toks = _tokens_or_shingles(text, shingle_n)
+    if portable:
+        return F.transform(
+            F.array(*[F.lit(i) for i in range(num_perm)]),
+            lambda s: F.array_min(
+                F.transform(
+                    toks,
+                    lambda t: F.md5(F.concat(s.cast("string"), F.lit("|"), t)),
+                )
+            ),
+        )
+    return F.transform(
+        F.array(*[F.lit(i) for i in range(num_perm)]),
+        lambda s: F.array_min(F.transform(toks, lambda t: F.xxhash64(t, s))),
+    )
+
+
+def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
+    """Array of ``bands`` structs (band index, band key) — the LSH bucket
+    keys. band key = the row-slice of the signature joined to one string
+    (portable across engines, unlike hashing an array)."""
+    return F.transform(
+        F.array(*[F.lit(b) for b in range(bands)]),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.array_join(
+                F.transform(F.slice(sig, b * rows + 1, rows), lambda x: x.cast("string")),
+                "#",
+            ).alias("bkey"),
+        ),
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 8,
+    bands: int = 4,
+    shingle_n: int = 1,
+    portable: bool = False,
+) -> DataFrame:
+    """Candidate duplicate pairs (id_a < id_b) sharing ≥1 LSH bucket.
+
+    Plan shape at scale: project → explode ``bands`` rows per doc (bounded
+    fan-out) → shuffle on (band, bkey) → in-bucket self-join → distinct.
+    Buckets are tiny for non-pathological corpora; a hot bucket (boilerplate)
+    is exactly the skew AQE's skew-join handles.
+    """
+    rows = num_perm // bands
+    sig = minhash_signature(F.col(text_col), num_perm, shingle_n, portable)
+    buckets = df.select(
+        F.col(id_col), F.explode(lsh_bands(sig, bands, rows)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, ["band", "bkey"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard(a_tokens: Column, b_tokens: Column) -> Column:
+    """Exact Jaccard of two token arrays (set semantics)."""
+    au = F.array_distinct(a_tokens)
+    bu = F.array_distinct(b_tokens)
+    inter = F.size(F.array_intersect(au, bu))
+    return inter / (F.size(au) + F.size(bu) - inter)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 1,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Verify candidate pairs with exact n-gram Jaccard ≥ threshold."""
+    toks = df.select(
+        F.col(id_col),
+        F.array_distinct(_tokens_or_shingles(F.col(text_col), shingle_n)).alias("__t__"),
+    )
+    out = (
+        pairs.join(toks.withColumnRenamed(id_col, "id_a").withColumnRenamed("__t__", "__ta__"), "id_a")
+        .join(toks.withColumnRenamed(id_col, "id_b").withColumnRenamed("__t__", "__tb__"), "id_b")
+        .withColumn("jaccard", jaccard(F.col("__ta__"), F.col("__tb__")))
+        .drop("__ta__", "__tb__")
+    )
+    return out.where(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def _portable_hash60(t: Column) -> Column:
+    """60-bit integer hash reproducible in any SQL engine:
+    first 15 hex chars of md5, parsed base-16."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def simhash(text: Column, bits: int = 60, portable: bool = True) -> Column:
+    """SimHash fingerprint: bit b is set iff the b-th bit majority over
+    token hashes is positive. One pass: hash each token once, then fold
+    per-bit votes — all Column expressions (bit masks are unrolled Python-
+    side into literals: shift amounts must be compile-time constants)."""
+    toks = tokenize(F.lower(text))
+    hs = F.transform(toks, _portable_hash60 if portable else (lambda t: F.xxhash64(t)))
+
+    def bit_vote(b: int) -> Column:
+        mask = F.lit(1 << b).cast("long")
+        vote = F.aggregate(
+            hs,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+        return F.when(vote > 0, mask).otherwise(F.lit(0).cast("long"))
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + bit_vote(b)
+    return out
+
+
+def simhash_table(
+    df, id_col: str, text_col: str, bits: int = 60, portable: bool = True
+):
+    """Shuffle-based simhash for wide corpora: explode tokens once, one
+    groupBy computing all ``bits`` votes as parallel aggregates (single
+    shuffle on id; partial aggregation applies). Prefer this over the
+    per-row ``simhash`` column when documents are long — the vote fold is
+    O(tokens × bits) per row there, O(tokens + bits) here."""
+    hash_fn = _portable_hash60 if portable else F.xxhash64
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokenize(F.lower(F.col(text_col)))).alias("__t__"),
+    ).select(id_col, hash_fn(F.col("__t__")).alias("__h__"))
+    votes = [
+        F.sum(
+            F.when(F.col("__h__").bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1).otherwise(-1)
+        ).alias(f"__v{b}__")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sh = F.lit(0).cast("long")
+    for b in range(bits):
+        sh = sh + F.when(F.col(f"__v{b}__") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select(id_col, sh.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str, simhash_col: str, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs by banded simhash: split the fingerprint into
+    ``bands`` sub-fingerprints; pairs agreeing on ≥1 band are candidates
+    (any pair within Hamming distance < bands shares a band by pigeonhole),
+    then verify exact Hamming distance."""
+    width = 60 // bands
+    sub = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col(simhash_col), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = df.select(id_col, simhash_col, F.explode(sub).alias("bb")).select(
+        id_col, simhash_col, "bb.band", "bb.bkey"
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(b, ["band", "bkey"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col(f"a.{simhash_col}"), F.col(f"b.{simhash_col}")).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,70 @@
+"""Loop join — a leftJoin against the store fed by this very join's output.
+
+Reference: the StoreService *loop join* (ScaldingPlatform.scala:430-469;
+validity rules scalding/Service.scala:78-105 — only value-transforms may
+sit between the join output and the summer; extraction 143-183; the
+per-key time-sorted ``loopJoin`` scanLeft 196-269). Each event at time t
+sees the store value accumulated from *prior* events of the same key
+(after their transform), i.e. a self-referential as-of join.
+
+Spark has no built-in for a per-key sequential scan whose state is defined
+by its own output, so this is the documented ``applyInPandas`` case
+(SURVEY §4.5 #3): one shuffle on the key, then an ordered in-partition
+scan — exactly the single reducer pass the reference plans. State is O(1)
+per key; rows stream through Arrow batches.
+
+For the *linear* special case (transform == identity, builtin semigroup)
+prefer ``as_of_join(mode='sum')`` / a window running-aggregate — that stays
+fully JVM-side; ``loop_join`` exists for transforms that depend on the
+joined state (the general scanLeft).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core import semigroup as sg_mod
+
+
+def loop_join(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    time_col: str | Sequence[str],
+    value_col: str,
+    out_col: str = "joined",
+    semigroup="sum",
+    transform: Optional[Callable] = None,
+    out_type: Optional[str] = None,
+) -> DataFrame:
+    """Per key, in time order: emit the running store value *before* each
+    row (NULL for the first), then fold ``transform(value, seen_state)``
+    into the store. ``transform=None`` means identity (fold the raw value).
+
+    Returns all input columns plus ``out_col``.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    order_cols = [time_col] if isinstance(time_col, str) else list(time_col)
+    sg = sg_mod.get(semigroup)
+    vt = out_type or df.schema[value_col].dataType.simpleString()
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"`{out_col}` {vt}"]
+    )
+    in_cols = [f.name for f in df.schema.fields]
+
+    def scan(pdf):
+        pdf = pdf.sort_values(order_cols, kind="stable").reset_index(drop=True)
+        state = None
+        joined = []
+        for v in pdf[value_col]:
+            joined.append(state)
+            upd = transform(v, state) if transform is not None else v
+            if upd is not None:
+                state = upd if state is None else sg.py_merge(state, upd)
+        pdf[out_col] = joined
+        return pdf[in_cols + [out_col]]
+
+    return df.groupBy(*keys).applyInPandas(scan, schema)

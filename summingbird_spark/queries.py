@@ -505,3 +505,385 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang"))
+
+
+# ----------------------------------------------------- loop join & scans
+
+@query(
+    "loop_join_running",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 2) AS joined
+    FROM events
+    """,
+)
+def q_loop_join_running(spark: SparkSession, sf: str) -> DataFrame:
+    """Loop join (ScaldingPlatform.scala:430-469 / Service.scala:196-269):
+    each event sees the store value accumulated from prior events of its
+    key — here the linear case, checked against a window-sum oracle."""
+    from .operators.loopjoin import loop_join
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts", "value")
+    out = loop_join(
+        ev, "user_id", ["ts", "event_id"], "value", out_col="joined", semigroup="sum"
+    )
+    return out.select("event_id", "user_id", F.round("joined", 2).alias("joined"))
+
+
+# ------------------------------------------------------------ dedup family
+
+@query(
+    "dedup_minhash_lsh",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(string_split(lower(text), ' '),
+             x -> x <> ''))) AS w
+      FROM documents
+    ), mh AS (
+      SELECT doc_id, s, min(md5(s::VARCHAR || '|' || w)) AS h
+      FROM toks CROSS JOIN (SELECT unnest(range(8)) AS s) seeds
+      GROUP BY doc_id, s
+    ), bandkeys AS (
+      SELECT doc_id, s // 2 AS band, string_agg(h, '#' ORDER BY s) AS bkey
+      FROM mh GROUP BY doc_id, s // 2
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bandkeys a JOIN bandkeys b USING (band, bkey)
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 8 permutations, 4 bands × 2 rows,
+    word shingles, portable md5 hashing (functions/dedup.py). The only
+    shuffle is on (band, band-key)."""
+    from .functions.dedup import minhash_candidates
+
+    docs = load_table(spark, sf, "documents")
+    return minhash_candidates(
+        docs, "doc_id", "text", num_perm=8, bands=4, shingle_n=1, portable=True
+    )
+
+
+@query(
+    "ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(string_split(lower(text), ' '),
+             x -> x <> ''))) AS w
+      FROM documents
+    ), mh AS (
+      SELECT doc_id, s, min(md5(s::VARCHAR || '|' || w)) AS h
+      FROM toks CROSS JOIN (SELECT unnest(range(8)) AS s) seeds
+      GROUP BY doc_id, s
+    ), bandkeys AS (
+      SELECT doc_id, s // 2 AS band, string_agg(h, '#' ORDER BY s) AS bkey
+      FROM mh GROUP BY doc_id, s // 2
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandkeys a JOIN bandkeys b USING (band, bkey)
+      WHERE a.doc_id < b.doc_id
+    ), tl AS (
+      SELECT doc_id, list_distinct(list_filter(string_split(lower(text), ' '),
+             x -> x <> '')) AS t
+      FROM documents
+    )
+    SELECT p.id_a, p.id_b,
+           round(len(list_intersect(ta.t, tb.t)) /
+                 (len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t))), 4) AS jaccard
+    FROM pairs p
+    JOIN tl ta ON ta.doc_id = p.id_a
+    JOIN tl tb ON tb.doc_id = p.id_b
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard verification of the LSH candidates — the
+    candidate→verify dedup pipeline end-to-end."""
+    from .functions.dedup import minhash_candidates, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_candidates(
+        docs, "doc_id", "text", num_perm=8, bands=4, shingle_n=1, portable=True
+    )
+    out = ngram_jaccard_pairs(docs, pairs, "doc_id", "text", shingle_n=1)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query(
+    "simhash_fingerprint",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+      FROM documents
+    ), th AS (
+      SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM toks
+    ), votes AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) bits
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def q_simhash_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup fingerprint (60-bit, portable hash): explode-once,
+    single-shuffle bit-vote aggregation (functions/dedup.simhash_table)."""
+    from .functions.dedup import simhash_table
+
+    docs = load_table(spark, sf, "documents")
+    return simhash_table(docs, "doc_id", "text")
+
+
+# ------------------------------------------------------- similarity search
+
+@query(
+    "embedding_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY sim DESC, vec_id) AS BIGINT) AS rank, vec_id, sim
+    FROM scored QUALIFY rank <= 5
+    """,
+)
+def q_embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact ANN baseline): queries broadcast,
+    corpus streamed once, per-query window rank."""
+    from .functions.similarity import brute_force_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    # rank on rounded sim so both engines rank identical values identically
+    from pyspark.sql.window import Window
+
+    scored = out.select("query_id", "vec_id", F.round("sim", 6).alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "rank", "vec_id", "sim")
+    )
+
+
+# LSH-bucketed ANN: approximate by construction — rows-only check
+@query("embedding_lsh_topk")
+def q_embedding_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.similarity import lsh_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return lsh_topk(emb, queries, "vec_id", "embedding", k=5, planes=4)
+
+
+# ------------------------------------------------------- multimodal columns
+
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum,
+           lower(substr(hex(encode(text)), 1, 16)) AS head
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload → Arrow-batched
+    mapInPandas feature extraction (decode itself is a deterministic stub;
+    functions/multimodal.py). Bytes never shuffle — features only."""
+    from .functions.multimodal import extract_features, pack_media
+
+    docs = load_table(spark, sf, "documents").withColumn(
+        "blob", F.encode(F.col("text"), "utf-8")
+    )
+    media = pack_media(docs, "blob", "text/plain")
+    return extract_features(media, "doc_id", "payload", decoder="fake")
+
+
+@query("multimodal_frame_sample")
+def q_multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.multimodal import frame_sample, pack_media
+
+    docs = load_table(spark, sf, "documents").withColumn(
+        "blob", F.encode(F.col("text"), "utf-8")
+    )
+    return frame_sample(pack_media(docs, "blob", "video/fake"), "doc_id", "payload")
+
+
+# ------------------------------------------------- windows & groupings
+
+@query(
+    "cube_agg",
+    """
+    SELECT event_type, CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day,
+           count(*) AS n
+    FROM events GROUP BY CUBE (event_type, day)
+    """,
+)
+def q_cube_agg(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events").withColumn(
+        "day", F.floor(F.unix_millis("ts") / F.lit(86400000)).cast("long")
+    )
+    return ev.cube("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "session_window",
+    """
+    WITH o AS (
+      SELECT user_id, epoch_ms(ts) AS ms,
+             CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) IS NULL
+                       OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) >= 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, ms,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, min(ms) AS session_start_ms, count(*) AS n
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows (30-min gap) — native in Spark, absent in the
+    reference (SURVEY §2.5); oracle is the gaps-and-islands SQL."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("session_window.start")).alias("session_start_ms"),
+            "n",
+        )
+    )
+
+
+@query(
+    "tumbling_window",
+    """
+    SELECT CAST(floor(epoch_ms(ts) / 21600000.0) AS BIGINT) * 21600000 AS window_start_ms,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling windows == the reference's Batcher grain (SURVEY §1.2)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@query(
+    "sliding_window",
+    """
+    SELECT (epoch_ms(ts) // 43200000 - k) * 43200000 AS window_start_ms, count(*) AS n
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offs
+    GROUP BY 1
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding windows (1 day size, 12 h slide): each event lands in two
+    windows — the reference does this with decayed/windowed value monoids."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "12 hours"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_millis(F.col("window.start")).alias("window_start_ms"), "n")
+    )
+
+
+@query(
+    "scalar_functions",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           upper(l_returnflag) AS flag,
+           substr(l_linestatus, 1, 1) AS st,
+           CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           round(abs(l_extendedprice * (1 - l_discount)), 4) AS net,
+           length(l_returnflag || l_linestatus) AS tag_len
+    FROM lineitem
+    """,
+)
+def q_scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar F.* passthrough — the string/date/math library the reference
+    lacks entirely (SURVEY §2.5: arbitrary lambdas instead)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.upper("l_returnflag").alias("flag"),
+        F.substring("l_linestatus", 1, 1).alias("st"),
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        # round at 4: the true value has ≤4 decimals (cents × 2-decimal
+        # discount), so no decimal ties — round(,2) would hit engine
+        # tie-breaking differences on .XX5 values
+        F.round(F.abs(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("net"),
+        F.length(F.concat("l_returnflag", "l_linestatus")).cast("int").alias("tag_len"),
+    )
+
+
+@query(
+    "noncommutative_concat",
+    """
+    SELECT user_id, string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+    FROM events GROUP BY user_id
+    """,
+)
+def q_noncommutative_concat(spark: SparkSession, sf: str) -> DataFrame:
+    """Non-commutative semigroup: time-ordered fold with a total order
+    (ts, event_id) — BatchedStore.scala:199-203 sorted-reduce semantics."""
+    from .core.semigroup import get as get_sg
+
+    sg = get_sg("concat")
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        sg.agg_ordered(
+            F.struct(F.col("ts"), F.col("event_id")),
+            F.substring("event_type", 1, 1),
+        ).alias("seq")
+    )
+
+
+@query(
+    "avg_semigroup",
+    """
+    SELECT event_type, round(sum(value) / count(value), 4) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_avg_semigroup(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable average as a (sum, count) pair monoid."""
+    from .core.semigroup import AvgSemigroup
+
+    sg = AvgSemigroup()
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(AvgSemigroup.present(sg.agg(F.col("value"))), 4).alias("avg_value")
+    )
+
+
+# HLL-style distinct: approximate by construction — rows-only check
+@query("approx_distinct_users")
+def q_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("n_users_approx")
+    )

@@ -1,0 +1,128 @@
+"""Streaming planner: the SAME Producer DAG → Structured Streaming.
+
+The Spark analog of the reference's Storm platform (SURVEY §2.3, §3.3):
+``Storm.plan`` packs the DAG into Spout/FlatMap/Summer physical nodes
+(online/planner/OnlinePlan.scala:24-263) — here the packing, shuffle
+placement, and map-side pre-aggregation are Catalyst/AQE's job; our code
+supplies only what Structured Streaming lacks: the per-(key, batch)
+summer with (Option[prev], delta) output (streaming.stateful) and the
+online mergeable store sink (streaming.store).
+
+Node coverage mirrors the batch planner (stateless ops are identical
+Column programs); differences:
+
+* Source must be a streaming DataFrame (``spark.readStream``); the
+  ``stream_source`` helper wraps file sources with rate limiting
+  (``maxFilesPerTrigger`` — the reference's backpressure knob analog,
+  maxSpoutPending StormPlatform.scala:133).
+* Summer compiles to a stateful per-(key, batch_id) aggregation in update
+  mode: every online aggregate is per-(key, batch) — never across batches
+  (StormTopologyBuilder.scala:41-67: online keys are (K, BatchID)).
+* Written nodes become ``foreachBatch`` effects attached to the returned
+  StreamPlan.
+* Watermarks are opt-in (`with_watermark`): the reference's default policy
+  is "late data simply sums into its event-time batch whenever it arrives"
+  (SURVEY §2.5) — that is exactly update-mode with no watermark.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..batch import batcher as b_mod
+from ..batch.planner import BatchPlanner
+from ..core import graph as g
+from ..core import semigroup as sg_mod
+from ..core.graph import TIME_COL
+from .stateful import stateful_summer
+
+
+def stream_source(
+    path: str,
+    schema,
+    time_col: Optional[str] = None,
+    fmt: str = "parquet",
+    max_files_per_trigger: Optional[int] = None,
+    name: str = "stream",
+) -> g.Source:
+    """A file-based streaming source node (new files = new events)."""
+
+    def loader(spark: SparkSession) -> DataFrame:
+        r = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+        return r.format(fmt).load(path)
+
+    return g.Source(loader, time_col, name)
+
+
+class StreamPlan:
+    """A compiled streaming plan: the tail DataFrame plus sink effects."""
+
+    def __init__(self, df: DataFrame, writes: list):
+        self.dataframe = df
+        self.writes = writes
+
+    def start_to_memory(self, spark, name: str, output_mode: str = "update", trigger_available_now: bool = True):
+        q = (
+            self.dataframe.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+        )
+        if trigger_available_now:
+            q = q.trigger(availableNow=True)
+        return q.start()
+
+    def start_foreach_batch(self, fn, output_mode: str = "update", checkpoint: Optional[str] = None, trigger_available_now: bool = True):
+        q = self.dataframe.writeStream.foreachBatch(fn).outputMode(output_mode)
+        if checkpoint:
+            q = q.option("checkpointLocation", checkpoint)
+        if trigger_available_now:
+            q = q.trigger(availableNow=True)
+        return q.start()
+
+
+class StreamPlanner(BatchPlanner):
+    """Reuses every stateless compile case from the batch planner; overrides
+    the stateful/effect cases for the streaming execution model."""
+
+    def plan(self, node: g.Producer) -> StreamPlan:
+        df = self.compile(node)
+        return StreamPlan(df, self._writes)
+
+    def _compile(self, node: g.Producer) -> DataFrame:
+        if isinstance(node, g.Summer):
+            return self._compile_summer_streaming(node)
+        if isinstance(node, g.SummerUpdates):
+            sg = sg_mod.get(node.summer.semigroup)
+            df = self.compile(node.summer)
+            return df.withColumn(
+                node.summer.value_alias,
+                sg.merge_null_safe(F.col("prev"), F.col("delta")),
+            ).drop("prev", "delta")
+        if isinstance(node, g.SummerSnapshot):
+            raise TypeError(
+                "streaming snapshot: write the summer to an OnlineStore via "
+                "foreachBatch (run_summer_to_store), then read the store"
+            )
+        return super()._compile(node)
+
+    def _compile_summer_streaming(self, node: g.Summer) -> DataFrame:
+        """Per-(key, batch) stateful aggregation emitting (prev, delta) per
+        micro-batch — the online Summer bolt (online/executor/Summer.scala:
+        56-128): prev is the state value of THIS (key, batch) before the
+        trigger's delta merges in."""
+        sg = sg_mod.get(node.semigroup)
+        batcher = node.batcher or b_mod.UNIT
+        df = self.compile(node.parents[0])
+        va = node.value_alias
+        base = df.select(
+            *node.keys,
+            batcher.batch_col(F.col(TIME_COL)).alias("batch_id"),
+            F.col(TIME_COL),
+            node.value.alias(va),
+        )
+        return stateful_summer(base, node.keys, va, sg)

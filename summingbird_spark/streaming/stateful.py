@@ -1,0 +1,89 @@
+"""Stateful streaming summer — exact (Option[prev], delta) semantics.
+
+The reference's online Summer bolt (online/executor/Summer.scala:56-128)
+does a batched read-modify-write (``store.multiMerge``) into an online KV
+store keyed by (K, BatchID) and emits ``(K, (Option[prev], delta))`` where
+``prev`` is the store value *before* this trigger's delta merged in, and a
+delta is already a partial sum of the trigger's events
+(map-side AsyncSummer, online/executor/FinalFlatMap.scala:54-138).
+
+Spark-first: ``applyInPandasWithState`` with per-key state holding the
+running total per open batch. Spark's shuffle groups by key (the
+hash(k)%shards sharding of FinalFlatMap.scala:49-52, automatic here) and
+Arrow batches the python transfer.
+
+Scale notes: state size per key = number of open batches × value size.
+With the reference's contract (a batch closes when the batch layer owns
+it) pass ``evict_before_batch`` per trigger — the client-side read handles
+closed batches from the offline store; this mirrors online stores expiring
+old (K, BatchID) entries (ClientStore.scala onlineKeys generation).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..core import semigroup as sg_mod
+from ..core.graph import TIME_COL
+
+# delta column type per semigroup (default: same as the value column)
+_DELTA_TYPE = {"count": "bigint", "sum_long": "bigint"}
+
+
+def _delta_type(sg, value_spark_type: str) -> str:
+    if sg.name in _DELTA_TYPE:
+        return _DELTA_TYPE[sg.name]
+    if sg.name == "set" or sg.name.startswith("top"):
+        return f"array<{value_spark_type}>"
+    return value_spark_type
+
+
+def stateful_summer(
+    base: DataFrame,
+    keys: list[str],
+    value_alias: str,
+    sg,
+    evict_before_batch: Optional[int] = None,
+) -> DataFrame:
+    """base columns: keys..., batch_id, __time__, <value_alias>.
+    Returns a streaming DataFrame (keys..., batch_id, prev, delta) with one
+    row per (key, batch) per trigger that saw data for it."""
+    sg = sg_mod.get(sg)
+    key_types = [(f.name, f.dataType.simpleString()) for f in base.schema.fields if f.name in keys]
+    vt = base.schema[value_alias].dataType.simpleString()
+    dt = _delta_type(sg, vt)
+    out_schema = ", ".join(
+        [f"`{n}` {t}" for n, t in key_types]
+        + ["batch_id bigint", f"prev {dt}", f"delta {dt}"]
+    )
+    state_schema = "state binary"
+    commutative = sg.commutative
+    out_cols = [n for n, _ in key_types] + ["batch_id", "prev", "delta"]
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        totals: dict = pickle.loads(bytes(state.get[0])) if state.exists else {}
+        fresh: dict = {}
+        for pdf in pdfs:
+            if not commutative:
+                pdf = pdf.sort_values(TIME_COL, kind="stable")
+            for b, grp in pdf.groupby("batch_id", sort=True):
+                d = sg.py_agg(list(grp[value_alias]))
+                fresh[int(b)] = sg.py_merge(fresh[int(b)], d) if int(b) in fresh else d
+        rows = []
+        for b in sorted(fresh):
+            prev = totals.get(b)
+            totals[b] = sg.py_merge(prev, fresh[b]) if prev is not None else fresh[b]
+            rows.append((*key, b, prev, fresh[b]))
+        if evict_before_batch is not None:
+            totals = {b: v for b, v in totals.items() if b >= evict_before_batch}
+        state.update((pickle.dumps(totals),))
+        yield pd.DataFrame(rows, columns=out_cols)
+
+    return base.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

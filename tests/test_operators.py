@@ -1,0 +1,134 @@
+"""Unit tests for the custom operators: loop join (general scanLeft),
+as-of join modes, simhash candidates, multimodal plumbing.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from summingbird_spark.operators.asof import as_of_join
+from summingbird_spark.operators.loopjoin import loop_join
+
+
+def ts(i):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i)
+
+
+def test_loop_join_general_scanleft(spark):
+    """The non-linear case: transform depends on the joined state
+    (TestGraphs.loopJoinInScala semantics) — value feeds back as
+    value + (state or 0) // 2."""
+    rows = [(ts(i), "k", i + 1) for i in range(6)]
+    df = spark.createDataFrame(rows, "t timestamp, key string, v long")
+    out = loop_join(
+        df,
+        "key",
+        "t",
+        "v",
+        out_col="joined",
+        semigroup="sum",
+        transform=lambda v, state: v + (state or 0) // 2,
+    )
+    got = {r.v: r.joined for r in out.collect()}
+    # python oracle scan
+    state = None
+    want = {}
+    for i in range(6):
+        v = i + 1
+        want[v] = state
+        upd = v + (state or 0) // 2
+        state = upd if state is None else state + upd
+    assert got == want
+
+
+def test_asof_join_deletion_semantics(spark):
+    """A NULL changelog value is a deletion: later lookups see None, not
+    the stale value (BatchedService changelog contract, FIXTURES F4)."""
+    left = spark.createDataFrame(
+        [(ts(1), "k"), (ts(3), "k"), (ts(5), "k")], "t timestamp, key string"
+    )
+    chg = spark.createDataFrame(
+        [(ts(0), "k", "v0"), (ts(2), "k", None), (ts(4), "k", "v4")],
+        "t timestamp, key string, val string",
+    )
+    out = as_of_join(left, chg, "key", "t", "t", ["val"])
+    got = {r.t.minute: r.val for r in out.collect()}
+    assert got == {1: "v0", 3: None, 5: "v4"}
+
+
+def test_asof_join_max_age_window(spark):
+    """BatchedWindowService: only right rows within the window count."""
+    left = spark.createDataFrame(
+        [(ts(1), "k"), (ts(30), "k")], "t timestamp, key string"
+    )
+    chg = spark.createDataFrame([(ts(0), "k", "v0")], "t timestamp, key string, val string")
+    out = as_of_join(
+        left, chg, "key", "t", "t", ["val"], max_age=F.lit(600)  # 10 minutes
+    )
+    got = {r.t.minute: r.val for r in out.collect()}
+    assert got == {1: "v0", 30: None}
+
+
+def test_simhash_candidates_find_near_dups(spark):
+    from summingbird_spark.functions.dedup import simhash_table, simhash_candidates
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + "extra"),          # near-dup of 1
+            (3, "completely different words entirely unrelated content here"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = simhash_table(docs, "doc_id", "text")
+    pairs = simhash_candidates(sh, "doc_id", "simhash", max_hamming=10)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_multimodal_feature_and_frames(spark):
+    from summingbird_spark.functions.multimodal import (
+        extract_features,
+        frame_sample,
+        pack_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 100), (2, "b" * 10)], "doc_id long, text string"
+    ).withColumn("blob", F.encode(F.col("text"), "utf-8"))
+    media = pack_media(docs, "blob", "application/octet-stream")
+
+    feats = {r.doc_id: r for r in extract_features(media).collect()}
+    assert feats[1].n_bytes == 100 and feats[2].n_bytes == 10
+    import hashlib
+
+    assert feats[1].checksum == hashlib.md5(b"a" * 100).hexdigest()
+
+    frames = frame_sample(media, every_n_bytes=64, frame_len=8).collect()
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert len(per_doc[1]) == 2  # 100 bytes / 64
+    assert len(per_doc[2]) == 1
+
+    # decoder stubs fail loudly, not silently
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decoder="pil")
+
+
+def test_lsh_topk_overlaps_brute_force(spark):
+    from summingbird_spark.functions.similarity import brute_force_topk, lsh_topk
+    from summingbird_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = lsh_topk(emb, queries, k=5, planes=2).collect()
+    # recall sanity: with 4 buckets over 500 vecs, some exact neighbors land
+    # in the query's bucket
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    assert len(exact_set & approx_set) > 0
