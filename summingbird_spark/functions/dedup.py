@@ -92,6 +92,40 @@ def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
     )
 
 
+def minhash_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 8,
+    shingle_n: int = 1,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-document minhash signature as ``num_perm`` columns h0..h{k-1}.
+
+    Physical shape (the one that scales): shingles are computed ONCE and
+    exploded; one groupBy(id) computes all ``num_perm`` minima as parallel
+    partial-aggregable ``min``s. This beats the per-row nested
+    transform(seeds × shingles) Column form by ~50× — nested higher-order
+    lambdas fall out of whole-stage codegen and re-evaluate the shingle
+    array per seed. Documents with no shingles produce no row (set
+    semantics, matches the SQL formulation).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_tokens_or_shingles(F.col(text_col), shingle_n))).alias(
+            "__w__"
+        ),
+    )
+    if portable:
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(str(s)), F.lit("|"), F.col("__w__")))).alias(f"h{s}")
+            for s in range(num_perm)
+        ]
+    else:
+        aggs = [F.min(F.xxhash64(F.col("__w__"), F.lit(s))).alias(f"h{s}") for s in range(num_perm)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str,
@@ -103,15 +137,27 @@ def minhash_candidates(
 ) -> DataFrame:
     """Candidate duplicate pairs (id_a < id_b) sharing ≥1 LSH bucket.
 
-    Plan shape at scale: project → explode ``bands`` rows per doc (bounded
-    fan-out) → shuffle on (band, bkey) → in-bucket self-join → distinct.
-    Buckets are tiny for non-pathological corpora; a hot bucket (boilerplate)
-    is exactly the skew AQE's skew-join handles.
+    Plan shape at scale: explode shingles → groupBy(id) signature (partial
+    agg) → ``bands`` bucket rows per doc (bounded fan-out) → shuffle on
+    (band, bkey) → in-bucket self-join → distinct. Buckets are tiny for
+    non-pathological corpora; a hot bucket (boilerplate) is exactly the
+    skew AQE's skew-join handles.
     """
     rows = num_perm // bands
-    sig = minhash_signature(F.col(text_col), num_perm, shingle_n, portable)
-    buckets = df.select(
-        F.col(id_col), F.explode(lsh_bands(sig, bands, rows)).alias("bb")
+    sig = minhash_table(df, id_col, text_col, num_perm, shingle_n, portable)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "#", *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)]
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     a = buckets.alias("a")
     b = buckets.alias("b")

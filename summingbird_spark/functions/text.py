@@ -107,7 +107,12 @@ def md5_fingerprint(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (for MinHash / Jaccard dedup)."""
+    """Word n-gram shingles (for MinHash / Jaccard dedup). Documents with
+    fewer than n tokens yield an empty array (guarded: Spark's sequence(1,0)
+    would otherwise generate a *descending* [1,0] index list)."""
     toks = tokenize(F.lower(text))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))

@@ -536,13 +536,16 @@ def q_loop_join_running(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "dedup_minhash_lsh",
     """
-    WITH toks AS (
-      SELECT doc_id, unnest(list_distinct(list_filter(string_split(lower(text), ' '),
-             x -> x <> ''))) AS w
+    WITH tl AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
       FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+             i -> array_to_string(t[i:i+2], ' ')))) AS w
+      FROM tl WHERE len(t) >= 3
     ), mh AS (
       SELECT doc_id, s, min(md5(s::VARCHAR || '|' || w)) AS h
-      FROM toks CROSS JOIN (SELECT unnest(range(8)) AS s) seeds
+      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS s) seeds
       GROUP BY doc_id, s
     ), bandkeys AS (
       SELECT doc_id, s // 2 AS band, string_agg(h, '#' ORDER BY s) AS bkey
@@ -555,57 +558,59 @@ def q_loop_join_running(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: 8 permutations, 4 bands × 2 rows,
-    word shingles, portable md5 hashing (functions/dedup.py). The only
-    shuffle is on (band, band-key)."""
+    3-gram shingles (word shingles collide pathologically on small-vocab
+    corpora — trigram space keeps buckets selective), portable md5 hashing
+    (functions/dedup.py). The only shuffle is on (band, band-key)."""
     from .functions.dedup import minhash_candidates
 
     docs = load_table(spark, sf, "documents")
     return minhash_candidates(
-        docs, "doc_id", "text", num_perm=8, bands=4, shingle_n=1, portable=True
+        docs, "doc_id", "text", num_perm=8, bands=4, shingle_n=3, portable=True
     )
 
 
 @query(
     "ngram_jaccard",
     """
-    WITH toks AS (
-      SELECT doc_id, unnest(list_distinct(list_filter(string_split(lower(text), ' '),
-             x -> x <> ''))) AS w
+    WITH tl AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
       FROM documents
+    ), s3 AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+             i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM tl WHERE len(t) >= 3
+    ), sh AS (
+      SELECT doc_id, unnest(s) AS w FROM s3
     ), mh AS (
-      SELECT doc_id, s, min(md5(s::VARCHAR || '|' || w)) AS h
-      FROM toks CROSS JOIN (SELECT unnest(range(8)) AS s) seeds
-      GROUP BY doc_id, s
+      SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || w)) AS h
+      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
+      GROUP BY doc_id, seed
     ), bandkeys AS (
-      SELECT doc_id, s // 2 AS band, string_agg(h, '#' ORDER BY s) AS bkey
-      FROM mh GROUP BY doc_id, s // 2
+      SELECT doc_id, seed // 2 AS band, string_agg(h, '#' ORDER BY seed) AS bkey
+      FROM mh GROUP BY doc_id, seed // 2
     ), pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bandkeys a JOIN bandkeys b USING (band, bkey)
       WHERE a.doc_id < b.doc_id
-    ), tl AS (
-      SELECT doc_id, list_distinct(list_filter(string_split(lower(text), ' '),
-             x -> x <> '')) AS t
-      FROM documents
     )
     SELECT p.id_a, p.id_b,
-           round(len(list_intersect(ta.t, tb.t)) /
-                 (len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t))), 4) AS jaccard
+           round(len(list_intersect(sa.s, sb.s)) /
+                 (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4) AS jaccard
     FROM pairs p
-    JOIN tl ta ON ta.doc_id = p.id_a
-    JOIN tl tb ON tb.doc_id = p.id_b
+    JOIN s3 sa ON sa.doc_id = p.id_a
+    JOIN s3 sb ON sb.doc_id = p.id_b
     """,
 )
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact n-gram Jaccard verification of the LSH candidates — the
+    """Exact 3-gram Jaccard verification of the LSH candidates — the
     candidate→verify dedup pipeline end-to-end."""
     from .functions.dedup import minhash_candidates, ngram_jaccard_pairs
 
     docs = load_table(spark, sf, "documents")
     pairs = minhash_candidates(
-        docs, "doc_id", "text", num_perm=8, bands=4, shingle_n=1, portable=True
+        docs, "doc_id", "text", num_perm=8, bands=4, shingle_n=3, portable=True
     )
-    out = ngram_jaccard_pairs(docs, pairs, "doc_id", "text", shingle_n=1)
+    out = ngram_jaccard_pairs(docs, pairs, "doc_id", "text", shingle_n=3)
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
