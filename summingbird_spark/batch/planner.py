@@ -39,6 +39,17 @@ _WINDOW_MERGE = {
 }
 
 
+def _with_commutativity(sg, commutative: bool):
+    """Shallow override of a semigroup's declared commutativity
+    (option/Commutativity.scala:23-48: commutativity is declared, not
+    inferred — declaring non-commutative forces the time-sorted fold)."""
+    import copy
+
+    out = copy.copy(sg)
+    out.commutative = bool(commutative)
+    return out
+
+
 class BatchPlan:
     """Compiled plan: a result DataFrame plus deferred sink writes
     (the reference's FlowToPipe + write effects, scalding/Sink.scala:19-21)."""
@@ -53,20 +64,61 @@ class BatchPlan:
         return self.dataframe
 
 
+def dependants(tail: g.Producer) -> dict[int, int]:
+    """Fan-out count per node — the Dependants graph analog
+    (core/.../Dependants.scala:25-60): how many distinct children consume
+    each producer in the DAG reachable from ``tail``."""
+    counts: dict[int, int] = {}
+    seen: set[int] = set()
+
+    def walk(n: g.Producer):
+        for p in n.parents:
+            counts[id(p)] = counts.get(id(p), 0) + 1
+            if id(p) not in seen:
+                seen.add(id(p))
+                walk(p)
+
+    walk(tail)
+    return counts
+
+
 class BatchPlanner:
-    def __init__(self, spark: SparkSession):
+    """``options`` resolves per-name knobs (core.options.Options);
+    ``cache_fanout`` persists nodes consumed by >1 child — the forceNode
+    analog (ScaldingPlatform.scala:343-359). Within a single action
+    Catalyst's ReusedExchange already avoids recompute, so caching matters
+    mainly for multi-write plans (``also`` / several sinks)."""
+
+    def __init__(self, spark: SparkSession, options=None, cache_fanout: bool = False):
         self.spark = spark
+        self.options = options
+        self.cache_fanout = cache_fanout
         self._memo: dict[int, DataFrame] = {}
         self._writes: list = []
+        self._fanout: dict[int, int] = {}
+        self._name_stack: list[str] = []
 
     def plan(self, node: g.Producer) -> BatchPlan:
+        self._fanout = dependants(node)
         df = self.compile(node)
         return BatchPlan(df, self._writes)
+
+    def _opt(self, key: str, default=None):
+        if self.options is None:
+            return default
+        return self.options.get_first(list(reversed(self._name_stack)), key, default)
 
     def compile(self, node: g.Producer) -> DataFrame:
         key = id(node)
         if key not in self._memo:
-            self._memo[key] = self._compile(node)
+            df = self._compile(node)
+            if (
+                self.cache_fanout
+                and self._fanout.get(key, 0) > 1
+                and not isinstance(node, g.Source)
+            ):
+                df = df.cache()
+            self._memo[key] = df
         return self._memo[key]
 
     # ---- per-node cases (ScaldingPlatform.scala:368-579 analog) --------
@@ -119,7 +171,13 @@ class BatchPlanner:
             return left.unionByName(right, allowMissingColumns=True)
 
         if isinstance(node, g.Named):
-            return self.compile(node.parents[0])
+            # scope options over the named subtree (StripNamedNodes +
+            # Options.getFirst innermost-wins semantics)
+            self._name_stack.append(node.node_name)
+            try:
+                return self.compile(node.parents[0])
+            finally:
+                self._name_stack.pop()
 
         if isinstance(node, g.Written):
             df = self.compile(node.parents[0])
@@ -178,7 +236,9 @@ class BatchPlanner:
         if TIME_COL in right.columns:
             right = right.drop(TIME_COL)
         bcast = node.broadcast
-        if bcast or (bcast is None and getattr(node.service, "broadcast_hint", False)):
+        if bcast is None:
+            bcast = self._opt("broadcast", getattr(node.service, "broadcast_hint", False))
+        if bcast:
             right = F.broadcast(right)
         return left.join(right, on=node.on, how="left")
 
@@ -216,6 +276,12 @@ class BatchPlanner:
         (BatchedStore.scala:157-244 groupedSum/partials equivalent).
         """
         sg, batcher, base, va = self._summer_parts(node)
+        shards = self._opt("shards")  # Reducers/FlatMapShards analog
+        if shards:
+            base = base.repartition(int(shards), *node.keys)
+        commutative = self._opt("commutative")  # MonoidIsCommutative analog
+        if commutative is not None:
+            sg = _with_commutativity(sg, commutative)
         per_batch = self._per_batch_delta(sg, base, node.keys, va)
 
         w = (

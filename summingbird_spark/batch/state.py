@@ -1,0 +1,124 @@
+"""Batch run state — the exactly-once commit protocol.
+
+Reference: ``WaitingState`` checkpointing (ScaldingPlatform.scala:788-841:
+``state.begin.willAccept(interval) → run → succeed | fail``), implemented
+by ``HDFSState`` (summingbird-batch-hadoop/.../state/HDFSState.scala:29-99)
+and ``CheckpointState`` (.../state/CheckpointState.scala:1-171) over
+versioned directories with atomic success markers
+(FileVersionTracking.scala:1-73).
+
+Here: a tiny JSON ledger of committed batch intervals next to the store.
+``begin(lo, hi)`` narrows the request to what is not yet committed
+(startFromNextInterval analog), refuses non-contiguous requests, and the
+returned RunningState must be resolved exactly once. Together with the
+store's atomic ``_SUCCESS``-marked snapshot writes this gives the same
+guarantee the reference has: a batch is either fully committed (snapshot +
+ledger entry) or invisible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Optional
+
+
+class StateError(Exception):
+    pass
+
+
+class CheckpointState:
+    """Tracks the exclusive upper batch bound committed so far."""
+
+    def __init__(self, path: str, start_batch: Optional[int] = None):
+        self.path = path
+        self._file = os.path.join(path, "state.json")
+        self.start_batch = start_batch
+        os.makedirs(path, exist_ok=True)
+
+    def _load(self) -> dict:
+        if not os.path.exists(self._file):
+            return {"committed_through": None, "history": []}
+        with open(self._file) as f:
+            return json.load(f)
+
+    def committed_through(self) -> Optional[int]:
+        return self._load()["committed_through"]
+
+    def begin(self, through_batch: int) -> "RunningState":
+        """willAccept: compute the still-uncommitted interval
+        (last_committed, through]."""
+        st = self._load()
+        last = st["committed_through"]
+        if last is None:
+            lo = self.start_batch
+        else:
+            lo = last + 1
+        if last is not None and through_batch <= last:
+            raise StateError(
+                f"interval through batch {through_batch} already committed "
+                f"(state at {last})"
+            )
+        return RunningState(self, lo, through_batch)
+
+    def _commit(self, lo: Optional[int], hi: int) -> None:
+        st = self._load()
+        st["history"].append({"lo": lo, "hi": hi})
+        st["committed_through"] = hi
+        # atomic replace — the HDFSState success-marker analog
+        fd, tmp = tempfile.mkstemp(dir=self.path)
+        with os.fdopen(fd, "w") as f:
+            json.dump(st, f)
+        os.replace(tmp, self._file)
+
+
+class RunningState:
+    """Must be resolved exactly once: succeed() or fail()."""
+
+    def __init__(self, state: CheckpointState, lo_batch: Optional[int], hi_batch: int):
+        self.state = state
+        self.lo_batch = lo_batch
+        self.hi_batch = hi_batch
+        self._resolved = False
+
+    def succeed(self) -> None:
+        if self._resolved:
+            raise StateError("state already resolved")
+        self._resolved = True
+        self.state._commit(self.lo_batch, self.hi_batch)
+
+    def fail(self, err: Optional[BaseException] = None) -> None:
+        if self._resolved:
+            raise StateError("state already resolved")
+        self._resolved = True  # nothing written — the batch stays uncommitted
+
+
+def run_batch_job(
+    spark,
+    store,
+    deltas,
+    batcher,
+    through_batch: int,
+    state: CheckpointState,
+    value_col: str = "value",
+    **rollforward_kwargs,
+):
+    """The Scalding.run analog: begin → rollforward → succeed/fail.
+    Returns the new snapshot DataFrame, or raises after recording failure.
+    """
+    from .store import rollforward
+
+    running = state.begin(through_batch)
+    try:
+        snap = rollforward(
+            spark, store, deltas, batcher, through_batch, value_col=value_col,
+            **rollforward_kwargs,
+        )
+        # force materialization before declaring success
+        snap.count()
+    except BaseException as e:
+        running.fail(e)
+        raise
+    running.succeed()
+    return snap

@@ -92,7 +92,14 @@ class Producer:
         )
 
     def name(self, n: str) -> "Producer":
-        """Metadata marker for option scoping (Producer.scala:228)."""
+        """Metadata marker for option scoping (Producer.scala:228).
+
+        As in the reference, the name labels the producer chain ENDING at
+        the marker: attach it AFTER the operator you want to configure
+        (``...sum_by_key(...).name("agg")``), then pass
+        ``Options().set("agg", shards=..., broadcast=..., commutative=...)``
+        to the planner. Innermost marker wins (Options.scala:27-60).
+        """
         return Named(self, n)
 
     def write(self, sink) -> "Producer":

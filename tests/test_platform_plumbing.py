@@ -1,0 +1,204 @@
+"""Options resolution, state commit protocol, time-pathed sources,
+stream-stream joins, planner invariants — the reference's platform
+plumbing (SURVEY §3/§4) re-expressed for Spark.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+import summingbird_spark as sb
+from summingbird_spark import TIME_COL, source, to_dataframe
+from summingbird_spark.batch.planner import BatchPlanner, dependants
+from summingbird_spark.batch.state import CheckpointState, StateError, run_batch_job
+from summingbird_spark.core.options import Options
+from summingbird_spark.sources.time_pathed import TimePathedSource
+
+
+def ts(i):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)
+
+
+@pytest.fixture()
+def events_df(spark):
+    rows = [(ts(i), f"k{i % 3}", i) for i in range(96)]
+    return spark.createDataFrame(rows, "ts timestamp, key string, value long")
+
+
+# ---- options ---------------------------------------------------------------
+
+def test_options_get_first_innermost_wins():
+    o = Options().set("outer", shards=4, broadcast=True).set("inner", shards=8)
+    assert o.get_first(["inner", "outer"], "shards") == 8
+    assert o.get_first(["inner", "outer"], "broadcast") is True
+    assert o.get_first(["inner", "outer"], "missing", "d") == "d"
+
+
+def test_named_options_drive_summer_shards(spark, events_df):
+    """`.name` labels the chain ENDING at the marker (summingbird: options
+    attach to the named producer and its upstream) — so name the summer
+    after building it."""
+    opts = Options().set("agg", shards=3)
+    p = source(events_df, time_col="ts").sum_by_key("key", "value").name("agg")
+    df = BatchPlanner(spark, options=opts).plan(p).run()
+    plan_str = df._jdf.queryExecution().executedPlan().toString()
+    got = {r.key: r.delta for r in df.collect()}
+    assert got == {f"k{k}": sum(i for i in range(96) if i % 3 == k) for k in range(3)}
+    # the option must inject an explicit repartition into the physical plan
+    assert "REPARTITION_BY_NUM" in plan_str, plan_str
+    # and without the option, no explicit repartition appears
+    p2 = source(events_df, time_col="ts").sum_by_key("key", "value").name("agg")
+    plan2 = BatchPlanner(spark).plan(p2).run()._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" not in plan2
+
+
+def test_commutativity_option_switches_fold_path(spark):
+    """MonoidIsCommutative is declared, not inferred: overriding it per
+    name must switch between the sorted-fold and plain-agg physical plans."""
+    rows = [(ts(2), "k", "b"), (ts(1), "k", "a"), (ts(3), "k", "c")]
+    df = spark.createDataFrame(rows, "ts timestamp, key string, value string").repartition(4)
+
+    def plan_of(opts):
+        p = source(df, time_col="ts").sum_by_key("key", "value", semigroup="concat").name("j")
+        out = BatchPlanner(spark, options=opts).plan(p).run()
+        return out, out._jdf.queryExecution().analyzed().toString()
+
+    # concat is non-commutative by default → time-sorted fold (array_sort)
+    out, plan_default = plan_of(None)
+    assert "array_sort" in plan_default
+    assert out.collect()[0].delta == "abc"  # time order despite shuffled input
+    # declared commutative → plain aggregation path, no sort
+    _, plan_commut = plan_of(Options().set("j", commutative=True))
+    assert "array_sort" not in plan_commut
+
+
+# ---- state protocol --------------------------------------------------------
+
+def test_state_commit_and_refuse_replay(spark, events_df, tmp_path):
+    batcher = sb.of_days(1)
+    b0 = batcher.batch_of(ts(0))
+    store = sb.VersionedBatchStore(str(tmp_path / "s"), ["key"], "sum")
+    state = CheckpointState(str(tmp_path / "state"))
+    ev = events_df.withColumn(TIME_COL, F.col("ts"))
+
+    run_batch_job(spark, store, ev, batcher, b0 + 1, state)
+    assert state.committed_through() == b0 + 1
+    # replaying an already-committed interval is refused
+    with pytest.raises(StateError):
+        state.begin(b0 + 1)
+    # rolling forward continues from the committed bound
+    run_batch_job(spark, store, ev, batcher, b0 + 3, state)
+    assert state.committed_through() == b0 + 3
+    got = {r.key: r.value for r in store.read_last(spark)[1].collect()}
+    assert got == {f"k{k}": sum(i for i in range(96) if i % 3 == k) for k in range(3)}
+
+
+def test_state_failure_leaves_no_commit(spark, events_df, tmp_path):
+    batcher = sb.of_days(1)
+    b0 = batcher.batch_of(ts(0))
+    store = sb.VersionedBatchStore(str(tmp_path / "s"), ["key"], "sum")
+    state = CheckpointState(str(tmp_path / "state"))
+    bad = events_df.withColumn(TIME_COL, F.col("ts")).withColumn(
+        "value", F.assert_true(F.col("value") < 0).cast("long")
+    )
+    with pytest.raises(Exception):
+        run_batch_job(spark, store, bad, batcher, b0 + 1, state)
+    assert state.committed_through() is None  # nothing committed
+
+
+# ---- time-pathed source ----------------------------------------------------
+
+def test_time_pathed_probe_and_shrink(spark, events_df, tmp_path):
+    batcher = sb.of_days(1)
+    b0 = batcher.batch_of(ts(0))
+    root = str(tmp_path / "tp")
+    TimePathedSource.write_batches(events_df, root, batcher)
+    src = TimePathedSource(root)
+    assert src.available_batches() == [b0, b0 + 1, b0 + 2, b0 + 3]
+    # requesting beyond what exists shrinks to the available prefix
+    assert src.shrink_interval(b0, b0 + 10) == (b0, b0 + 3)
+    assert src.shrink_interval(b0 + 9, b0 + 10) is None
+    # punch a hole: contiguity breaks the satisfiable range
+    import shutil
+
+    shutil.rmtree(f"{root}/batch_id={b0 + 2}")
+    assert src.shrink_interval(b0, b0 + 3) == (b0, b0 + 1)
+
+    df = src.read(spark, b0, b0 + 1, batcher)
+    assert df.count() == 48  # two days × 24 hourly events
+    # partition pruning: only the two requested dirs are scanned
+    scan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in scan
+
+
+def test_time_pathed_producer_in_pipeline(spark, events_df, tmp_path):
+    batcher = sb.of_days(1)
+    b0 = batcher.batch_of(ts(0))
+    root = str(tmp_path / "tp")
+    TimePathedSource.write_batches(events_df, root, batcher)
+    p = TimePathedSource(root).producer(b0, b0 + 1, batcher).sum_by_key(
+        "key", "value", batcher=batcher
+    )
+    rows = to_dataframe(spark, p).collect()
+    assert {r.batch_id for r in rows} == {b0, b0 + 1}
+
+
+# ---- planner invariants ----------------------------------------------------
+
+def test_diamond_fanout_detected_and_compiled_once(spark, events_df):
+    calls = []
+
+    def count_transform(df):
+        calls.append(1)
+        return df
+
+    src = source(events_df, time_col="ts").transform(count_transform)
+    left = src.filter("value % 2 = 0")
+    right = src.filter("value % 2 = 1")
+    tail = left.merge(right).sum_by_key("key", "value").snapshot()
+
+    assert dependants(tail)[id(src)] == 2  # fan-out seen by the planner
+    planner = BatchPlanner(spark, cache_fanout=True)
+    df = planner.plan(tail).run()
+    assert len(calls) == 1  # diamond compiled once (memoized)
+    got = {r.key: r.value for r in df.collect()}
+    assert got == {f"k{k}": sum(i for i in range(96) if i % 3 == k) for k in range(3)}
+
+
+# ---- stream-stream join (Buffer analog) ------------------------------------
+
+def test_stream_stream_left_join(spark, tmp_path):
+    """Buffer leftJoin (Producer.scala:396-399): left events see right
+    events of the same key within the window before them."""
+    import glob, shutil
+
+    from summingbird_spark.streaming.joins import stream_stream_left_join
+
+    d = tmp_path
+    lrows = [(ts(i), f"k{i % 2}", i) for i in range(4)]
+    rrows = [(ts(i) - dt.timedelta(minutes=30), f"k{i % 2}", 100 + i) for i in range(4)]
+    for name, rows, schema in [
+        ("l", lrows, "lts timestamp, key string, lv long"),
+        ("r", rrows, "rts timestamp, key string, rv long"),
+    ]:
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d / f"w_{name}"))
+        (d / name).mkdir()
+        for f in glob.glob(str(d / f"w_{name}" / "*.parquet")):
+            shutil.move(f, str(d / name / "data.parquet"))
+
+    l = spark.readStream.schema("lts timestamp, key string, lv long").parquet(str(d / "l"))
+    r = spark.readStream.schema("rts timestamp, key string, rv long").parquet(str(d / "r"))
+    joined = stream_stream_left_join(l, r, "key", "lts", "rts", window="45 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT key, lv, rv FROM ssj").collect()
+    got = {(r.lv): r.rv for r in rows}
+    # each left event i pairs with right event i (30 min earlier, same key)
+    assert got == {0: 100, 1: 101, 2: 102, 3: 103}
