@@ -55,6 +55,26 @@ def loop_join(
     )
     in_cols = [f.name for f in df.schema.fields]
 
+    # Linear fast path: identity transform + a builtin-aggregate semigroup
+    # is exactly a running aggregate over the prior rows — compile it to a
+    # JVM window function (one sort-shuffle, whole-stage codegen, no
+    # Python). The general state-dependent transform takes the
+    # applyInPandas scan below.
+    _WIN = {"sum": F.sum, "sum_long": lambda c: F.sum(c), "count": F.count,
+            "min": F.min, "max": F.max}
+    if transform is None and getattr(sg, "name", None) in _WIN:
+        from pyspark.sql.window import Window
+
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*[F.col(c) for c in order_cols])
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        out = _WIN[sg.name](F.col(value_col)).over(w)
+        if sg.name == "sum_long":
+            out = out.cast("long")
+        return df.withColumn(out_col, out)
+
     def scan(pdf):
         pdf = pdf.sort_values(order_cols, kind="stable").reset_index(drop=True)
         state = None

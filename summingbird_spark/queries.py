@@ -281,12 +281,13 @@ def q_map_values(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
-    """Top-k as a value monoid fed to sumByKey (SURVEY §2.5 idiom)."""
-    p = _events(sf).sum_by_key("event_type", "value", semigroup=TopKSemigroup(5)).snapshot()
-    df = to_dataframe(spark, p)
-    return df.select(
-        "event_type", F.posexplode(F.col("value")).alias("pos", "value")
-    ).select("event_type", (F.col("pos") + 1).cast("long").alias("rn"), "value")
+    """Top-k as a bounded value monoid (SURVEY §2.5 idiom), executed with
+    two-phase salted aggregation so reducer state is O(k × buckets) even
+    for hot keys (operators/topk.py)."""
+    from .operators.topk import topk_rows
+
+    ev = load_table(spark, sf, "events")
+    return topk_rows(ev, "event_type", "value", k=5)
 
 
 @query(

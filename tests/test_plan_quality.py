@@ -1,0 +1,83 @@
+"""Physical-plan invariants — the 100 TB scale contract.
+
+These assert plan *shape*, not results: filters reach the parquet scan,
+projections prune columns at the reader, small dims broadcast, partial
+(map-side) aggregation exists, and nothing degenerates to a cartesian
+product. A correct-but-full-scan plan is a regression even if every value
+matches (SURVEY §4: the reference hand-plans these; Catalyst must be
+*allowed* to by keeping the plan declarative).
+"""
+
+import pytest
+
+from summingbird_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def scans_of(plan: str) -> list[str]:
+    return [l for l in plan.splitlines() if "FileScan parquet" in l]
+
+
+def test_filter_and_projection_reach_the_scan(spark):
+    plan = plan_of(spark, "map_filter")
+    (scan,) = scans_of(plan)
+    # column pruning: only the 4 needed columns of 6 are read
+    assert "ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string,value:double>" in scan
+    assert "props" not in scan
+    # the event_type predicate is pushed into the scan
+    assert "PushedFilters: [" in scan and "event_type" in scan
+
+
+def test_dimension_join_broadcasts(spark):
+    plan = plan_of(spark, "left_join_service")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # customer scan pruned to join key + grouped column
+    dim_scan = [s for s in scans_of(plan) if "c_custkey" in s][0]
+    assert "c_name" not in dim_scan and "c_acctbal" not in dim_scan
+
+
+def test_sum_by_key_has_partial_aggregation(spark):
+    plan = plan_of(spark, "sum_by_key")
+    # partial + final HashAggregate pair around exactly one exchange
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
+    (scan,) = scans_of(plan)
+    assert "ReadSchema: struct<user_id:bigint,value:double>" in scan
+
+
+def test_asof_join_is_not_a_cartesian(spark):
+    plan = plan_of(spark, "asof_latest_order")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the union+window plan: one Window, sort-shuffled by key
+    assert "Window" in plan
+
+
+def test_topk_bounded_two_phase(spark):
+    """Top-k never sorts the table globally, and reducer state is bounded:
+    the salted two-phase plan has a (key, salt) aggregation feeding a key
+    aggregation, each trimming to k."""
+    plan = plan_of(spark, "topk_per_group")
+    assert "rangepartitioning" not in plan.lower()  # no global sort shuffle
+    # two aggregation levels: (key, salt) partials then per-key merge
+    assert plan.count("ObjectHashAggregate") + plan.count("SortAggregate") >= 3
+    assert "__salt__" in plan or "xxhash64" in plan
+
+
+def test_minhash_shuffles_on_digest_not_document(spark):
+    """Dedup-exact shuffles md5 digests, not document bodies."""
+    plan = plan_of(spark, "dedup_exact")
+    assert plan.count("Exchange") <= 2  # partial agg then final
+    assert "md5" in plan
+
+
+@pytest.mark.parametrize("name", ["wordcount", "flat_map_keys_rollup"])
+def test_explode_aggregations_keep_partial_agg(spark, name):
+    plan = plan_of(spark, name)
+    assert plan.count("HashAggregate") >= 2  # map-side combine survived explode
