@@ -57,6 +57,7 @@ class BatchPlan:
     def __init__(self, df: DataFrame, writes: list):
         self.dataframe = df
         self.writes = writes
+        self.observations: dict[str, object] = {}
 
     def run(self) -> DataFrame:
         for sink, wdf in self.writes:
@@ -97,11 +98,14 @@ class BatchPlanner:
         self._writes: list = []
         self._fanout: dict[int, int] = {}
         self._name_stack: list[str] = []
+        self.observations: dict[str, object] = {}
 
     def plan(self, node: g.Producer) -> BatchPlan:
         self._fanout = dependants(node)
         df = self.compile(node)
-        return BatchPlan(df, self._writes)
+        plan = BatchPlan(df, self._writes)
+        plan.observations = self.observations
+        return plan
 
     def _opt(self, key: str, default=None):
         if self.options is None:
@@ -191,6 +195,14 @@ class BatchPlanner:
 
         if isinstance(node, g.LeftJoin):
             return self._compile_left_join(node)
+
+        if isinstance(node, g.Observed):
+            from pyspark.sql import Observation
+
+            df = self.compile(node.parents[0])
+            obs = Observation()
+            self.observations[node.obs_name] = obs
+            return df.observe(obs, *[c.alias(k) for k, c in node.metrics.items()])
 
         if isinstance(node, g.Repartition):
             df = self.compile(node.parents[0])

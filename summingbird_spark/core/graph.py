@@ -150,6 +150,16 @@ class Producer:
         """Shard hint (reference FlatMapShards / Reducers options)."""
         return Repartition(self, num, cols)
 
+    def observe(self, name: str, **metrics: ColumnLike) -> "Producer":
+        """Job counters/statistics — the reference's Stats API
+        (jobWithStats, core-test TestGraphs.scala:494; counters are
+        incremented inside user lambdas there). Spark-first inversion:
+        counters are declarative aggregate expressions over the rows
+        passing this point (``df.observe``), collected per action /
+        micro-batch with no shuffle. Read them from
+        ``BatchPlan.observations[name]`` after running."""
+        return Observed(self, name, metrics)
+
 
 class Keyed:
     """KeyedProducer view: key columns are named, value = the rest.
@@ -307,6 +317,13 @@ class LeftJoin(Producer):
         self.service = service
         self.on = on
         self.broadcast = broadcast
+
+
+class Observed(Producer):
+    def __init__(self, parent: Producer, obs_name: str, metrics: dict):
+        super().__init__(parent)
+        self.obs_name = obs_name
+        self.metrics = {k: as_col(v) for k, v in metrics.items()}
 
 
 class Repartition(Producer):

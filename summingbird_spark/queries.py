@@ -893,3 +893,104 @@ def q_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("n_users_approx")
     )
+
+
+# --------------------------------------------------- analytical workloads
+
+@query(
+    "tpch_q1_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc,
+           round(avg(l_quantity), 4) AS avg_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1_pricing(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary on the largest table — the classic
+    scan+partial-agg workload; the shipdate predicate must push to the scan."""
+    li = load_table(spark, sf, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "tpch_q3_shipping",
+    """
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           epoch_ms(o.o_orderdate) AS odate_ms,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY o.o_orderkey, odate_ms, o.o_orderpriority
+    """,
+)
+def q_tpch_q3_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3-style: selective dimension filter → broadcast join chain →
+    aggregation. Customer is broadcast; lineitem only shuffles for the agg."""
+    c = (
+        load_table(spark, sf, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf, "orders").where(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "o_orderkey",
+            F.unix_millis("o_orderdate").alias("odate_ms"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "odate_ms", "o_orderpriority")
+    )
+
+
+@query(
+    "star_join_regions",
+    """
+    SELECT r.r_name, n.n_name, count(*) AS n, round(sum(e.value), 2) AS total
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q_star_join_regions(spark: SparkSession, sf: str) -> DataFrame:
+    """Star-schema join chain: the fact stream joins three broadcast
+    dimensions without a single fact-side pre-agg shuffle."""
+    e = load_table(spark, sf, "events")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )

@@ -84,6 +84,23 @@ class StreamPlan:
             q = q.trigger(availableNow=True)
         return q.start()
 
+    def start_writes(self, checkpoint_root: str, output_mode: str = "append", trigger_available_now: bool = True):
+        """Start one foreachBatch query per Written sink in the plan
+        (each micro-batch DataFrame is handed to ``sink.write``)."""
+        queries = []
+        for i, (sink, wdf) in enumerate(self.writes):
+            q = (
+                wdf.writeStream.foreachBatch(
+                    lambda bdf, bid, s=sink: s.write(bdf)
+                )
+                .outputMode(output_mode)
+                .option("checkpointLocation", f"{checkpoint_root}/w{i}")
+            )
+            if trigger_available_now:
+                q = q.trigger(availableNow=True)
+            queries.append(q.start())
+        return queries
+
 
 class StreamPlanner(BatchPlanner):
     """Reuses every stateless compile case from the batch planner; overrides
@@ -94,6 +111,12 @@ class StreamPlanner(BatchPlanner):
         return StreamPlan(df, self._writes)
 
     def _compile(self, node: g.Producer) -> DataFrame:
+        if isinstance(node, g.Written):
+            # streaming WrittenProducer: pass-through + a foreachBatch
+            # effect started by StreamPlan.start_writes (StormSink analog)
+            df = self.compile(node.parents[0])
+            self._writes.append((node.sink, df))
+            return df
         if isinstance(node, g.Summer):
             return self._compile_summer_streaming(node)
         if isinstance(node, g.SummerUpdates):
