@@ -243,3 +243,70 @@ register(AvgSemigroup())
 register(ConcatSemigroup())
 register(ListSemigroup())
 register(TopKSemigroup(10))
+
+
+class DecayedSumSemigroup(Semigroup):
+    """Exponentially time-decayed sum — the algebird DecayedValue idiom
+    (SURVEY §2.5: sliding/decayed aggregations are value monoids in the
+    reference, not engine windows).
+
+    Values are pre-scaled to a fixed reference time: each event contributes
+    ``v * 0.5^((t_ref - t) / half_life)``; merging is then plain addition
+    (commutative, mergeable through stores and the client view). Negative
+    exponents only, so no overflow for any event time ≤ t_ref.
+    """
+
+    def __init__(self, ref_time, half_life_ms: int, name: str = "decayed_sum"):
+        import datetime as _dt
+
+        if isinstance(ref_time, str):
+            ref_time = _dt.datetime.fromisoformat(ref_time)
+        self.ref_ms = int(ref_time.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000) \
+            if ref_time.tzinfo is None else int(ref_time.timestamp() * 1000)
+        self.half_life_ms = half_life_ms
+        self.name = name
+
+    def weight(self, time_col: Column) -> Column:
+        return F.pow(
+            F.lit(0.5),
+            (F.lit(self.ref_ms) - F.unix_millis(time_col)) / F.lit(self.half_life_ms),
+        )
+
+    def scaled(self, value: Column, time_col: Column) -> Column:
+        """Pre-scale a raw (value, time) to the reference time; feed THIS
+        to sum_by_key with this semigroup."""
+        return value * self.weight(time_col)
+
+    def agg(self, col: Column) -> Column:
+        return F.sum(col)
+
+    def merge(self, a: Column, b: Column) -> Column:
+        return a + b
+
+    def py_merge(self, a, b):
+        return a + b
+
+
+class HllSemigroup(Semigroup):
+    """Mergeable HyperLogLog sketches (Apache DataSketches via Spark
+    builtins): agg builds a sketch, merge unions sketches — the algebird
+    HLL monoid. Estimates via ``HllSemigroup.estimate``. Sketches survive
+    store rollforward / client merge like any other value."""
+
+    name = "hll"
+
+    def __init__(self, lg_k: int = 12):
+        self.lg_k = lg_k
+
+    def agg(self, col: Column) -> Column:
+        return F.hll_sketch_agg(col, self.lg_k)
+
+    def merge(self, a: Column, b: Column) -> Column:
+        return F.hll_union(a, b)
+
+    @staticmethod
+    def estimate(sketch: Column) -> Column:
+        return F.hll_sketch_estimate(sketch)
+
+
+register(HllSemigroup())

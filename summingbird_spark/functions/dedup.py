@@ -239,13 +239,24 @@ def simhash_table(
     per-row ``simhash`` column when documents are long — the vote fold is
     O(tokens × bits) per row there, O(tokens + bits) here."""
     hash_fn = _portable_hash60 if portable else F.xxhash64
-    toks = df.select(
-        F.col(id_col),
-        F.explode(tokenize(F.lower(F.col(text_col)))).alias("__t__"),
-    ).select(id_col, hash_fn(F.col("__t__")).alias("__h__"))
+    # pre-reduce to (doc, token-hash, count): the 60 bit-votes then run
+    # over distinct tokens weighted by count — identical result, rows cut
+    # by the corpus's token-repetition factor before the wide aggregation
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(tokenize(F.lower(F.col(text_col)))).alias("__t__"),
+        )
+        .select(id_col, hash_fn(F.col("__t__")).alias("__h__"))
+        .groupBy(id_col, "__h__")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+    )
     votes = [
         F.sum(
-            F.when(F.col("__h__").bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1).otherwise(-1)
+            F.when(
+                F.col("__h__").bitwiseAND(F.lit(1 << b).cast("long")) != 0,
+                F.col("__n__"),
+            ).otherwise(-F.col("__n__"))
         ).alias(f"__v{b}__")
         for b in range(bits)
     ]

@@ -994,3 +994,97 @@ def q_star_join_regions(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
     )
+
+
+@query(
+    "decayed_sum",
+    """
+    SELECT user_id,
+           round(sum(value * pow(0.5, (epoch_ms(TIMESTAMP '2024-02-01') - epoch_ms(ts))
+                 / 86400000.0)), 4) AS decayed
+    FROM events GROUP BY user_id
+    """,
+)
+def q_decayed_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially decayed sum (half-life 1 day, as of 2024-02-01) — the
+    algebird DecayedValue idiom: decay lives in the value monoid, so the
+    aggregate stays mergeable through stores and the client view."""
+    import datetime as _dt
+
+    from .core.semigroup import DecayedSumSemigroup
+
+    sg = DecayedSumSemigroup(_dt.datetime(2024, 2, 1), half_life_ms=86_400_000)
+    ev = load_table(spark, sf, "events")
+    p = source(ev, time_col="ts").map(
+        scaled=sg.scaled(F.col("value"), F.col("ts"))
+    ).sum_by_key("user_id", "scaled", semigroup=sg).snapshot()
+    return to_dataframe(spark, p).select(
+        "user_id", F.round("value", 4).alias("decayed")
+    )
+
+
+# HLL sketches: approximate by construction — rows-only; the mergeability
+# property is covered by tests (incremental sketch rollforward == one-shot)
+@query("hll_distinct_users")
+def q_hll_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    from .core.semigroup import HllSemigroup
+
+    ev = load_table(spark, sf, "events")
+    p = source(ev, time_col="ts").sum_by_key(
+        "event_type", "user_id", semigroup=HllSemigroup()
+    ).snapshot()
+    return to_dataframe(spark, p).select(
+        "event_type", HllSemigroup.estimate(F.col("value")).alias("n_users_est")
+    )
+
+
+@query(
+    "clean_corpus_pipeline",
+    """
+    WITH toks AS (
+      SELECT doc_id, text, lang, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents
+    ), quality AS (
+      SELECT doc_id, text, lang, len(t) AS n_tokens,
+             len(list_distinct(t)) / greatest(len(t), 1) AS uniq_ratio
+      FROM toks
+      WHERE len(t) BETWEEN 20 AND 5000
+    ), deduped AS (
+      SELECT min(doc_id) AS doc_id, count(*) AS copies, md5(text) AS h
+      FROM quality GROUP BY md5(text)
+    )
+    SELECT q.doc_id, q.lang, CAST(q.n_tokens AS BIGINT) AS n_tokens,
+           round(q.uniq_ratio, 4) AS uniq_ratio, d.copies
+    FROM deduped d JOIN quality q ON q.doc_id = d.doc_id
+    """,
+)
+def q_clean_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end training-data cleaning: quality gate (length band) →
+    exact dedup (survivor = min doc_id) → per-survivor stats. One
+    composition of the text/dedup operators, no driver-side steps."""
+    docs = load_table(spark, sf, "documents")
+    toks = T.tokenize(F.lower(F.col("text")))
+    quality = docs.where(
+        (F.size(toks) >= 20) & (F.size(toks) <= 5000)
+    ).select(
+        "doc_id",
+        "text",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))).alias(
+            "uniq_ratio"
+        ),
+    )
+    deduped = quality.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("copies")
+    )
+    return (
+        deduped.join(quality, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.round("uniq_ratio", 4).alias("uniq_ratio"),
+            "copies",
+        )
+    )

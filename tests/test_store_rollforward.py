@@ -106,3 +106,40 @@ def test_summer_with_store_prev_includes_snapshot(spark, events_df, tmp_path):
     assert first_k1.prev == 100
     first_k0 = min((r for r in rows if r.key == "k0"), key=lambda r: r.batch_id)
     assert first_k0.prev is None
+
+
+def test_hll_sketch_rollforward_merges(spark, events_df, tmp_path):
+    """HLL sketches are a real semigroup: k-step incremental rollforward of
+    sketch values must estimate identically to the one-shot sketch."""
+    from pyspark.sql import functions as F
+
+    from summingbird_spark.core.semigroup import HllSemigroup
+
+    sg = HllSemigroup()
+    batcher = sb.of_days(2)
+    b0 = batcher.batch_of(ts(0))
+    # distinct-ish payload: value per (key, hour)
+    ev = events_df.withColumn("value", (F.col("value") * 17 + F.dayofyear("ts")))
+
+    inc = sb.VersionedBatchStore(str(tmp_path / "inc"), ["key"], sg)
+    for through in (b0 + 1, b0 + 4):
+        snap = sb.rollforward(spark, inc, ev, batcher, through)
+    got_inc = {
+        r.key: r.est
+        for r in snap.select("key", HllSemigroup.estimate(F.col("value")).alias("est")).collect()
+    }
+
+    one = sb.VersionedBatchStore(str(tmp_path / "one"), ["key"], sg)
+    snap1 = sb.rollforward(spark, one, ev, batcher, b0 + 4)
+    got_one = {
+        r.key: r.est
+        for r in snap1.select("key", HllSemigroup.estimate(F.col("value")).alias("est")).collect()
+    }
+    assert got_inc == got_one
+    # sanity: estimates are near the exact distinct counts
+    exact = {
+        r.key: r.n
+        for r in ev.groupBy("key").agg(F.countDistinct("value").alias("n")).collect()
+    }
+    for k, est in got_one.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k])
