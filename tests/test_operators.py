@@ -132,3 +132,43 @@ def test_lsh_topk_overlaps_brute_force(spark):
     exact_set = {(r.query_id, r.vec_id) for r in exact}
     approx_set = {(r.query_id, r.vec_id) for r in approx}
     assert len(exact_set & approx_set) > 0
+
+
+def test_salted_agg_set_union_hot_key(spark):
+    from summingbird_spark.operators.skew import salted_agg
+
+    import pyspark.sql.functions as F
+
+    df = spark.range(5000).select(
+        F.lit("hot").alias("k"), (F.col("id") % 500).alias("v")
+    ).union(spark.range(3).select(F.lit("cold").alias("k"), F.col("id").alias("v")))
+    out = {r.k: list(r.value) for r in salted_agg(df, "k", "v", "set", buckets=16).collect()}
+    assert out["hot"] == sorted(set(range(500)))
+    assert out["cold"] == [0, 1, 2]
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    import datetime as dt
+    import glob, shutil
+
+    from summingbird_spark.streaming.dedup import dedup_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0, "dup text"), (t0 + dt.timedelta(minutes=1), "dup text"),
+        (t0 + dt.timedelta(minutes=2), "unique one"),
+        (t0 + dt.timedelta(minutes=3), "dup text"),
+    ]
+    (tmp_path / "src").mkdir()
+    spark.createDataFrame(rows, "ts timestamp, text string").coalesce(1) \
+        .write.parquet(str(tmp_path / "w"))
+    for f in glob.glob(str(tmp_path / "w" / "*.parquet")):
+        shutil.move(f, str(tmp_path / "src" / "c.parquet"))
+
+    s = spark.readStream.schema("ts timestamp, text string").parquet(str(tmp_path / "src"))
+    out = dedup_stream(s, text_col="text", time_col="ts", watermark="10 minutes")
+    q = (out.writeStream.format("memory").queryName("dd")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = sorted(r.text for r in spark.sql("SELECT text FROM dd").collect())
+    assert got == ["dup text", "unique one"]
