@@ -1088,3 +1088,141 @@ def q_clean_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             "copies",
         )
     )
+
+
+@query(
+    "asof_windowed",
+    """
+    WITH r AS (
+      SELECT o_custkey AS user_id, o_orderdate,
+             max(o_totalprice) AS price
+      FROM orders GROUP BY 1, 2
+    ), j AS (
+      SELECT e.event_id, e.user_id, e.ts, r.o_orderdate, r.price
+      FROM events e ASOF LEFT JOIN r
+        ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+    )
+    SELECT event_id, user_id,
+           CASE WHEN o_orderdate IS NOT NULL
+                     AND epoch_ms(ts) - epoch_ms(o_orderdate) < 9125::BIGINT * 86400000
+                THEN price END AS recent_price
+    FROM j
+    """,
+)
+def q_asof_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed as-of join (BatchedWindowService.scala:35-72): the looked-up
+    value only counts if it is younger than the window (~25 years —
+    chosen to split this dataset's 22-29-year event-order ages)."""
+    ev = load_table(spark, sf, "events")
+    orders = (
+        load_table(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_totalprice").alias("recent_price"))
+    )
+    out = as_of_join(
+        ev.select("event_id", "user_id", "ts"),
+        orders,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["recent_price"],
+        max_age=F.lit(9125 * 86400),  # seconds (~25 y: splits the data)
+    )
+    return out.select("event_id", "user_id", "recent_price")
+
+
+@query(
+    "keyed_pipeline",
+    """
+    SELECT event_type AS et, CAST(sum(CAST(round(value) AS BIGINT) * 2) AS BIGINT) AS total
+    FROM events
+    WHERE user_id % 2 = 0 AND value > 10
+    GROUP BY event_type
+    """,
+)
+def q_keyed_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The keyed-operator chain end-to-end: key_by → filter_keys →
+    filter_values → map_values → map_keys → sum_by_key."""
+    k = (
+        _events(sf)
+        .key_by("user_id")
+        .filter_keys("user_id % 2 = 0")
+        .filter_values("value > 10")
+        .map_values(doubled=F.round(F.col("value")).cast("long") * 2)
+        .swap("event_type")
+        .map_keys(et=F.col("event_type"))
+        .sum_by_key("doubled", semigroup="sum_long")
+    )
+    return to_dataframe(spark, k.snapshot()).select("et", F.col("value").alias("total"))
+
+
+@query(
+    "quality_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           round((CASE WHEN len(t) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END
+                  + len(list_distinct(t)) / greatest(len(t), 1)
+                  + CASE WHEN len(list_filter(t, x -> x <> '')) > 0
+                         AND (list_sum(list_transform(t, x -> length(x))) / greatest(len(t), 1))
+                             BETWEEN 2.0 AND 12.0
+                         THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS quality
+    FROM toks
+    """,
+)
+def q_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite quality heuristic (functions/text.quality_score): length
+    band + uniqueness + mean token length, all scan-side."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "set_ops",
+    """
+    SELECT user_id, day FROM (
+      SELECT DISTINCT user_id, CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day
+      FROM events WHERE event_type = 'purchase'
+      EXCEPT
+      SELECT DISTINCT user_id, CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day
+      FROM events WHERE event_type = 'error'
+    )
+    """,
+)
+def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Set difference ((user, day) pairs with purchases but no errors) —
+    EXCEPT semantics the reference would express as a set-monoid filter."""
+    ev = load_table(spark, sf, "events").withColumn(
+        "day", F.floor(F.unix_millis("ts") / F.lit(86400000)).cast("long")
+    )
+    a = ev.where("event_type = 'purchase'").select("user_id", "day").distinct()
+    b = ev.where("event_type = 'error'").select("user_id", "day").distinct()
+    return a.exceptAll(b)
+
+
+@query(
+    "pivot_counts",
+    """
+    SELECT user_id % 10 AS cohort,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup
+    FROM events GROUP BY 1
+    """,
+)
+def q_pivot_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (wide per-key counts) — flatMapKeys-free crosstab."""
+    ev = load_table(spark, sf, "events").withColumn(
+        "cohort", (F.col("user_id") % 10).cast("long")
+    )
+    out = (
+        ev.groupBy("cohort")
+        .pivot("event_type", ["click", "purchase", "error", "signup"])
+        .agg(F.count(F.lit(1)))
+    )
+    cols = ["click", "purchase", "error", "signup"]
+    return out.select("cohort", *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in cols])
