@@ -127,3 +127,54 @@ def test_client_merge_lambda_parity(spark, stream_dir, tmp_path):
         if v != 0:
             oracle[k] += v
     assert got == dict(oracle)
+
+
+def test_stream_static_left_join(spark, stream_dir, tmp_path):
+    """Service leftJoin inside a streaming plan: stream-static broadcast
+    join (the storehaus-lookup analog, FlatMapOperation.combine)."""
+    dim = spark.createDataFrame(
+        [("k0", "zero"), ("k1", "one")], "key string, label string"
+    )
+    src = stream_source(stream_dir, SCHEMA, time_col="ts", max_files_per_trigger=1)
+    p = src.left_join(sb.Service(dim), on="key").filter("label IS NOT NULL")
+    plan = StreamPlanner(spark).plan(p)
+    q = plan.start_to_memory(spark, "ssj_static", output_mode="append")
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT key, label FROM ssj_static").collect()
+    assert len(rows) == sum(1 for _, k, _ in ROWS if k in ("k0", "k1"))
+    assert all(r.label in ("zero", "one") for r in rows)
+
+
+def test_stateful_summer_eviction_bounds_state(spark, stream_dir, tmp_path):
+    """evict_before_batch drops closed batches from per-key state: evicted
+    batches re-emit with prev=None if data arrives later (the batch layer
+    owns them — ClientStore contract), while open batches keep state."""
+    import pickle
+
+    from summingbird_spark.batch import batcher as b_mod
+    from summingbird_spark.core import semigroup as sg_mod
+    from summingbird_spark.core.graph import TIME_COL
+    from summingbird_spark.streaming.stateful import stateful_summer
+    from pyspark.sql import functions as F
+
+    batcher = sb.of_days(1)
+    src = stream_source(stream_dir, SCHEMA, time_col="ts", max_files_per_trigger=1)
+    from summingbird_spark.streaming.planner import StreamPlanner
+
+    planner = StreamPlanner(spark)
+    df = planner.compile(src)
+    base = df.select(
+        "key",
+        batcher.batch_col(F.col(TIME_COL)).alias("batch_id"),
+        F.col(TIME_COL),
+        F.col("value"),
+    )
+    evict_point = batcher.batch_of(ROWS[0][0]) + 10**9  # evict everything
+    out = stateful_summer(base, ["key"], "value", sg_mod.get("sum_long"),
+                          evict_before_batch=evict_point)
+    q = (out.writeStream.format("memory").queryName("evict_t")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM evict_t").collect()
+    # with total eviction every trigger starts cold: prev is always None
+    assert all(r.prev is None for r in rows)
