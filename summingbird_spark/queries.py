@@ -842,7 +842,7 @@ def q_scalar_functions(spark: SparkSession, sf: str) -> DataFrame:
         # discount), so no decimal ties — round(,2) would hit engine
         # tie-breaking differences on .XX5 values
         F.round(F.abs(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("net"),
-        F.length(F.concat("l_returnflag", "l_linestatus")).cast("int").alias("tag_len"),
+        F.length(F.concat("l_returnflag", "l_linestatus")).cast("long").alias("tag_len"),
     )
 
 
