@@ -1226,3 +1226,86 @@ def q_pivot_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
     cols = ["click", "purchase", "error", "signup"]
     return out.select("cohort", *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in cols])
+
+
+@query(
+    "bpe_tokens",
+    r"""
+    WITH t AS (
+      SELECT event_id,
+             list_filter(string_split(
+                  regexp_replace(props, '([^\w\s])', ' \1 ', 'g'), ' '),
+                  x -> x <> '') AS toks
+      FROM events
+    )
+    SELECT event_id, CAST(len(toks) AS BIGINT) AS n_bpe, toks[6] AS k_tok
+    FROM t
+    """,
+)
+def q_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish sub-word tokenization (words + punctuation as tokens) on the
+    JSON props column — functions/text.bpe_ish_tokens."""
+    ev = load_table(spark, sf, "events")
+    toks = T.bpe_ish_tokens(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.size(toks).cast("long").alias("n_bpe"),
+        F.element_at(toks, 6).alias("k_tok"),  # the number: varies per row
+    )
+
+
+@query(
+    "trending_decayed_topk",
+    """
+    WITH d AS (
+      SELECT user_id,
+             round(sum(value * pow(0.5, (epoch_ms(TIMESTAMP '2024-02-01') - epoch_ms(ts))
+                   / 86400000.0)), 6) AS decayed
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY decayed DESC, user_id) AS BIGINT) AS rn,
+           user_id, decayed
+    FROM d QUALIFY rn <= 10
+    """,
+)
+def q_trending_decayed_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Trending: decayed-sum monoid composed with top-k ranking — the
+    canonical summingbird serving pattern (decayed value + top-k)."""
+    import datetime as _dt
+
+    from pyspark.sql.window import Window
+
+    from .core.semigroup import DecayedSumSemigroup
+
+    sg = DecayedSumSemigroup(_dt.datetime(2024, 2, 1), half_life_ms=86_400_000)
+    ev = load_table(spark, sf, "events")
+    d = (
+        ev.groupBy("user_id")
+        .agg(F.round(F.sum(sg.scaled(F.col("value"), F.col("ts"))), 6).alias("decayed"))
+    )
+    w = Window.orderBy(F.col("decayed").desc(), F.col("user_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 10)
+        .select("rn", "user_id", "decayed")
+    )
+
+
+@query(
+    "median_values",
+    """
+    SELECT event_type,
+           round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS median_value,
+           round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 4) AS p90_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_median_values(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated quantiles (percentile == quantile_cont); the
+    approximate path (approx_percentile + t-digest-style merge) is the
+    scale default, graded rows-only elsewhere."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90_value"),
+    )
