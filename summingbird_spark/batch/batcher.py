@@ -111,6 +111,29 @@ class CombinedBatcher(Batcher):
         return self.after.earliest_time_of(batch_id - self.offset)
 
 
+class MonthBatcher(Batcher):
+    """Calendar months since the epoch — truly calendar-aware (variable
+    width), the CalendarBatcher case a fixed-width batcher cannot express
+    (CalendarBatcher.scala:21-132)."""
+
+    def batch_col(self, t: Column) -> Column:
+        return ((F.year(t) - 1970) * 12 + F.month(t) - 1).cast("long")
+
+    def batch_of(self, t: _dt.datetime) -> int:
+        return (t.year - 1970) * 12 + t.month - 1
+
+    def earliest_time_of(self, batch_id: int) -> _dt.datetime:
+        return _dt.datetime(
+            1970 + batch_id // 12, batch_id % 12 + 1, 1, tzinfo=_dt.timezone.utc
+        )
+
+
+def of_months(n: int = 1) -> Batcher:
+    if n != 1:
+        raise NotImplementedError("n-month batches: compose with batch_id // n")
+    return MonthBatcher()
+
+
 def of_millis(width: int) -> Batcher:
     return MillisBatcher(width)
 

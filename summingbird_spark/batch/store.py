@@ -143,6 +143,13 @@ def rollforward(
     """
     sg = store.semigroup
     last = store.read_last(spark, through=through_batch)
+    if last is not None and last[0] == through_batch:
+        # idempotent no-op: the requested bound is already committed.
+        # Proceeding would overwrite the snapshot directory while the
+        # returned DataFrame lazily reads from it (self-overwrite ⇒
+        # FILE_NOT_EXIST mid-job / truncated store) — found by the
+        # hypothesis split property test.
+        return last[1]
     lo_batch = (last[0] + 1) if last else None
 
     ev = deltas

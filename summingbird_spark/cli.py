@@ -30,8 +30,14 @@ import sys
 
 def _load_build(spec: str):
     mod_name, _, attr = spec.partition(":")
-    mod = importlib.import_module(mod_name)
-    return getattr(mod, attr or "build")
+    try:
+        mod = importlib.import_module(mod_name)
+    except ImportError as e:
+        raise SystemExit(f"error: cannot import job module {mod_name!r}: {e}")
+    try:
+        return getattr(mod, attr or "build")
+    except AttributeError:
+        raise SystemExit(f"error: {mod_name!r} has no attribute {attr or 'build'!r}")
 
 
 def main(argv=None) -> int:

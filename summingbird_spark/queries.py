@@ -1309,3 +1309,30 @@ def q_median_values(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
         F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90_value"),
     )
+
+
+@query(
+    "sum_by_key_monthly",
+    """
+    WITH per AS (
+      SELECT user_id,
+             CAST((year(ts) - 1970) * 12 + month(ts) - 1 AS BIGINT) AS batch_id,
+             CAST(count(*) AS BIGINT) AS delta
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, batch_id,
+           CAST(sum(delta) OVER (PARTITION BY user_id ORDER BY batch_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev,
+           delta
+    FROM per
+    """,
+)
+def q_sum_by_key_monthly(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar-month batcher (variable-width CalendarBatcher semantics,
+    CalendarBatcher.scala:21-132) through the summer."""
+    from .batch.batcher import of_months
+
+    p = _events(sf).sum_by_key(
+        "user_id", F.lit(1), semigroup="sum_long", batcher=of_months()
+    )
+    return to_dataframe(spark, p).select("user_id", "batch_id", "prev", "delta")

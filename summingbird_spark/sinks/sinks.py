@@ -32,3 +32,54 @@ class MemorySink:
 
     def write(self, df: DataFrame) -> None:
         self.rows.extend(df.collect())
+
+
+class BatchedParquetSink:
+    """Batched sink with replay (scalding/batch/BatchedSink.scala:26-60):
+    the stream materializes once per covered batch; batches already written
+    are skipped on later runs (replayed from disk, not recomputed). Layout
+    matches TimePathedSource, so written streams are directly re-readable
+    as batch sources."""
+
+    def __init__(self, path: str, batcher, time_col: str = "__time__"):
+        import re
+
+        self.path = path
+        self.batcher = batcher
+        self.time_col = time_col
+        self._pat = re.compile(r"^batch_id=(-?\d+)$")
+
+    def written_batches(self) -> list[int]:
+        import os
+
+        if not os.path.isdir(self.path):
+            return []
+        out = []
+        for d in os.listdir(self.path):
+            m = self._pat.match(d)
+            if m and os.path.exists(os.path.join(self.path, d, "_SUCCESS")):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def write(self, df: DataFrame) -> None:
+        from pyspark.sql import functions as F
+
+        done = set(self.written_batches())
+        withb = df.withColumn(
+            "batch_id", self.batcher.batch_col(F.col(self.time_col).cast("timestamp"))
+        )
+        batches = [r["batch_id"] for r in withb.select("batch_id").distinct().collect()]
+        for b in sorted(set(batches) - done):
+            withb.where(F.col("batch_id") == b).drop("batch_id").write.mode(
+                "overwrite"
+            ).parquet(f"{self.path}/batch_id={b}")
+
+    def read(self, spark, lo: int = None, hi: int = None) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        df = spark.read.option("basePath", self.path).parquet(self.path)
+        if lo is not None:
+            df = df.where(F.col("batch_id") >= lo)
+        if hi is not None:
+            df = df.where(F.col("batch_id") <= hi)
+        return df

@@ -1,0 +1,126 @@
+"""Property-based differential tests — the reference's ScalaCheck
+methodology (SURVEY §5: random inputs + random batchers, platform vs
+plain-Scala oracle). Hypothesis generates event sets and batcher widths;
+the oracle is a plain-Python fold. Example counts are small because each
+example is a full Spark job.
+"""
+
+import datetime as dt
+from collections import defaultdict
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import summingbird_spark as sb
+from summingbird_spark import source, to_dataframe
+
+BASE = dt.datetime(2024, 1, 1)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000_000),  # offset seconds
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+width_strategy = st.sampled_from([3600_000, 86_400_000, 7 * 86_400_000])
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=events_strategy, width=width_strategy)
+def test_sum_by_key_prev_delta_property(spark, rows, width):
+    data = [(BASE + dt.timedelta(seconds=s), k, v) for s, k, v in rows]
+    df = spark.createDataFrame(data, "ts timestamp, key string, value long")
+    p = source(df, time_col="ts").sum_by_key(
+        "key", "value", semigroup="sum_long", batcher=sb.of_millis(width)
+    )
+    got = {(r.key, r.batch_id): (r.prev, r.delta) for r in to_dataframe(spark, p).collect()}
+
+    per = defaultdict(lambda: defaultdict(int))
+    for t, k, v in data:
+        per[k][int(t.timestamp() * 1000) // width] += v
+    want = {}
+    for k, batches in per.items():
+        run = None
+        for b in sorted(batches):
+            want[(k, b)] = (run, batches[b])
+            run = batches[b] if run is None else run + batches[b]
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=events_strategy,
+    width=width_strategy,
+    split=st.integers(min_value=0, max_value=120),
+)
+def test_rollforward_split_property(spark, rows, width, split, tmp_path_factory):
+    """Any split of the batch range into two sequential rollforward runs
+    equals the one-shot aggregation (BatchedStoreProperties analog)."""
+    from pyspark.sql import functions as F
+
+    data = [(BASE + dt.timedelta(seconds=s), k, v) for s, k, v in rows]
+    df = spark.createDataFrame(data, "ts timestamp, key string, value long").withColumn(
+        sb.TIME_COL, F.col("ts")
+    )
+    batcher = sb.of_millis(width)
+    b_lo = min(batcher.batch_of(t) for t, _, _ in data)
+    b_hi = max(batcher.batch_of(t) for t, _, _ in data)
+    b_mid = min(b_lo + split, b_hi)
+
+    d = tmp_path_factory.mktemp("prop")
+    store = sb.VersionedBatchStore(str(d / "s"), ["key"], "sum_long")
+    sb.rollforward(spark, store, df, batcher, b_mid)
+    snap = sb.rollforward(spark, store, df, batcher, b_hi)
+    got = {r.key: r.value for r in snap.collect()}
+
+    want = defaultdict(int)
+    for _, k, v in data:
+        want[k] += v
+    assert got == dict(want)
+
+
+def test_month_batcher_calendar_semantics(spark):
+    """Months are variable-width: Jan 31 and Feb 1 land in different
+    batches; batch bounds are calendar month starts."""
+    b = sb.batcher.of_months()
+    rows = [
+        (dt.datetime(2024, 1, 31, 23, 59), "k", 1),
+        (dt.datetime(2024, 2, 1, 0, 0), "k", 10),
+        (dt.datetime(2024, 2, 29, 12, 0), "k", 100),  # leap february
+        (dt.datetime(2024, 3, 1, 0, 0), "k", 1000),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, key string, value long")
+    p = source(df, time_col="ts").sum_by_key("key", "value", batcher=b)
+    got = {r.batch_id: r.delta for r in to_dataframe(spark, p).collect()}
+    jan = (2024 - 1970) * 12 + 0
+    assert got == {jan: 1, jan + 1: 110, jan + 2: 1000}
+    assert b.earliest_time_of(jan + 1).replace(tzinfo=None) == dt.datetime(2024, 2, 1)
+
+
+def test_batched_sink_replay(spark, tmp_path):
+    """BatchedSink: second write skips already-written batches
+    (BatchedSink.scala:26-60)."""
+    from pyspark.sql import functions as F
+
+    batcher = sb.of_days(1)
+    sink = sb.sinks.sinks.BatchedParquetSink(str(tmp_path / "bs"), batcher, time_col="ts")
+    d1 = [(BASE + dt.timedelta(hours=h), h) for h in range(24)]
+    df1 = spark.createDataFrame(d1, "ts timestamp, v long")
+    sink.write(df1)
+    assert len(sink.written_batches()) == 1
+    first_files = sorted((tmp_path / "bs").rglob("*.parquet"))
+
+    # second run covers day 1 (already written — must be skipped) + day 2
+    d2 = d1 + [(BASE + dt.timedelta(days=1, hours=h), 100 + h) for h in range(24)]
+    sink.write(spark.createDataFrame(d2, "ts timestamp, v long"))
+    assert len(sink.written_batches()) == 2
+    # day-1 files untouched (no rewrite)
+    assert sorted(f for f in first_files if "batch_id" in str(f)) == sorted(
+        f for f in (tmp_path / "bs").rglob("*.parquet") if f"batch_id={batcher.batch_of(BASE)}" in str(f)
+    )
+    assert sink.read(spark).count() == 48
