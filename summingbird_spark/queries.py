@@ -1336,3 +1336,26 @@ def q_sum_by_key_monthly(spark: SparkSession, sf: str) -> DataFrame:
         "user_id", F.lit(1), semigroup="sum_long", batcher=of_months()
     )
     return to_dataframe(spark, p).select("user_id", "batch_id", "prev", "delta")
+
+
+# general (state-dependent transform) loop join: no SQL oracle exists for
+# the self-referential scanLeft — rows-only check; semantics are covered by
+# tests/test_operators.py::test_loop_join_general_scanleft
+@query("loop_join_compound")
+def q_loop_join_compound(spark: SparkSession, sf: str) -> DataFrame:
+    """Compound-interest-style loop join: each event's stored value grows
+    by a function of the state it observed (Service.scala:196-269 loopJoin,
+    the non-linear case)."""
+    from .operators.loopjoin import loop_join
+
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts", "value")
+    out = loop_join(
+        ev,
+        "user_id",
+        ["ts", "event_id"],
+        "value",
+        out_col="observed",
+        semigroup="sum",
+        transform=lambda v, state: v * (1.0 + 0.01 * ((state or 0.0) > 100.0)),
+    )
+    return out.select("event_id", "user_id", F.round("observed", 2).alias("observed"))
