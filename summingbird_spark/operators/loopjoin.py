@@ -75,16 +75,30 @@ def loop_join(
             out = out.cast("long")
         return df.withColumn(out_col, out)
 
-    def scan(pdf):
-        pdf = pdf.sort_values(order_cols, kind="stable").reset_index(drop=True)
-        state = None
-        joined = []
-        for v in pdf[value_col]:
-            joined.append(state)
-            upd = transform(v, state) if transform is not None else v
-            if upd is not None:
-                state = upd if state is None else sg.py_merge(state, upd)
-        pdf[out_col] = joined
-        return pdf[in_cols + [out_col]]
+    # General case: one shuffle on the key, keys sorted contiguously within
+    # each partition, ONE Arrow scan per partition (mapInPandas) instead of
+    # one per key — per-key applyInPandas pays group-invocation overhead
+    # linear in |keys|, which dominates for many small keys. A key may span
+    # consecutive Arrow chunks of its partition; the running (key, state)
+    # carries across chunks.
+    parts = df.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(
+        *keys, *order_cols
+    )
 
-    return df.groupBy(*keys).applyInPandas(scan, schema)
+    def scan_partition(chunks):
+        cur_key, state = None, None
+        for pdf in chunks:
+            joined = []
+            key_iter = zip(*[pdf[k] for k in keys])
+            for kt, v in zip(key_iter, pdf[value_col]):
+                if kt != cur_key:
+                    cur_key, state = kt, None
+                joined.append(state)
+                upd = transform(v, state) if transform is not None else v
+                if upd is not None:
+                    state = upd if state is None else sg.py_merge(state, upd)
+            pdf = pdf.copy()
+            pdf[out_col] = joined
+            yield pdf[in_cols + [out_col]]
+
+    return parts.mapInPandas(scan_partition, schema)

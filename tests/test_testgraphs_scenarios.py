@@ -28,10 +28,6 @@ def events(spark):
     return spark.createDataFrame(ROWS, "ts timestamp, n long, text string")
 
 
-def store_of(spark, producer):
-    return {tuple(r)[1:-1] if False else r: r for r in []}  # unused helper guard
-
-
 def snapshot_dict(spark, summer, key):
     df = to_dataframe(spark, summer.snapshot())
     return {r[key]: r["value"] for r in df.collect()}
