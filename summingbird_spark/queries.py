@@ -1359,3 +1359,46 @@ def q_loop_join_compound(spark: SparkSession, sf: str) -> DataFrame:
         transform=lambda v, state: v * (1.0 + 0.01 * ((state or 0.0) > 100.0)),
     )
     return out.select("event_id", "user_id", F.round("observed", 2).alias("observed"))
+
+
+@query(
+    "global_topn",
+    """
+    SELECT event_id, user_id, value
+    FROM events
+    ORDER BY value DESC, event_id
+    LIMIT 100
+    """,
+)
+def q_global_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """Global ORDER BY + LIMIT — compiles to TakeOrderedAndProject (per-
+    partition top-N then driver-side merge of N×partitions rows; never a
+    full global sort)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.select("event_id", "user_id", "value")
+        .orderBy(F.col("value").desc(), F.col("event_id"))
+        .limit(100)
+    )
+
+
+@query(
+    "intersect_users",
+    """
+    SELECT user_id, day FROM (
+      SELECT DISTINCT user_id, CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day
+      FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT DISTINCT user_id, CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day
+      FROM events WHERE event_type = 'click'
+    )
+    """,
+)
+def q_intersect_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Set intersection ((user, day) with both purchase and click)."""
+    ev = load_table(spark, sf, "events").withColumn(
+        "day", F.floor(F.unix_millis("ts") / F.lit(86400000)).cast("long")
+    )
+    a = ev.where("event_type = 'purchase'").select("user_id", "day").distinct()
+    b = ev.where("event_type = 'click'").select("user_id", "day").distinct()
+    return a.intersect(b)
