@@ -124,3 +124,55 @@ def test_batched_sink_replay(spark, tmp_path):
         f for f in (tmp_path / "bs").rglob("*.parquet") if f"batch_id={batcher.batch_of(BASE)}" in str(f)
     )
     assert sink.read(spark).count() == 48
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lefts=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=30),
+    rights=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=99)),
+        ),
+        min_size=0,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_asof_join_replay_property(spark, lefts, rights):
+    """As-of join vs a changelog-replay dict oracle: for each left event,
+    the value is the latest right observation at or before it (None values
+    are deletions — BatchedService changelog contract)."""
+    from summingbird_spark.operators.asof import as_of_join
+
+    ldf = spark.createDataFrame(
+        [(BASE + dt.timedelta(seconds=s), "k", i) for i, s in enumerate(lefts)],
+        "t timestamp, key string, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(BASE + dt.timedelta(seconds=s), "k", v) for s, v in rights],
+        "t timestamp, key string, val long",
+    )
+    out = as_of_join(ldf, rdf, "key", "t", "t", ["val"])
+    got = {r.lid: r.val for r in out.collect()}
+
+    chg = sorted(rights)
+    want = {}
+    for i, s in enumerate(lefts):
+        vis = [v for rs, v in chg if rs <= s]
+        want[i] = vis[-1] if vis else None
+    assert got == want
+
+
+def test_streaming_summer_plan_shape(spark, tmp_path):
+    """Planner-shape invariant (TopologyTests analog): the streaming summer
+    plan contains exactly one stateful FlatMapGroupsInPandasWithState node
+    and one key exchange feeding it."""
+    from summingbird_spark.streaming.planner import StreamPlanner, stream_source
+
+    src = stream_source(str(tmp_path), "ts timestamp, key string, value long", time_col="ts")
+    plan = StreamPlanner(spark).plan(
+        src.sum_by_key("key", "value", semigroup="sum_long")
+    )
+    logical = plan.dataframe._jdf.queryExecution().logical().toString()
+    assert logical.count("FlatMapGroupsInPandasWithState") == 1
