@@ -111,6 +111,14 @@ class StreamPlanner(BatchPlanner):
         return StreamPlan(df, self._writes)
 
     def _compile(self, node: g.Producer) -> DataFrame:
+        if isinstance(node, g.Observed):
+            # streaming counters: named observed metrics, surfaced per
+            # micro-batch in StreamingQueryProgress.observedMetrics
+            # (read them with streaming.planner.observed_metrics)
+            df = self.compile(node.parents[0])
+            return df.observe(
+                node.obs_name, *[c.alias(k) for k, c in node.metrics.items()]
+            )
         if isinstance(node, g.Written):
             # streaming WrittenProducer: pass-through + a foreachBatch
             # effect started by StreamPlan.start_writes (StormSink analog)
@@ -149,3 +157,19 @@ class StreamPlanner(BatchPlanner):
             node.value.alias(va),
         )
         return stateful_summer(base, node.keys, va, sg)
+
+
+def observed_metrics(query) -> dict:
+    """Accumulated observed metrics across a query's progress events:
+    {observation_name: [per-trigger row dicts]} — the streaming face of
+    Producer.observe (batch reads BatchPlan.observations instead)."""
+    out: dict = {}
+    for p in query.recentProgress:
+        om = p.get("observedMetrics") if isinstance(p, dict) else p.observedMetrics
+        if not om:
+            continue
+        for name, row in om.items():
+            out.setdefault(name, []).append(
+                row.asDict() if hasattr(row, "asDict") else dict(row)
+            )
+    return out

@@ -133,3 +133,36 @@ def test_streaming_written_sink(spark, tmp_path):
         q.awaitTermination(120)
     got = spark.read.parquet(str(d / "sink_out"))
     assert got.count() == 20  # 60 rows / 3
+
+
+def test_streaming_observe_counters(spark, tmp_path):
+    """Producer.observe through the streaming planner: per-trigger counts
+    arrive via StreamingQueryProgress.observedMetrics."""
+    import glob, shutil
+
+    from summingbird_spark.streaming.planner import (
+        StreamPlanner,
+        observed_metrics,
+        stream_source,
+    )
+
+    (tmp_path / "src").mkdir()
+    for i, chunk in enumerate([ROWS[:30], ROWS[30:]]):
+        spark.createDataFrame(chunk, "ts timestamp, key string, value long, user string") \
+            .coalesce(1).write.parquet(str(tmp_path / f"w{i}"))
+        for f in glob.glob(str(tmp_path / f"w{i}" / "*.parquet")):
+            shutil.move(f, str(tmp_path / "src" / f"c{i}.parquet"))
+        shutil.rmtree(str(tmp_path / f"w{i}"))
+
+    src = stream_source(
+        str(tmp_path / "src"),
+        "ts timestamp, key string, value long, user string",
+        time_col="ts",
+        max_files_per_trigger=1,
+    )
+    p = src.observe("seen", n=F.count(F.lit(1))).filter("value % 2 = 0")
+    plan = StreamPlanner(spark).plan(p)
+    q = plan.start_to_memory(spark, "obs_out", output_mode="append")
+    q.awaitTermination(120)
+    per_trigger = observed_metrics(q)["seen"]
+    assert sorted(m["n"] for m in per_trigger) == [30, 30]
