@@ -14,15 +14,14 @@ import os
 import summingbird_spark as sb
 from summingbird_spark.sources.tables import load_table
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-OUT = os.environ.get("SUMMINGBIRD_OUT", "/tmp/summingbird_example")
-
-
 def build(spark):
+    # resolve env at call time so repeated runs honor a changed target dir
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    out = os.environ.get("SUMMINGBIRD_OUT", "/tmp/summingbird_example")
     return {
-        "deltas": load_table(spark, SF_DIR, "events"),
+        "deltas": load_table(spark, sf_dir, "events"),
         "time_col": "ts",
-        "store": sb.VersionedBatchStore(f"{OUT}/store", ["user_id"], "sum"),
+        "store": sb.VersionedBatchStore(f"{out}/store", ["user_id"], "sum"),
         "batcher": sb.of_days(1),
-        "state": f"{OUT}/state",
+        "state": f"{out}/state",
     }

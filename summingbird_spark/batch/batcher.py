@@ -26,6 +26,22 @@ from pyspark.sql import functions as F
 
 EPOCH = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
 
+_UTC_NAMES = {"UTC", "Etc/UTC", "GMT", "Z", "+00:00"}
+
+
+def ensure_utc(spark) -> None:
+    """Force ``spark.sql.session.timeZone=UTC`` for batch assignment.
+
+    ``batch_col`` mixes ``unix_millis`` (UTC instants) with naive timestamp
+    literals and calendar functions (``F.year``/``F.month``), which the
+    session timezone interprets; they only agree under UTC. The reference's
+    batchers are UTC by construction (CalendarBatcher.scala:120-124), so
+    planner/rollforward entry points call this rather than silently
+    mis-assigning batches in non-UTC sessions.
+    """
+    if spark.conf.get("spark.sql.session.timeZone") not in _UTC_NAMES:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
 
 class Batcher:
     """batchOf(t) as a Column expression + inverse earliest-time."""
@@ -45,6 +61,14 @@ class Batcher:
         lo = self.earliest_time_of(lo_batch)
         hi = self.earliest_time_of(hi_batch)
         return (t >= F.lit(lo.replace(tzinfo=None))) & (t < F.lit(hi.replace(tzinfo=None)))
+
+    def upper_bound_predicate(self, t: Column, hi_batch: int) -> Column:
+        """``batch_of(t) < hi_batch`` as an event-time predicate — the
+        unbounded-below half of ``interval_predicate`` (the reference's
+        ``toInterval`` special-cases ``Batcher.unit`` the same way,
+        Batcher.scala:133-225)."""
+        hi = self.earliest_time_of(hi_batch)
+        return t < F.lit(hi.replace(tzinfo=None))
 
 
 class MillisBatcher(Batcher):
@@ -81,6 +105,12 @@ class UnitBatcher(Batcher):
 
     def interval_predicate(self, t, lo_batch, hi_batch):
         return F.lit(lo_batch <= 0 < hi_batch)
+
+    def upper_bound_predicate(self, t, hi_batch):
+        # earliest_time_of is the epoch for every batch id, so the default
+        # time comparison would drop ALL events; batch 0 is covered iff the
+        # bound is above it.
+        return F.lit(hi_batch > 0)
 
 
 class CombinedBatcher(Batcher):
@@ -128,10 +158,28 @@ class MonthBatcher(Batcher):
         )
 
 
+class ScaledBatcher(Batcher):
+    """Group ``n`` consecutive batches of an inner batcher into one —
+    ``batch_id // n`` with floor semantics, how CalendarBatcher generalizes
+    over ``nUnits`` (CalendarBatcher.scala:21-132)."""
+
+    def __init__(self, inner: Batcher, n: int):
+        assert n >= 1
+        self.inner, self.n = inner, n
+
+    def batch_col(self, t: Column) -> Column:
+        return F.floor(self.inner.batch_col(t) / F.lit(self.n)).cast("long")
+
+    def batch_of(self, t: _dt.datetime) -> int:
+        return self.inner.batch_of(t) // self.n
+
+    def earliest_time_of(self, batch_id: int) -> _dt.datetime:
+        return self.inner.earliest_time_of(batch_id * self.n)
+
+
 def of_months(n: int = 1) -> Batcher:
-    if n != 1:
-        raise NotImplementedError("n-month batches: compose with batch_id // n")
-    return MonthBatcher()
+    """n-month calendar batches (quarters = of_months(3))."""
+    return MonthBatcher() if n == 1 else ScaledBatcher(MonthBatcher(), n)
 
 
 def of_millis(width: int) -> Batcher:

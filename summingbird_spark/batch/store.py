@@ -95,16 +95,26 @@ class VersionedBatchStore:
             shutil.rmtree(self._version_path(v), ignore_errors=True)
 
     def lookup(self, spark: SparkSession, keys: list) -> dict:
-        """Point lookups against the newest snapshot (serving helper)."""
+        """Point lookups against the newest snapshot (serving helper).
+
+        Single-column keys: scalars in, ``{key: value}`` out. Multi-column
+        keys: tuples in (same order as ``key_cols``), ``{tuple: value}``
+        out — implemented as a broadcast semi-join against a keys DataFrame
+        so the snapshot scan still prunes (reference stores key arbitrary
+        K, VersionedBatchStore.scala:39-157)."""
         snap = self.read_last(spark)
         if snap is None:
             return {}
         _, df = snap
-        kc = self.key_cols[0] if len(self.key_cols) == 1 else None
-        if kc is None:
-            raise ValueError("multi-column key lookup: pass tuples via DataFrame join")
-        rows = df.where(F.col(kc).isin(keys)).collect()
-        return {r[kc]: r["value"] for r in rows}
+        if len(self.key_cols) == 1:
+            kc = self.key_cols[0]
+            rows = df.where(F.col(kc).isin(keys)).collect()
+            return {r[kc]: r["value"] for r in rows}
+        keys_df = spark.createDataFrame(
+            [tuple(k) for k in keys], schema=df.select(*self.key_cols).schema
+        )
+        rows = df.join(F.broadcast(keys_df), self.key_cols, "left_semi").collect()
+        return {tuple(r[c] for c in self.key_cols): r["value"] for r in rows}
 
 
 class InitialBatchedStore(VersionedBatchStore):
@@ -137,10 +147,16 @@ def rollforward(
 
     Returns the new total snapshot DataFrame (through ``through_batch``).
     With ``write_each_batch`` every covered batch gets its own snapshot
-    version (BatchedStore.writeFlow, BatchedStore.scala:51-57); default
-    writes only the final version (cheaper at scale; intermediate batches
-    remain reconstructible from the delta log).
+    version in ONE pass — a cumulative window over (key, batch_id) plus a
+    single ``partitionBy("batch_id")`` write, the reference's
+    one-reducer-pass ``groupedSum``/``partials`` (BatchedStore.scala:157-244)
+    — not O(batches) jobs. Default writes only the final version (cheaper
+    at scale; intermediate batches remain reconstructible from the delta
+    log).
     """
+    from .batcher import ensure_utc
+
+    ensure_utc(spark)
     sg = store.semigroup
     last = store.read_last(spark, through=through_batch)
     if last is not None and last[0] == through_batch:
@@ -158,8 +174,10 @@ def rollforward(
             batcher.interval_predicate(F.col(TIME_COL), lo_batch, through_batch + 1)
         )
     else:
-        hi = batcher.earliest_time_of(through_batch + 1)
-        ev = ev.where(F.col(TIME_COL) < F.lit(hi.replace(tzinfo=None)))
+        # first run: only an upper bound. upper_bound_predicate (not a raw
+        # earliest_time_of comparison) so UnitBatcher — whose earliest time
+        # is the epoch for every batch — keeps its events.
+        ev = ev.where(batcher.upper_bound_predicate(F.col(TIME_COL), through_batch + 1))
 
     keyed = ev.select(
         *store.key_cols,
@@ -189,22 +207,75 @@ def rollforward(
 
     prev_df = last[1] if last else None
     if write_each_batch:
-        batches = sorted(
+        from pyspark.sql.window import Window
+
+        batch_ids = sorted(
             r["batch_id"] for r in keyed.select("batch_id").distinct().collect()
         )
-        snap = prev_df
-        for b in batches:
-            delta_b = agg_over(keyed.where(F.col("batch_id") == b), store.key_cols)
-            snap = merge_with_prev(snap, delta_b)
-            store.write_snapshot(snap, b, prune=prune)
-            snap = store.read_snapshot(spark, b)  # re-read: cut lineage growth
-        if not batches or max(batches) < through_batch:
+        if not batch_ids and prev_df is None:
+            store.write_snapshot(_empty_like(spark, keyed, store), through_batch)
+            return store.read_snapshot(spark, through_batch)
+        if through_batch not in batch_ids:
             # empty trailing batches still advance the store's upper bound
-            store.write_snapshot(
-                snap if snap is not None else _empty_like(spark, keyed, store),
-                through_batch,
-                prune=prune,
+            batch_ids.append(through_batch)
+
+        # One pass: (all keys × covered batches) grid, left-join each
+        # batch's aggregated delta, cumulative semigroup fold down the
+        # batch axis per key, then a single dynamic-partition write —
+        # every snapshot is total store contents through its batch.
+        bdf = F.broadcast(
+            spark.createDataFrame([(int(b),) for b in batch_ids], "batch_id long")
+        )
+        deltas_b = agg_over(keyed, [*store.key_cols, "batch_id"])
+        all_keys = deltas_b.select(*store.key_cols)
+        if prev_df is not None:
+            all_keys = all_keys.unionByName(prev_df.select(*store.key_cols))
+        g = all_keys.distinct().crossJoin(bdf).join(
+            deltas_b, [*store.key_cols, "batch_id"], "left"
+        )
+        if prev_df is not None:
+            g = g.join(
+                prev_df.withColumnRenamed("value", "__prev__"), store.key_cols, "left"
             )
+        else:
+            g = g.withColumn("__prev__", F.lit(None))
+
+        w = (
+            Window.partitionBy(*store.key_cols)
+            .orderBy("batch_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        seq = F.collect_list("value").over(w)  # this key's deltas ≤ batch, batch order
+        folded = F.aggregate(
+            F.slice(seq, 2, F.greatest(F.size(seq) - 1, F.lit(0))),
+            F.element_at(seq, 1),
+            lambda a, b: sg.merge(a, b),
+        )
+        cum = F.when(F.size(seq) == 0, F.col("__prev__")).otherwise(
+            sg.merge_null_safe(F.col("__prev__"), folded)
+        )
+        snap_all = g.select(
+            *store.key_cols, F.col("batch_id"), cum.alias("value")
+        ).where(F.col("value").isNotNull())
+        if prune is not None:
+            snap_all = snap_all.where(~prune)
+        (
+            snap_all.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store.path)
+        )
+        for b in batch_ids:
+            p = store._version_path(b)
+            if os.path.isdir(p):
+                # per-version validity marker (the root _SUCCESS covers the
+                # whole job; versions() requires one per batch dir)
+                open(os.path.join(p, "_SUCCESS"), "a").close()
+            else:
+                # all rows of this batch pruned/absent: an explicit empty
+                # version still marks the bound as covered
+                _empty_like(spark, keyed, store).write.mode("overwrite").parquet(p)
+        store._vacuum()
         return store.read_snapshot(spark, store.last_batch())
     else:
         delta_total = agg_over(keyed, store.key_cols)

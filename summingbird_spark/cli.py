@@ -75,7 +75,16 @@ def main(argv=None) -> int:
 
         if args.through_time:
             t = dt.datetime.fromisoformat(args.through_time)
-            through = batcher.batch_of(t)
+            # exclusive upper bound: only fully elapsed batches commit.
+            # batch_of(t) is the batch CONTAINING t — committing it
+            # mid-batch would freeze a partial batch that rollforward
+            # never recomputes (it only plans batches past the bound).
+            through = batcher.batch_of(t) - 1
+            if through < 0:
+                raise SystemExit(
+                    f"--through-time {args.through_time}: no batch has fully "
+                    "elapsed before this instant"
+                )
         else:
             last = state.committed_through()
             if last is None:

@@ -6,7 +6,7 @@ Four families, all shuffle-frugal:
   byte digest, never the document; keep-policy = min(id).
 * **MinHash + LSH** — per-row signatures (pure Column expressions, no
   explode), banded into LSH buckets; candidate pairs come from a self-join
-  on (band, band_hash) — the only shuffle is on tiny bucket keys, and真
+  on (band, band_hash) — the only shuffle is on tiny bucket keys, and
   similar pairs collide with prob 1-(1-s^r)^b.
 * **SimHash** — 60-bit near-dup fingerprint; Hamming-ball candidates via
   banded sub-fingerprints.

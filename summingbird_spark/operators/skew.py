@@ -32,17 +32,23 @@ def salted_agg(
     semigroup,
     buckets: int = 64,
     out_col: str = "value",
+    salt_col: str | None = None,
 ) -> DataFrame:
     """groupBy(keys) with per-(key, salt) partials then a bounded merge.
 
-    Salt derives from the value (deterministic, uniform); the semigroup
-    must be commutative (partials merge in arbitrary order).
+    Salt is per-row uniform (``salt_col``'s hash if given, else row
+    position — never the value itself, which re-concentrates repeated hot
+    values into one bucket); the semigroup must be commutative (partials
+    merge in arbitrary order, and bucket assignment may vary across
+    retries).
     """
+    from .topk import _row_salt
+
     keys = [keys] if isinstance(keys, str) else list(keys)
     sg = sg_mod.get(semigroup)
     if not sg.commutative:
         raise ValueError("salted_agg needs a commutative semigroup")
-    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(buckets))
+    salt = _row_salt(buckets, salt_col)
     partial = (
         df.withColumn("__salt__", salt)
         .groupBy(*keys, "__salt__")

@@ -28,6 +28,19 @@ def _trim(arr: Column, k: int, descending: bool) -> Column:
     return F.slice(s, 1, k)
 
 
+def _row_salt(salt_buckets: int, salt_col: str | None):
+    """Per-ROW uniform salt. Hashing the value itself would send every
+    duplicate of a hot value to one bucket — rebuilding exactly the
+    unbounded single-group buffer salting exists to prevent (counts and
+    scores repeat heavily). ``monotonically_increasing_id`` is
+    partition_id<<33 | row_number, so mod a power-of-two bucket count it
+    cycles uniformly within every partition; top-k/commutative merges are
+    grouping-invariant, so nondeterministic assignment is safe."""
+    if salt_col is not None:
+        return F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_buckets))
+    return F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+
+
 def topk_by_key(
     df: DataFrame,
     keys: Sequence[str] | str,
@@ -35,15 +48,15 @@ def topk_by_key(
     k: int,
     descending: bool = True,
     salt_buckets: int = 64,
+    salt_col: str | None = None,
 ) -> DataFrame:
     """One row per key with ``topk`` = the k largest (or smallest) values.
 
-    Salt is derived from the value itself (deterministic, no RNG state),
-    spreading each key's values uniformly over ``salt_buckets`` partial
-    groups.
+    Pass ``salt_col`` naming a unique-ish id column for a deterministic
+    salt; default derives from row position (uniform, not value-skewed).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
-    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(salt_buckets))
+    salt = _row_salt(salt_buckets, salt_col)
     partial = (
         df.withColumn("__salt__", salt)
         .groupBy(*keys, "__salt__")
@@ -61,11 +74,12 @@ def topk_rows(
     k: int,
     descending: bool = True,
     salt_buckets: int = 64,
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Exploded form: (keys..., rn 1..k, value) — rank by value only, so
     ties produce a deterministic multiset (equal values, arbitrary order)."""
     keys = [keys] if isinstance(keys, str) else list(keys)
-    arr = topk_by_key(df, keys, value_col, k, descending, salt_buckets)
+    arr = topk_by_key(df, keys, value_col, k, descending, salt_buckets, salt_col)
     return arr.select(
         *keys, F.posexplode("topk").alias("pos", value_col)
     ).select(*keys, (F.col("pos") + 1).cast("long").alias("rn"), value_col)

@@ -61,7 +61,17 @@ class BatchedParquetSink:
                 out.append(int(m.group(1)))
         return sorted(out)
 
-    def write(self, df: DataFrame) -> None:
+    def write(self, df: DataFrame, covered_through: int | None = None) -> None:
+        """Materialize per-batch dirs for batches not yet written.
+
+        ``covered_through`` (inclusive, e.g. the CheckpointState bound) is
+        the last batch the input FULLY covers; batches above it are left
+        unwritten. Without it every batch present in ``df`` is written —
+        callers must then guarantee the input never covers a batch
+        partially, because written batches are frozen (replayed, never
+        recomputed — reference BatchedSink.scala:26-60 only writes fully
+        covered batches).
+        """
         from pyspark.sql import functions as F
 
         done = set(self.written_batches())
@@ -69,7 +79,10 @@ class BatchedParquetSink:
             "batch_id", self.batcher.batch_col(F.col(self.time_col).cast("timestamp"))
         )
         batches = [r["batch_id"] for r in withb.select("batch_id").distinct().collect()]
-        for b in sorted(set(batches) - done):
+        todo = set(batches) - done
+        if covered_through is not None:
+            todo = {b for b in todo if b <= covered_through}
+        for b in sorted(todo):
             withb.where(F.col("batch_id") == b).drop("batch_id").write.mode(
                 "overwrite"
             ).parquet(f"{self.path}/batch_id={b}")

@@ -202,3 +202,77 @@ def test_stream_stream_left_join(spark, tmp_path):
     got = {(r.lv): r.rv for r in rows}
     # each left event i pairs with right event i (30 min earlier, same key)
     assert got == {0: 100, 1: 101, 2: 102, 3: 103}
+
+
+# ---- round-2 ADVICE regressions -------------------------------------------
+
+
+def test_batched_sink_covered_through(spark, events_df, tmp_path):
+    """A batch the input only partially covers must stay unwritten until a
+    later run fully covers it (BatchedSink.scala:26-60) — otherwise the
+    partial content is frozen forever by the replay-skip."""
+    from summingbird_spark.sinks.sinks import BatchedParquetSink
+
+    batcher = sb.of_days(1)
+    b0 = batcher.batch_of(ts(0))
+    sink = BatchedParquetSink(str(tmp_path / "sink"), batcher, time_col="ts")
+
+    # run 1: input reaches 12h into day 2 — only days 0-1 are fully covered
+    sink.write(events_df.where(F.col("value") < 60), covered_through=b0 + 1)
+    assert sink.written_batches() == [b0, b0 + 1]
+
+    # run 2: full input; day 2-3 now written, days 0-1 replayed not rewritten
+    sink.write(events_df, covered_through=b0 + 3)
+    assert sink.written_batches() == [b0 + i for i in range(4)]
+    n = sink.read(spark).count()
+    assert n == 96  # nothing lost, nothing duplicated
+
+
+def test_of_months_quarterly_batcher(spark):
+    q = sb.batcher.of_months(3)
+    assert q.batch_of(dt.datetime(1970, 1, 15)) == 0
+    assert q.batch_of(dt.datetime(1970, 3, 31)) == 0
+    assert q.batch_of(dt.datetime(1970, 4, 1)) == 0 + 1
+    assert q.batch_of(dt.datetime(2024, 2, 2)) == ((2024 - 1970) * 12 + 1) // 3
+    assert q.earliest_time_of(1) == dt.datetime(1970, 4, 1, tzinfo=dt.timezone.utc)
+    # column expression agrees with the python-side assignment
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 2, 2),), (dt.datetime(1970, 3, 31),)], "t timestamp"
+    )
+    got = [r.b for r in df.select(q.batch_col(F.col("t")).alias("b")).collect()]
+    assert got == [q.batch_of(dt.datetime(2024, 2, 2)), 0]
+
+
+def test_cli_through_time_is_exclusive(spark, tmp_path, capsys, monkeypatch):
+    """--through-time must not commit the batch containing t: a mid-batch
+    run would freeze a partial batch (ADVICE r1)."""
+    import json
+
+    from summingbird_spark.cli import main
+
+    monkeypatch.setenv("SUMMINGBIRD_OUT", str(tmp_path))
+    rc = main([
+        "--job", "examples.events_daily_totals:build",
+        "--through-time", "2024-01-05T12:00:00",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # Jan 5 noon is mid-batch for a daily batcher: commit stops at Jan 4's batch
+    assert out["committed_through"] == sb.of_days(1).batch_of(dt.datetime(2024, 1, 5)) - 1
+
+
+def test_rollforward_forces_utc_session(spark, events_df, tmp_path):
+    """Batch assignment mixes unix_millis (UTC) with session-tz calendar
+    functions; rollforward must force UTC rather than mis-assign batches."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        batcher = sb.of_days(1)
+        store = sb.VersionedBatchStore(str(tmp_path / "s"), ["key"], "sum")
+        ev = events_df.withColumn(TIME_COL, F.col("ts"))
+        sb.rollforward(spark, store, ev, batcher, batcher.batch_of(ts(0)) + 3)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        got = sum(r.value for r in store.read_last(spark)[1].collect())
+        assert got == sum(range(96))  # hours 0..95 all inside days 0-3
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

@@ -68,6 +68,84 @@ def test_rollforward_only_reads_new_batches(spark, events_df, tmp_path):
     assert store.versions() == [b0 + 3, b0 + 8]
 
 
+def test_unit_batcher_first_run_keeps_events(spark, events_df, tmp_path):
+    """UnitBatcher's earliest_time_of is the epoch for every batch id; the
+    first-run upper-bound filter must not drop all events (ADVICE r1)."""
+    store = VersionedBatchStore(str(tmp_path / "s"), ["key"], "sum")
+    snap = rollforward(spark, store, events_df, sb.batcher.UNIT, 0)
+    got = {r.key: r.value for r in snap.collect()}
+    assert got == oracle_through(240)
+
+
+def test_write_each_batch_snapshots_are_cumulative(spark, events_df, tmp_path):
+    """Every per-batch snapshot is the TOTAL store through that batch
+    (BatchedStore.scala:157-244 partials), produced in one pass — the job
+    count must not grow O(batches)."""
+    sc = spark.sparkContext
+
+    def jobs_for(group, batcher, path, n_batches):
+        store = VersionedBatchStore(path, ["key"], "sum")
+        b0 = batcher.batch_of(ts(0))
+        sc.setJobGroup(group, "write_each_batch one-pass check")
+        try:
+            rollforward(
+                spark, store, events_df, batcher, b0 + n_batches - 1,
+                write_each_batch=True,
+            )
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return store, b0, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    # AQE materializes each query stage as a job, so the absolute count is
+    # plan-shaped; what must NOT happen is growth with the batch count
+    # (the old driver loop ran ≥2 jobs per batch).
+    store5, b0, jobs5 = jobs_for("web5", sb.of_days(2), str(tmp_path / "s5"), 5)
+    _, _, jobs20 = jobs_for("web20", sb.of_hours(12), str(tmp_path / "s20"), 20)
+    assert jobs20 <= jobs5 + 2, (
+        f"jobs grew with batch count: {jobs5} @5 batches vs {jobs20} @20"
+    )
+
+    assert store5.versions() == [b0 + i for i in range(5)]
+    batcher = sb.of_days(2)
+    for i in range(5):
+        got = {
+            r.key: r.value
+            for r in store5.read_snapshot(spark, b0 + i).collect()
+        }
+        # 2-day batches are epoch-aligned, not Jan-1-aligned: covered hours
+        # run to the batch's exclusive upper boundary
+        hi = batcher.earliest_time_of(b0 + i + 1).replace(tzinfo=None)
+        hours = int((hi - ts(0)).total_seconds() // 3600)
+        assert got == oracle_through(max(hours, 0)), f"batch {i} snapshot wrong"
+
+
+def test_write_each_batch_noncommutative(spark, tmp_path):
+    """Cumulative one-pass fold respects time order for non-commutative
+    semigroups (BatchedStore.scala:199-203 sorted reduce)."""
+    rows = [(ts(i), "k", chr(ord("a") + i)) for i in range(8)]
+    df = (
+        spark.createDataFrame(rows, "ts timestamp, key string, value string")
+        .withColumn(TIME_COL, F.col("ts"))
+    )
+    batcher = sb.of_hours(2)
+    b0 = batcher.batch_of(ts(0))
+    store = VersionedBatchStore(str(tmp_path / "s"), ["key"], "concat")
+    rollforward(spark, store, df, batcher, b0 + 3, write_each_batch=True)
+    for i in range(4):
+        got = store.read_snapshot(spark, b0 + i).collect()[0].value
+        assert got == "abcdefgh"[: (i + 1) * 2], f"batch {i}"
+
+
+def test_multi_key_lookup(spark, tmp_path):
+    store = VersionedBatchStore(str(tmp_path / "s"), ["k1", "k2"], "sum")
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 1, 30)], "k1 string, k2 long, value long"
+    )
+    store.write_snapshot(df, 0)
+    got = store.lookup(spark, [("a", 2), ("b", 1), ("zz", 9)])
+    assert got == {("a", 2): 20, ("b", 1): 30}
+
+
 def test_write_each_batch_and_retention(spark, events_df, tmp_path):
     batcher = sb.of_days(2)
     store = VersionedBatchStore(str(tmp_path / "s"), ["key"], "sum", versions_to_keep=3)
