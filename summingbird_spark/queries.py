@@ -1283,10 +1283,14 @@ def q_trending_decayed_topk(spark: SparkSession, sf: str) -> DataFrame:
         ev.groupBy("user_id")
         .agg(F.round(F.sum(sg.scaled(F.col("value"), F.col("ts"))), 6).alias("decayed"))
     )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition top-N,
+    # driver merge) — a row_number window over the UNLIMITED frame would
+    # drag the whole aggregate onto one task. Ranking the 10 survivors is
+    # bounded by the limit, not the data.
+    top = d.orderBy(F.col("decayed").desc(), F.col("user_id")).limit(10)
     w = Window.orderBy(F.col("decayed").desc(), F.col("user_id"))
     return (
-        d.withColumn("rn", F.row_number().over(w).cast("long"))
-        .where(F.col("rn") <= 10)
+        top.withColumn("rn", F.row_number().over(w).cast("long"))
         .select("rn", "user_id", "decayed")
     )
 
@@ -1336,6 +1340,38 @@ def q_sum_by_key_monthly(spark: SparkSession, sf: str) -> DataFrame:
         "user_id", F.lit(1), semigroup="sum_long", batcher=of_months()
     )
     return to_dataframe(spark, p).select("user_id", "batch_id", "prev", "delta")
+
+
+@query(
+    "sum_by_key_quarterly",
+    """
+    WITH per AS (
+      SELECT user_id,
+             CAST(((year(ts) - 1970) * 12 + month(ts) - 1) // 3 AS BIGINT) AS batch_id,
+             sum(value) AS rawdelta
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, batch_id,
+           round(sum(rawdelta) OVER (PARTITION BY user_id ORDER BY batch_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 2) AS prev,
+           round(rawdelta, 2) AS delta
+    FROM per
+    """,
+)
+def q_sum_by_key_quarterly(spark: SparkSession, sf: str) -> DataFrame:
+    """n-month calendar batches (ScaledBatcher over MonthBatcher, the
+    general CalendarBatcher.scala:21-132 nUnits case) through the summer."""
+    from .batch.batcher import of_months
+
+    p = _events(sf).sum_by_key(
+        "user_id", "value", semigroup="sum", batcher=of_months(3)
+    )
+    return to_dataframe(spark, p).select(
+        "user_id",
+        "batch_id",
+        F.round("prev", 2).alias("prev"),
+        F.round("delta", 2).alias("delta"),
+    )
 
 
 # general (state-dependent transform) loop join: no SQL oracle exists for

@@ -81,3 +81,21 @@ def test_minhash_shuffles_on_digest_not_document(spark):
 def test_explode_aggregations_keep_partial_agg(spark, name):
     plan = plan_of(spark, name)
     assert plan.count("HashAggregate") >= 2  # map-side combine survived explode
+
+
+def test_trending_topk_takeordered_not_global_window(spark):
+    """Global ranking must compile to TakeOrderedAndProject (bounded
+    per-partition top-N + driver merge); a row_number window without a
+    partition spec moves the whole frame to ONE task (VERDICT r1)."""
+    plan = plan_of(spark, "trending_decayed_topk")
+    assert "TakeOrderedAndProject" in plan
+    # any Window that remains operates on the ≤10 limit survivors: it must
+    # sit above the TakeOrdered, never directly over the aggregate
+    if "Window" in plan:
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_global_topn_takeordered(spark):
+    plan = plan_of(spark, "global_topn")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
