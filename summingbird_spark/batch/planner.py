@@ -232,6 +232,11 @@ class BatchPlanner:
             return service
         if isinstance(service, g.Producer):
             return self.compile(service)
+        if isinstance(getattr(service, "_loader", None), g.Producer):
+            # a Service wrapping a Producer DAG (e.g. a stream_source
+            # changelog): compile it with THIS planner so batch/stream each
+            # get their own execution of the same logical service
+            return self.compile(service._loader)
         if hasattr(service, "dataframe"):
             return service.dataframe(self.spark)
         if callable(service):
@@ -242,7 +247,45 @@ class BatchPlanner:
         """Key-equi left join vs a dimension snapshot
         (scalding/service/SimpleService.scala:34-41,
         UniqueKeyedService.doJoin:40-55). Small dims broadcast —
-        the storehaus-lookup analog without per-event IO."""
+        the storehaus-lookup analog without per-event IO.
+
+        Temporal/buffer services route to their own physical joins:
+        TemporalService → as_of_join (BatchedService/StoreService
+        semantics); BufferService → time-range theta join (the batch
+        replay of the online Buffer, Producer.scala:396-399)."""
+        from ..core.service import BufferService, TemporalService
+
+        if isinstance(node.service, TemporalService):
+            svc = node.service
+            left = self.compile(node.parents[0])
+            right = self._resolve_service(svc)
+            from ..operators.asof import as_of_join
+
+            return as_of_join(
+                left,
+                right.drop(TIME_COL) if TIME_COL in right.columns
+                and svc.time_col != TIME_COL else right,
+                node.on,
+                TIME_COL,
+                svc.time_col,
+                value_cols=svc.value_cols,
+                mode=svc.mode,
+                semigroup=svc.semigroup,
+                max_age=None if svc.max_age_seconds is None
+                else F.lit(float(svc.max_age_seconds)),
+            )
+        if isinstance(node.service, BufferService):
+            svc = node.service
+            left = self.compile(node.parents[0])
+            right = self._resolve_service(svc)
+            if TIME_COL in right.columns and svc.time_col != TIME_COL:
+                right = right.drop(TIME_COL)
+            from ..streaming.joins import stream_stream_left_join
+
+            return stream_stream_left_join(
+                left, right, node.on, TIME_COL, svc.time_col,
+                window=svc.window, watermark=None,
+            )
         left = self.compile(node.parents[0])
         right = self._resolve_service(node.service)
         if TIME_COL in right.columns:

@@ -47,3 +47,62 @@ class EmptyService(Service):
             return spark.createDataFrame([], schema)
 
         super().__init__(load)
+
+
+class TemporalService(Service):
+    """A changelog-backed temporal service: ``left_join`` against it sees
+    the right value AS OF each left event's time, not a static snapshot.
+
+    ``mode='latest'`` is the BatchedService snapshot+changelog lookup
+    (scalding/batch/BatchedService.scala:37-99; NULL value rows are
+    deletions); ``mode='sum'`` is the StoreService running-total join
+    (ScaldingPlatform.scala:402-428 LookupJoin.rightSumming). The batch
+    planner compiles this to ``operators.asof.as_of_join`` (one-shuffle
+    union+window); the streaming planner to a per-key stateful lookup
+    (``streaming.temporal``) — the reference's online service join
+    (online/FlatMapOperation.scala:101-137, OnlinePlan.scala:86-92).
+
+    ``loader`` may be a DataFrame, parquet path, ``spark -> DataFrame``
+    callable, or a Producer (use a ``stream_source`` Producer to make the
+    changelog itself a stream). ``max_age_seconds`` is the
+    BatchedWindowService visibility bound (latest mode only).
+    """
+
+    def __init__(
+        self,
+        loader,
+        time_col: str,
+        mode: str = "latest",
+        semigroup="sum",
+        value_cols: Optional[Sequence[str]] = None,
+        max_age_seconds: Optional[float] = None,
+    ):
+        if mode not in ("latest", "sum"):
+            raise ValueError(f"TemporalService mode {mode!r}: 'latest' or 'sum'")
+        if mode == "sum" and max_age_seconds is not None:
+            raise NotImplementedError(
+                "windowed running-sum service: pre-aggregate windows + mode='latest'"
+            )
+        super().__init__(loader, broadcast=False)
+        self.time_col = time_col
+        self.mode = mode
+        self.semigroup = semigroup
+        self.value_cols = list(value_cols) if value_cols else None
+        self.max_age_seconds = max_age_seconds
+
+
+class BufferService(Service):
+    """A stream-stream buffer (Producer.scala:396-399: ``Buffer[K, V] =
+    Service + Sink`` — one stream writes, the other looks up recent
+    writes). ``left_join`` against it matches right events of the same key
+    within ``window`` BEFORE the left event. Streaming compiles to a
+    watermarked stream-stream join (``streaming.joins``); batch replays the
+    same semantics as a time-range theta join (backfill parity — the
+    reference has no offline Buffer impl at all)."""
+
+    def __init__(self, loader, time_col: str, window: str = "1 hour",
+                 watermark: str = "1 hour"):
+        super().__init__(loader, broadcast=False)
+        self.time_col = time_col
+        self.window = window
+        self.watermark = watermark

@@ -26,20 +26,23 @@ def stream_stream_left_join(
     left_time: str,
     right_time: str,
     window: str = "1 hour",
-    watermark: str = "1 hour",
+    watermark: str | None = "1 hour",
     how: str = "leftOuter",
 ) -> DataFrame:
     """Left stream events enriched with right-stream events of the same key
     that happened within ``window`` before them. Both sides get watermarks
     (state eviction bound); right columns keep their names, so they must
     not collide with left's (rename upstream).
+
+    ``watermark=None`` skips the watermarks — the batch-replay form of the
+    same join (plain key+time-range theta join over bounded inputs).
     """
     on = [on] if isinstance(on, str) else list(on)
     overlap = set(left.columns) & set(right.columns) - set(on)
     if overlap:
         raise ValueError(f"rename right-side columns first; colliding: {sorted(overlap)}")
-    l = left.withWatermark(left_time, watermark)
-    r = right.withWatermark(right_time, watermark)
+    l = left.withWatermark(left_time, watermark) if watermark else left
+    r = right.withWatermark(right_time, watermark) if watermark else right
     cond = None
     for k in on:
         c = l[k] == r[k]

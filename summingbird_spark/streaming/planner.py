@@ -125,6 +125,8 @@ class StreamPlanner(BatchPlanner):
             df = self.compile(node.parents[0])
             self._writes.append((node.sink, df))
             return df
+        if isinstance(node, g.LeftJoin):
+            return self._compile_left_join_streaming(node)
         if isinstance(node, g.Summer):
             return self._compile_summer_streaming(node)
         if isinstance(node, g.SummerUpdates):
@@ -140,6 +142,45 @@ class StreamPlanner(BatchPlanner):
                 "foreachBatch (run_summer_to_store), then read the store"
             )
         return super()._compile(node)
+
+    def _compile_left_join_streaming(self, node: g.LeftJoin) -> DataFrame:
+        """The online service-join family (OnlinePlan.scala:86-92 grouped
+        leftJoin; FlatMapOperation.combine multiGet):
+
+        * TemporalService → stateful as-of/running lookup
+          (``streaming.temporal``), state = latest/running right value
+          per key;
+        * BufferService → watermarked stream-stream join
+          (``streaming.joins``);
+        * plain Service → inherited stream-static broadcast join.
+        """
+        from ..core.service import BufferService, TemporalService
+
+        if isinstance(node.service, TemporalService):
+            svc = node.service
+            left = self.compile(node.parents[0])
+            right = self._resolve_service(svc)
+            from .temporal import streaming_as_of_join
+
+            return streaming_as_of_join(
+                left, right, node.on, TIME_COL, svc.time_col,
+                value_cols=svc.value_cols, mode=svc.mode,
+                semigroup=svc.semigroup,
+                max_age_seconds=svc.max_age_seconds,
+            )
+        if isinstance(node.service, BufferService):
+            svc = node.service
+            left = self.compile(node.parents[0])
+            right = self._resolve_service(svc)
+            if TIME_COL in right.columns and svc.time_col != TIME_COL:
+                right = right.drop(TIME_COL)
+            from .joins import stream_stream_left_join
+
+            return stream_stream_left_join(
+                left, right, node.on, TIME_COL, svc.time_col,
+                window=svc.window, watermark=svc.watermark,
+            )
+        return super()._compile_left_join(node)
 
     def _compile_summer_streaming(self, node: g.Summer) -> DataFrame:
         """Per-(key, batch) stateful aggregation emitting (prev, delta) per

@@ -1,0 +1,140 @@
+"""Streaming temporal (as-of) service joins — stateful per-key lookup.
+
+The online half of the reference's service-join family: the Storm platform
+does service lookups *inside the stream* (FlatMapOperation.combine multiGet,
+online/FlatMapOperation.scala:101-137; grouped leftJoin planning
+online/planner/OnlinePlan.scala:86-92). Batch-side semantics live in
+``operators.asof`` (union + ordered window); this module gives the SAME
+answers on streams: state per join key = the latest (mode='latest') or
+running-merged (mode='sum') right value, probes read it as of their time.
+
+Physical strategy: tag and union the probe stream with the changelog
+stream, group by join key, and run ``applyInPandasWithState``: within each
+trigger rows are processed in (event_time, right-before-left) order;
+across triggers the state store carries the right value forward. Late
+cross-trigger arrivals follow the reference's online contract — best
+effort, with the batch layer authoritative (SURVEY §2.5 late-data policy).
+
+Scale notes: one shuffle on the join key; state per key is O(1) (a single
+value per value column — never a buffer of right history); Arrow batches
+the Python transfer. Hot keys are single-task for their group, the same
+bound the reference's grouped leftJoin bolt has.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Iterator, Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..core import semigroup as sg_mod
+from ..core.graph import TIME_COL
+
+
+def streaming_as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    left_time: str,
+    right_time: str,
+    value_cols: Optional[Sequence[str]] = None,
+    mode: str = "latest",
+    semigroup="sum",
+    max_age_seconds: Optional[float] = None,
+) -> DataFrame:
+    """Probe stream ``left`` enriched with ``right``'s state as of each
+    probe's time. Returns all left columns plus ``value_cols`` (NULL when
+    nothing is visible yet / key deleted / outside ``max_age_seconds``).
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    if TIME_COL in right.columns and right_time != TIME_COL:
+        right = right.drop(TIME_COL)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (*on, right_time)]
+    value_cols = list(value_cols)
+    overlap = [c for c in left.columns if c in value_cols]
+    if overlap:
+        raise ValueError(f"left already has columns {overlap}")
+
+    sg = sg_mod.get(semigroup)
+    left_cols = list(left.columns)
+
+    r_tag = right.select(
+        *on,
+        F.col(right_time).cast("timestamp").alias("__at__"),
+        F.lit(0).alias("__is_left__"),
+        *[F.col(c) for c in value_cols],
+    )
+    l_tag = left.withColumn(
+        "__at__", F.col(left_time).cast("timestamp")
+    ).withColumn("__is_left__", F.lit(1))
+    u = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    out_fields = [
+        (f.name, f.dataType.simpleString())
+        for f in left.schema.fields
+    ] + [
+        (f.name, f.dataType.simpleString())
+        for f in right.schema.fields
+        if f.name in value_cols
+    ]
+    out_schema = ", ".join(f"`{n}` {t}" for n, t in out_fields)
+    is_latest = mode == "latest"
+    if not is_latest and mode != "sum":
+        raise ValueError(f"unknown as-of mode {mode!r}")
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        # state: latest → {"rt": epoch_s, "vals": tuple|None-elements}
+        #        sum    → {"run": {col: merged-or-None}}
+        st = pickle.loads(bytes(state.get[0])) if state.exists else None
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # rights sort before lefts at equal times (inclusive as-of)
+        pdf = pdf.sort_values(["__at__", "__is_left__"], kind="stable").reset_index(drop=True)
+
+        filled: dict[str, list] = {c: [] for c in value_cols}
+        left_idx: list[int] = []
+        for i in range(len(pdf)):
+            row = pdf.iloc[i]
+            if row["__is_left__"] == 0:
+                vals = tuple(
+                    None if pd.isna(v) else v
+                    for v in (row[c] for c in value_cols)
+                )
+                if is_latest:
+                    st = {"rt": row["__at__"].timestamp(), "vals": vals}
+                else:
+                    run = (st or {"run": {}})["run"] if st else {}
+                    for c, v in zip(value_cols, vals):
+                        if v is not None:
+                            prev = run.get(c)
+                            run[c] = v if prev is None else sg.py_merge(prev, v)
+                    st = {"run": run}
+            else:
+                left_idx.append(i)
+                if st is None:
+                    out_vals = (None,) * len(value_cols)
+                elif is_latest:
+                    visible = (
+                        max_age_seconds is None
+                        or row["__at__"].timestamp() - st["rt"] < max_age_seconds
+                    )
+                    out_vals = st["vals"] if visible else (None,) * len(value_cols)
+                else:
+                    out_vals = tuple(st["run"].get(c) for c in value_cols)
+                for c, v in zip(value_cols, out_vals):
+                    filled[c].append(v)
+
+        if st is not None:
+            state.update((pickle.dumps(st),))
+        out = pdf.iloc[left_idx][left_cols].copy()
+        for c in value_cols:
+            out[c] = filled[c]
+        yield out
+
+    return u.groupBy(*on).applyInPandasWithState(
+        fn, out_schema, "state binary", "update", GroupStateTimeout.NoTimeout
+    )

@@ -178,3 +178,159 @@ def test_stateful_summer_eviction_bounds_state(spark, stream_dir, tmp_path):
     rows = spark.sql("SELECT * FROM evict_t").collect()
     # with total eviction every trigger starts cold: prev is always None
     assert all(r.prev is None for r in rows)
+
+
+# ---- streaming temporal-join family (round 2) ------------------------------
+
+# changelog + probe data: chronological file split so multi-trigger replay
+# preserves as-of order (rights for a probe always land in the same or an
+# earlier trigger)
+def _temporal_rows():
+    rights, lefts = [], []
+    for i in range(120):
+        k = f"k{i % 4}"
+        rights.append((ts(3 * i), k, None if i % 17 == 0 else float(i)))
+        lefts.append((ts(3 * i + 1), k, i))
+        if i % 5 == 0:
+            lefts.append((ts(3 * i + 2), f"k{(i + 1) % 4}", 1000 + i))
+    return rights, lefts
+
+
+R_SCHEMA = "rts timestamp, key string, rv double"
+L_SCHEMA = "ts timestamp, key string, probe_id long"
+
+
+@pytest.fixture(scope="module")
+def temporal_dirs(spark, tmp_path_factory):
+    import glob, shutil
+
+    rights, lefts = _temporal_rows()
+    dirs = {}
+    for name, rows, schema, splits in [
+        ("right", rights, R_SCHEMA, 3),
+        ("left", lefts, L_SCHEMA, 3),
+    ]:
+        d = tmp_path_factory.mktemp(f"temporal_{name}")
+        n = len(rows)
+        for i in range(splits):
+            chunk = rows[i * n // splits: (i + 1) * n // splits]
+            spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+                str(d / f"c{i}")
+            )
+            for f in glob.glob(str(d / f"c{i}" / "*.parquet")):
+                shutil.move(f, str(d / f"chunk{i}.parquet"))
+            shutil.rmtree(str(d / f"c{i}"))
+        dirs[name] = str(d)
+    return dirs
+
+
+def _asof_dag(left_src, right_svc_loader, mode, **kw):
+    svc = sb.TemporalService(right_svc_loader, time_col="rts", mode=mode,
+                             semigroup="sum", **kw)
+    return left_src.left_join(svc, on="key")
+
+
+def _batch_asof(spark, temporal_dirs, mode, **kw):
+    ldf = spark.read.schema(L_SCHEMA).parquet(temporal_dirs["left"])
+    rdf = spark.read.schema(R_SCHEMA).parquet(temporal_dirs["right"])
+    p = _asof_dag(source(ldf, time_col="ts"), rdf, mode, **kw)
+    return {
+        r.probe_id: r.rv
+        for r in to_dataframe(spark, p).select("probe_id", "rv").collect()
+    }
+
+
+def _stream_asof(spark, temporal_dirs, mode, name, **kw):
+    lsrc = stream_source(temporal_dirs["left"], L_SCHEMA, time_col="ts",
+                         max_files_per_trigger=1)
+    rsrc = stream_source(temporal_dirs["right"], R_SCHEMA,
+                         max_files_per_trigger=1)
+    p = _asof_dag(lsrc, rsrc, mode, **kw)
+    plan = StreamPlanner(spark).plan(p)
+    q = plan.start_to_memory(spark, name)
+    q.awaitTermination(120)
+    return {
+        r.probe_id: r.rv
+        for r in spark.sql(f"SELECT probe_id, rv FROM {name}").collect()
+    }
+
+
+def test_streaming_asof_latest_parity(spark, temporal_dirs):
+    """Streaming stateful lookup == batch as_of_join, including deletions
+    (BatchedService changelog contract) — the OnlinePlan leftJoin analog."""
+    want = _batch_asof(spark, temporal_dirs, "latest")
+    got = _stream_asof(spark, temporal_dirs, "latest", "asof_latest_s")
+    assert len(want) > 100 and got == want
+    # degeneracy probes: deletions visible, real values visible
+    assert any(v is None for v in want.values())
+    assert any(v is not None for v in want.values())
+
+
+def test_streaming_asof_running_sum_parity(spark, temporal_dirs):
+    """mode='sum': probes see the running semigroup total as of their time
+    (LookupJoin.rightSumming / StoreService)."""
+    want = _batch_asof(spark, temporal_dirs, "sum")
+    got = _stream_asof(spark, temporal_dirs, "sum", "asof_sum_s")
+    assert len(want) > 100 and got == want
+    assert any(v for v in want.values())
+
+
+def test_streaming_asof_windowed_parity(spark, temporal_dirs):
+    """max_age (BatchedWindowService) bounds visibility identically on both
+    paths."""
+    max_age = 17 * 60 * 2.5  # 2.5 probe-steps: some hits age out
+    want = _batch_asof(spark, temporal_dirs, "latest", max_age_seconds=max_age)
+    got = _stream_asof(spark, temporal_dirs, "latest", "asof_win_s",
+                       max_age_seconds=max_age)
+    assert got == want
+    # the bound actually excludes something the unwindowed join included
+    unbounded = _batch_asof(spark, temporal_dirs, "latest")
+    assert sum(v is None for v in want.values()) > sum(
+        v is None for v in unbounded.values()
+    )
+
+
+def test_buffer_join_through_dsl(spark, temporal_dirs, tmp_path):
+    """LeftJoin on a BufferService compiles to the watermarked
+    stream-stream join (Producer.scala:396-399), and the batch planner
+    replays the same semantics (theta join) — DSL-level parity."""
+    import shutil
+
+    # outer-join rows only emit once the watermark passes their window, so
+    # append a far-future sentinel to BOTH streams (global watermark = min
+    # across inputs) to flush the last trigger's unmatched probes
+    ldir, rdir = str(tmp_path / "left"), str(tmp_path / "right")
+    shutil.copytree(temporal_dirs["left"], ldir)
+    shutil.copytree(temporal_dirs["right"], rdir)
+    far = ts(100000)
+    spark.createDataFrame([(far, "k0", 999999)], L_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(ldir)
+    spark.createDataFrame([(far, "k0", -1.0)], R_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(rdir)
+
+    lsrc = stream_source(ldir, L_SCHEMA, time_col="ts", max_files_per_trigger=1)
+    rsrc = stream_source(rdir, R_SCHEMA, max_files_per_trigger=1)
+    svc = sb.BufferService(rsrc, time_col="rts", window="10 minutes",
+                           watermark="2 hours")
+    p = lsrc.left_join(svc, on="key")
+    plan = StreamPlanner(spark).plan(p)
+    q = plan.start_to_memory(spark, "buffer_dsl", output_mode="append")
+    q.awaitTermination(180)
+    got = {
+        (r.probe_id, r.rv)
+        for r in spark.sql("SELECT probe_id, rv FROM buffer_dsl").collect()
+        if r.probe_id < 999999
+    }
+
+    ldf = spark.read.schema(L_SCHEMA).parquet(temporal_dirs["left"])
+    rdf = spark.read.schema(R_SCHEMA).parquet(temporal_dirs["right"])
+    bp = source(ldf, time_col="ts").left_join(
+        sb.BufferService(rdf, time_col="rts", window="10 minutes"), on="key"
+    )
+    want = {
+        (r.probe_id, r.rv)
+        for r in to_dataframe(spark, bp).select("probe_id", "rv").collect()
+    }
+    assert len(want) > 100 and got == want
