@@ -253,8 +253,10 @@ class BatchPlanner:
         TemporalService → as_of_join (BatchedService/StoreService
         semantics); BufferService → time-range theta join (the batch
         replay of the online Buffer, Producer.scala:396-399)."""
-        from ..core.service import BufferService, TemporalService
+        from ..core.service import BufferService, StoreService, TemporalService
 
+        if isinstance(node.service, StoreService):
+            return self._compile_loop_join(node)
         if isinstance(node.service, TemporalService):
             svc = node.service
             left = self.compile(node.parents[0])
@@ -297,6 +299,99 @@ class BatchPlanner:
             right = F.broadcast(right)
         return left.join(right, on=node.on, how="left")
 
+    def _compile_loop_join(self, node: g.LeftJoin) -> DataFrame:
+        """Loop join (ScaldingPlatform.scala:430-469; scanLeft semantics
+        Service.scala:196-269): ``out_col`` = the store value accumulated
+        from PRIOR events of the key — a per-key running fold of the
+        service's delta expression, seeded by the store's last snapshot.
+        Linear semigroups stay in a JVM window aggregate (codegen, one
+        sort-shuffle — the same single reducer pass the reference plans);
+        other semigroups use a bounded collect+fold window."""
+        svc = node.service
+        left = self.compile(node.parents[0])
+        sg = sg_mod.get(svc.resolved_semigroup())
+        delta = g.as_col(svc.value)
+        w = (
+            Window.partitionBy(*node.on)
+            .orderBy(F.col(TIME_COL), *[F.col(c) for c in svc.order_by])
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        if sg.name in _WINDOW_MERGE:
+            running = _WINDOW_MERGE[sg.name](delta, w)
+        else:
+            vals = F.collect_list(delta).over(w)
+            running = F.when(F.size(vals) == 0, F.lit(None)).otherwise(
+                F.aggregate(
+                    F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+                    F.element_at(vals, 1),
+                    lambda a, b: sg.merge(a, b),
+                )
+            )
+        out = left.withColumn(svc.out_col, running)
+        snap = svc.store.read_last(self.spark) if svc.store is not None else None
+        if snap is not None:
+            # seed each key's fold with the committed snapshot (the
+            # reference reads the store's last batch the same way)
+            init = snap[1].select(
+                *[
+                    F.col(kc).alias(on_c)
+                    for kc, on_c in zip(svc.store.key_cols, node.on)
+                ],
+                F.col("value").alias("__init__"),
+            )
+            out = (
+                out.join(init, on=node.on, how="left")
+                .withColumn(
+                    svc.out_col,
+                    sg.merge_null_safe(F.col("__init__"), F.col(svc.out_col)),
+                )
+                .drop("__init__")
+            )
+        return out
+
+    def _validate_loop_sandwich(self, node: g.Summer) -> None:
+        """Reject a loop join separated from its summer by anything other
+        than value-transforms (Service.scala:78-105): flatMaps, merges, or
+        re-keying between them would change what the store accumulates."""
+        from ..core.service import StoreService
+
+        allowed = (
+            g.MapCols, g.Select, g.Filter, g.Named, g.Observed,
+            g.Repartition, g.Written,
+        )
+        bad = None
+        cur = node.parents[0]
+        while True:
+            if isinstance(cur, g.LeftJoin):
+                svc = cur.service
+                if (
+                    isinstance(svc, StoreService)
+                    and node.store is not None
+                    and svc.store is node.store
+                ):
+                    if bad is not None:
+                        raise TypeError(
+                            "loop join: only value-transforms (map/select/"
+                            "filter/name/observe/write) may sit between the "
+                            "StoreService left_join and sum_by_key on the "
+                            f"same store; found {type(bad).__name__} "
+                            "(Service.scala:78-105)"
+                        )
+                    ssg = sg_mod.get(svc.resolved_semigroup()).name
+                    nsg = sg_mod.get(node.semigroup).name
+                    if ssg != nsg:
+                        raise TypeError(
+                            f"loop join: service folds with {ssg!r} but the "
+                            f"summer aggregates with {nsg!r} — the observed "
+                            "state would diverge from the store"
+                        )
+                break
+            if not isinstance(cur, allowed) and bad is None:
+                bad = cur
+            if not cur.parents:
+                break
+            cur = cur.parents[0]
+
     # ---- the Summer (SURVEY §2.1 #24, §4.3) -----------------------------
     def _summer_parts(self, node: g.Summer):
         sg = sg_mod.get(node.semigroup)
@@ -330,6 +425,7 @@ class BatchPlanner:
         computed as a cumulative window over per-batch partials
         (BatchedStore.scala:157-244 groupedSum/partials equivalent).
         """
+        self._validate_loop_sandwich(node)
         sg, batcher, base, va = self._summer_parts(node)
         shards = self._opt("shards")  # Reducers/FlatMapShards analog
         if shards:

@@ -91,6 +91,56 @@ class TemporalService(Service):
         self.max_age_seconds = max_age_seconds
 
 
+class StoreService(Service):
+    """The self-referential store lookup: ``left_join`` against the store
+    fed by this very stream's summer — the reference's loop join
+    (ScaldingPlatform.scala:430-469 detects it; scalding/Service.scala:78-105
+    validates that only value-transforms sit between join and summer;
+    196-269 is the per-key time-sorted scanLeft).
+
+    Each left event's ``out_col`` is the store value accumulated from
+    *prior* events of its key — ``value`` (a Column expression over the
+    left frame) folded with ``semigroup``, seeded by ``store``'s last
+    snapshot when one exists. Linear semigroups compile to a JVM window
+    running-aggregate (one sort-shuffle, codegen); others to a bounded
+    collect+fold window. State-dependent transforms (delta depends on the
+    observed state) cannot be a Column expression — use
+    ``operators.loopjoin.loop_join`` with a Python transform.
+
+    The batch planner also validates the sandwich: a downstream
+    ``sum_by_key(store=<same store>)`` must be separated from this join by
+    value-transforms only, with a matching semigroup.
+    """
+
+    def __init__(
+        self,
+        store=None,
+        value="value",
+        semigroup=None,
+        out_col: str = "joined",
+        order_by: Optional[Sequence[str]] = None,
+    ):
+        super().__init__(loader=None, broadcast=False)
+        self.store = store
+        self.value = value
+        self.semigroup = semigroup
+        self.out_col = out_col
+        self.order_by = list(order_by) if order_by else []
+
+    def resolved_semigroup(self):
+        if self.semigroup is not None:
+            return self.semigroup
+        if self.store is not None:
+            return self.store.semigroup
+        return "sum"
+
+    def dataframe(self, spark):  # pragma: no cover - defensive
+        raise TypeError(
+            "StoreService is not a dimension table; it compiles inside "
+            "left_join as the loop-join state"
+        )
+
+
 class BufferService(Service):
     """A stream-stream buffer (Producer.scala:396-399: ``Buffer[K, V] =
     Service + Sink`` — one stream writes, the other looks up recent

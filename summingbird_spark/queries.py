@@ -532,6 +532,30 @@ def q_loop_join_running(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "user_id", F.round("joined", 2).alias("joined"))
 
 
+@query(
+    "loop_join_dsl",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 2) AS joined
+    FROM events
+    """,
+)
+def q_loop_join_dsl(spark: SparkSession, sf: str) -> DataFrame:
+    """The loop join expressed through the DSL — the planner detects a
+    left_join against a StoreService and compiles the self-referential
+    running fold (ScaldingPlatform.scala:430-469), routing this linear case
+    to a JVM window aggregate."""
+    from .core.service import StoreService
+
+    svc = StoreService(value="value", semigroup="sum", out_col="joined",
+                       order_by=["event_id"])
+    p = _events(sf).left_join(svc, on="user_id")
+    return to_dataframe(spark, p).select(
+        "event_id", "user_id", F.round("joined", 2).alias("joined")
+    )
+
+
 # ------------------------------------------------------------ dedup family
 
 @query(

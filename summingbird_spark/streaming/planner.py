@@ -154,8 +154,20 @@ class StreamPlanner(BatchPlanner):
           (``streaming.joins``);
         * plain Service → inherited stream-static broadcast join.
         """
-        from ..core.service import BufferService, TemporalService
+        from ..core.service import BufferService, StoreService, TemporalService
 
+        if isinstance(node.service, StoreService):
+            svc = node.service
+            left = self.compile(node.parents[0])
+            from ..core.graph import as_col
+            from .temporal import streaming_self_loop
+
+            with_delta = left.withColumn("__loop_delta__", as_col(svc.value))
+            out = streaming_self_loop(
+                with_delta, node.on, "__loop_delta__", svc.out_col,
+                semigroup=svc.resolved_semigroup(), order_by=svc.order_by,
+            )
+            return out.drop("__loop_delta__")
         if isinstance(node.service, TemporalService):
             svc = node.service
             left = self.compile(node.parents[0])
@@ -187,6 +199,7 @@ class StreamPlanner(BatchPlanner):
         micro-batch — the online Summer bolt (online/executor/Summer.scala:
         56-128): prev is the state value of THIS (key, batch) before the
         trigger's delta merges in."""
+        self._validate_loop_sandwich(node)
         sg = sg_mod.get(node.semigroup)
         batcher = node.batcher or b_mod.UNIT
         df = self.compile(node.parents[0])

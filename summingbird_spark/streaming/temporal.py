@@ -138,3 +138,51 @@ def streaming_as_of_join(
     return u.groupBy(*on).applyInPandasWithState(
         fn, out_schema, "state binary", "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_self_loop(
+    df: DataFrame,
+    on: Sequence[str] | str,
+    delta_col: str,
+    out_col: str,
+    semigroup="sum",
+    order_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """The streaming loop join (online StoreService semantics): each event's
+    ``out_col`` is the running fold of PRIOR events' ``delta_col`` for its
+    key — state observed before this event merges in. Within a trigger rows
+    fold in (event-time, order_by) order; across triggers the state store
+    carries the running value (the online platform's read-modify-write
+    summer, online/executor/Summer.scala:56-128, observed pre-merge).
+
+    State per key is O(1). The store snapshot does NOT seed streaming state
+    (online stores start from their own persisted state; seed via the
+    client merge as the reference does, ClientStore.scala:123-174).
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    order_by = list(order_by) if order_by else []
+    sg = sg_mod.get(semigroup)
+    out_type = df.schema[delta_col].dataType.simpleString()
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"`{out_col}` {out_type}"]
+    )
+    cols = list(df.columns)
+
+    def fn(key, pdfs, state: GroupState):
+        st = pickle.loads(bytes(state.get[0])) if state.exists else None
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values([TIME_COL, *order_by], kind="stable").reset_index(drop=True)
+        seen = []
+        for v in pdf[delta_col]:
+            seen.append(st)
+            if not pd.isna(v):
+                st = v if st is None else sg.py_merge(st, v)
+        state.update((pickle.dumps(st),))
+        out = pdf[cols].copy()
+        out[out_col] = seen
+        yield out
+
+    return df.groupBy(*on).applyInPandasWithState(
+        fn, out_schema, "state binary", "update", GroupStateTimeout.NoTimeout
+    )

@@ -172,3 +172,102 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     q.awaitTermination(60)
     got = sorted(r.text for r in spark.sql("SELECT text FROM dd").collect())
     assert got == ["dup text", "unique one"]
+
+
+# ---- loop-join planner detection (round 2) ---------------------------------
+
+
+def _loop_events(spark):
+    rows = [(ts(i), f"k{i % 3}", float(i % 7) + 1, i) for i in range(60)]
+    return spark.createDataFrame(rows, "ts timestamp, key string, value double, eid long")
+
+
+def _window_oracle(rows):
+    from collections import defaultdict
+
+    run, out = defaultdict(lambda: None), {}
+    for t, k, v, eid in sorted(rows, key=lambda r: (r[0], r[3])):
+        out[eid] = run[k]
+        run[k] = v if run[k] is None else run[k] + v
+    return out
+
+
+def test_dsl_loop_join_linear_window_path(spark):
+    """left_join(StoreService) compiles the self-referential running fold
+    (ScaldingPlatform.scala:430-469) — and the linear case stays JVM-side
+    (a Window aggregate, no Python eval in the plan)."""
+    import summingbird_spark as sb
+    from summingbird_spark import source, to_dataframe
+
+    df = _loop_events(spark)
+    svc = sb.StoreService(value="value", out_col="seen", order_by=["eid"])
+    p = source(df, time_col="ts").left_join(svc, on="key")
+    out = to_dataframe(spark, p)
+    got = {r.eid: r.seen for r in out.collect()}
+    want = _window_oracle([(r.ts, r.key, r.value, r.eid) for r in df.collect()])
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "FlatMapGroupsInPandas" not in plan and "EvalPython" not in plan
+
+
+def test_dsl_loop_join_seeded_by_store_snapshot(spark, tmp_path):
+    import summingbird_spark as sb
+    from summingbird_spark import source, to_dataframe
+
+    store = sb.VersionedBatchStore(str(tmp_path / "s"), ["key"], "sum")
+    init = spark.createDataFrame([("k0", 100.0), ("k1", 50.0)], "key string, value double")
+    store.write_snapshot(init, 0)
+
+    df = _loop_events(spark)
+    svc = sb.StoreService(store=store, value="value", out_col="seen", order_by=["eid"])
+    p = source(df, time_col="ts").left_join(svc, on="key")
+    got = {r.eid: r.seen for r in to_dataframe(spark, p).collect()}
+    base = _window_oracle([(r.ts, r.key, r.value, r.eid) for r in df.collect()])
+    seed = {"k0": 100.0, "k1": 50.0}
+    rows = {r.eid: r.key for r in df.collect()}
+    for eid, k in rows.items():
+        w = base[eid]
+        s = seed.get(k)
+        want = s if w is None else (w if s is None else w + s)
+        assert got[eid] == want, eid
+
+
+def test_loop_join_sandwich_valid_and_rejections(spark, tmp_path):
+    """The validated sandwich: left_join(StoreService(S)) → value
+    transforms → sum_by_key(store=S) plans; a flatMap in between, or a
+    semigroup mismatch, is rejected (Service.scala:78-105)."""
+    import summingbird_spark as sb
+    from summingbird_spark import source, to_dataframe
+
+    df = _loop_events(spark)
+    store = sb.VersionedBatchStore(str(tmp_path / "s"), ["key"], "sum")
+    svc = sb.StoreService(store=store, value="value", out_col="seen",
+                          order_by=["eid"])
+
+    ok = (
+        source(df, time_col="ts")
+        .left_join(svc, on="key")
+        .map(flag=F.col("seen").isNotNull())
+        .filter("value > 0")
+        .sum_by_key("key", "value", semigroup="sum", store=store)
+    )
+    rows = to_dataframe(spark, ok).collect()
+    assert {r.key for r in rows} == {"k0", "k1", "k2"}
+
+    bad_shape = (
+        source(df, time_col="ts")
+        .left_join(svc, on="key")
+        .flat_map("array(value, value)", alias="v2", keep=["key"])
+        .sum_by_key("key", "v2", semigroup="sum", store=store)
+    )
+    with pytest.raises(TypeError, match="value-transforms"):
+        to_dataframe(spark, bad_shape)
+
+    bad_sg = (
+        source(df, time_col="ts")
+        .left_join(svc, on="key")
+        .sum_by_key("key", "value", semigroup="max", store=store)
+    )
+    with pytest.raises(TypeError, match="diverge"):
+        to_dataframe(spark, bad_sg)

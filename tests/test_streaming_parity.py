@@ -334,3 +334,27 @@ def test_buffer_join_through_dsl(spark, temporal_dirs, tmp_path):
         for r in to_dataframe(spark, bp).select("probe_id", "rv").collect()
     }
     assert len(want) > 100 and got == want
+
+
+def test_streaming_loop_join_parity(spark, stream_dir):
+    """left_join(StoreService) through the StreamPlanner: per-key running
+    fold carried across triggers equals the batch loop join (the online
+    read-modify-write summer observed pre-merge)."""
+    svc = sb.StoreService(value="value", out_col="seen", semigroup="sum_long")
+    src = stream_source(stream_dir, SCHEMA, time_col="ts", max_files_per_trigger=1)
+    plan = StreamPlanner(spark).plan(src.left_join(svc, on="key"))
+    q = plan.start_to_memory(spark, "loop_s")
+    q.awaitTermination(120)
+    got = {
+        (r.key, r.ts): r.seen
+        for r in spark.sql("SELECT key, ts, seen FROM loop_s").collect()
+    }
+
+    bdf = spark.read.schema(SCHEMA).parquet(stream_dir)
+    from summingbird_spark import source as b_source, to_dataframe
+
+    bp = b_source(bdf, time_col="ts").left_join(svc, on="key")
+    want = {
+        (r.key, r.ts): r.seen for r in to_dataframe(spark, bp).collect()
+    }
+    assert len(want) == len(ROWS) and got == want
