@@ -5,17 +5,22 @@
 * ``brute_force_topk`` — the exact baseline: broadcast the (small) query
   set against the corpus, rank per query. One pass over the corpus, no
   corpus self-shuffle — this is the right plan when |queries| ≪ |corpus|.
-* ``lsh_sign_buckets`` / ``lsh_topk`` — the scale path: deterministic
-  random-hyperplane signatures (hash-derived planes, no RNG state) bucket
-  the corpus; queries probe only their bucket. Recall is tunable with
-  ``planes`` (bucket count 2^planes) and multi-probe is a follow-up.
-* ``ivf_assign`` / ``ivf_topk`` — IVF variant: coarse-quantize the corpus
-  to the nearest of k centroid rows, probe ``nprobe`` nearest lists.
+* ``lsh_topk`` — the scale path: multi-table random-hyperplane LSH with
+  multi-probe. ``tables`` independent signatures of ``planes`` bits each
+  (hash-derived planes, no RNG state); a pair is a candidate if it
+  collides in ANY table, queries additionally probe Hamming-1 neighbor
+  buckets. Bucket-key cardinality = tables × 2^planes (≥10^4 at the
+  defaults) so the corpus spreads; candidate ids (never vectors) shuffle.
+* ``kmeans_train`` / ``ivf_assign`` / ``ivf_topk`` — IVF variant:
+  spherical k-means centroids trained by DataFrame iteration, corpus
+  coarse-quantized to its nearest centroid list, queries probe the
+  ``nprobe`` nearest lists and rerank exactly.
 
 At 100 TB the invariant to preserve: never materialize the corpus×corpus
 product; every candidate generation step must shuffle on a small key
-(bucket id / centroid id), and the final exact rerank touches only
-candidates.
+(bucket id / centroid id) or broadcast the (small) query side; the final
+exact rerank touches only candidates, fetched by broadcast semi-join —
+the corpus itself is never re-shuffled.
 """
 
 from __future__ import annotations
@@ -78,32 +83,69 @@ def brute_force_topk(
     )
 
 
-def _plane_component(plane: Column, j: Column) -> Column:
-    """Deterministic ±1 hyperplane component from a hash — reproducible
-    across runs/engines, no RNG broadcast needed."""
-    return (F.xxhash64(plane, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("double")
-
-
-def lsh_sign_signature(vec: Column, planes: int) -> Column:
-    """Bucket id in [0, 2^planes): bit p = sign of <vec, plane_p>.
-    Planes are unrolled Python-side (shift amounts must be literals)."""
+def lsh_sign_signature(vec: Column, planes: int, table: int = 0) -> Column:
+    """Bucket id in [0, 2^planes) for one LSH table: bit p = sign of
+    <vec, plane_{table,p}>. Plane components are deterministic ±1 hashes of
+    (table, plane, dim-index) — reproducible across runs/engines, no RNG
+    broadcast. One nested higher-order expression, plan size O(1) per
+    table."""
     d = F.size(vec)
     idx = F.sequence(F.lit(0), d - 1)
 
-    def bit(p: int) -> Column:
-        s = F.aggregate(
+    def dot_plane(p: Column) -> Column:
+        return F.aggregate(
             F.zip_with(
-                vec, idx, lambda x, j: x.cast("double") * _plane_component(F.lit(p), j)
+                vec,
+                idx,
+                lambda x, j: x.cast("double")
+                * (
+                    F.xxhash64(F.lit(table), p, j).bitwiseAND(F.lit(1)) * 2 - 1
+                ).cast("double"),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        return F.when(s > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
 
-    out = F.lit(0).cast("long")
-    for p in range(planes):
-        out = out + bit(p)
-    return out
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(planes - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc * 2
+        + F.when(dot_plane(p) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+
+
+def lsh_table_signatures(
+    vec_col: Column, tables: int, planes: int, arrow: bool = True
+) -> Column:
+    """Per-table bucket ids as ``array<long>`` (index = table).
+
+    ``arrow=True`` (default): one Arrow-batched Pandas UDF doing a single
+    numpy matmul per batch against a deterministic seeded Gaussian plane
+    matrix — higher-order Column functions are interpreted (not codegen'd)
+    in Catalyst, so at tables×planes×dim flops per row the vectorized
+    kernel is the scale path. ``arrow=False``: the pure-Column hash-plane
+    variant (no Python workers; same API, different — equally valid —
+    planes)."""
+    if not arrow:
+        return F.array(
+            *[lsh_sign_signature(vec_col, planes, t) for t in range(tables)]
+        )
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    def sig(v):
+        M = np.stack(v.to_numpy())  # batch × dim (fixed-dim embeddings)
+        rng = np.random.default_rng(0xC0FFEE)  # deterministic planes
+        P = rng.standard_normal((M.shape[1], tables * planes))
+        bits = (M @ P) > 0
+        weights = (1 << np.arange(planes - 1, -1, -1)).astype(np.int64)
+        B = bits.reshape(len(M), tables, planes).astype(np.int64) @ weights
+        return pd.Series([row.tolist() for row in B])
+
+    return pandas_udf(sig, ArrayType(LongType()))(vec_col)
 
 
 def lsh_topk(
@@ -112,19 +154,69 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    planes: int = 8,
+    planes: int = 12,
+    tables: int = 8,
+    multiprobe: bool = True,
+    arrow: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: only corpus rows in the query's sign bucket are
-    scored. Shuffle key = bucket id (2^planes buckets)."""
-    sig = lsh_sign_signature(F.col(vec_col), planes)
-    c = corpus.withColumn("__bucket__", sig)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv__"),
-        sig.alias("__bucket__"),
+    """Approximate top-k via multi-table sign LSH with multi-probe.
+
+    A candidate pair collides in ANY of ``tables`` independent signatures;
+    queries additionally probe every Hamming-1 neighbor bucket per table
+    (multi-probe: recovers pairs split by one near-zero hyperplane margin).
+    Size ``planes`` to the corpus: bucket count ≈ n / desired-bucket-size
+    (defaults suit 10^7+ rows; a 10^3-row corpus wants planes ≈ 4-6).
+    Shuffle-key cardinality = tables × 2^planes (defaults: 8 × 4096) —
+    no 2^4-bucket parallelism ceiling. Corpus vectors never shuffle:
+    bucket matching moves (bucket, id) pairs, exact rerank fetches
+    candidate vectors by broadcast join on id.
+    """
+    sigs = lsh_table_signatures(F.col(vec_col), tables, planes, arrow)
+
+    # corpus → (table, bucket, id): ids only, vectors stay at the scan
+    c_buckets = corpus.select(
+        F.col(id_col), F.posexplode(sigs).alias("__table__", "__bucket__")
     )
-    scored = c.join(q, "__bucket__").where(F.col(id_col) != F.col("query_id")).select(
-        "query_id", id_col, cosine(F.col(vec_col), F.col("__qv__")).alias("sim")
+
+    # queries → probe list per table: own bucket + Hamming-1 neighbors
+    def probes(s: Column, t: Column) -> Column:
+        own = [F.struct(t.alias("__table__"), s.alias("__bucket__"))]
+        if multiprobe:
+            own += [
+                F.struct(
+                    t.alias("__table__"),
+                    s.bitwiseXOR(F.lit(1 << b)).alias("__bucket__"),
+                )
+                for b in range(planes)
+            ]
+        return F.array(*own)
+
+    q_probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(F.flatten(F.transform(sigs, probes))).alias("__tb__"),
+        )
+        .select("query_id", "__tb__.__table__", "__tb__.__bucket__")
+        .distinct()
+    )
+
+    cand = (
+        c_buckets.join(F.broadcast(q_probes), ["__table__", "__bucket__"])
+        .where(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+        .distinct()
+    )
+
+    # exact rerank on candidates only; corpus fetched by broadcast join
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
+    )
+    scored = (
+        corpus.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(q_vecs), "query_id")
+        .select(
+            "query_id", id_col, cosine(F.col(vec_col), F.col("__qv__")).alias("sim")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col))
     return (
@@ -155,4 +247,136 @@ def ivf_assign(
         scored.withColumn("__rn__", F.row_number().over(w))
         .where(F.col("__rn__") == 1)
         .drop("__cv__", "__sim__", "__rn__")
+    )
+
+
+def kmeans_train(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 8,
+    centroid_id_col: str = "centroid_id",
+    sample_fraction: Optional[float] = None,
+) -> DataFrame:
+    """Spherical k-means by DataFrame iteration (Lloyd's, cosine metric).
+
+    Init = k deterministic hash-sampled corpus rows (no RNG state). Each
+    iteration: assign (centroids broadcast, one corpus pass) → recompute
+    means by exploding vector positions and aggregating per (centroid,
+    position) — map-side partial aggregation bounds the shuffle at
+    k × dim × partitions rows regardless of corpus size. Fixed ``n_iter``
+    keeps the job count static. Returns (centroid_id, <vec_col>) with
+    L2-normalized centroids.
+
+    ``sample_fraction`` trains on a deterministic hash-sample of the
+    corpus — the standard IVF build practice (coarse quantizers need far
+    fewer points than the corpus; training cost becomes independent of
+    corpus size while ``ivf_assign`` still quantizes every row).
+    """
+    norm_vec = F.transform(
+        F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col))
+    )
+    data = corpus.select(F.col(id_col), norm_vec.alias(vec_col))
+    if sample_fraction is not None and sample_fraction < 1.0:
+        data = data.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
+            < int(sample_fraction * 1_000_000)
+        )
+
+    # hash-ordered limit compiles to TakeOrderedAndProject (bounded, never
+    # a global sort); ranking the k survivors is bounded by the limit
+    init = data.orderBy(F.xxhash64(F.col(id_col))).limit(k)
+    w_init = Window.orderBy(F.xxhash64(F.col(id_col)))
+    centroids = init.select(
+        (F.row_number().over(w_init) - 1).alias(centroid_id_col), F.col(vec_col)
+    )
+    # the init sample + each iteration's centroids are tiny (k rows):
+    # materialize so the lineage doesn't stack n_iter corpus scans
+    centroids = centroids.cache()
+
+    for _ in range(n_iter):
+        assigned = ivf_assign(data, centroids, id_col, vec_col, centroid_id_col)
+        sums = (
+            assigned.select(
+                centroid_id_col, F.posexplode(F.col(vec_col)).alias("__pos__", "__x__")
+            )
+            .groupBy(centroid_id_col, "__pos__")
+            .agg(F.avg("__x__").alias("__m__"))
+        )
+        new_c = sums.groupBy(centroid_id_col).agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos__"), F.col("__m__")))
+            ).alias("__pm__")
+        ).select(
+            centroid_id_col,
+            F.transform(F.col("__pm__"), lambda s: s["__m__"]).alias(vec_col),
+        )
+        # re-normalize (spherical); empty clusters simply drop out
+        new_c = new_c.select(
+            centroid_id_col,
+            F.transform(
+                F.col(vec_col), lambda x: x / l2_norm(F.col(vec_col))
+            ).alias(vec_col),
+        )
+        old = centroids
+        centroids = new_c.cache()
+        centroids.count()  # materialize this round
+        old.unpersist()
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    centroid_id_col: str = "centroid_id",
+    assigned: Optional[DataFrame] = None,
+) -> DataFrame:
+    """IVF probe: each query scores only the corpus rows assigned to its
+    ``nprobe`` nearest centroid lists, then exact top-k rerank.
+
+    Pass ``assigned`` (a persisted ``ivf_assign`` output, ideally written
+    partitioned by ``centroid_id``) to skip re-assignment — the index-build
+    vs query-time split. Probe matching moves only (centroid_id, id) pairs
+    and broadcast query vectors; at scale partition pruning on a
+    centroid-partitioned index makes a probe touch nprobe/k of the data.
+    """
+    if assigned is None:
+        assigned = ivf_assign(corpus, centroids, id_col, vec_col, centroid_id_col)
+
+    c = centroids.select(F.col(centroid_id_col), F.col(vec_col).alias("__cv__"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__"))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__csim__").desc(), F.col(centroid_id_col)
+    )
+    probes = (
+        q.crossJoin(F.broadcast(c))
+        .withColumn("__csim__", cosine(F.col("__qv__"), F.col("__cv__")))
+        .withColumn("__rn__", F.row_number().over(w_probe))
+        .where(F.col("__rn__") <= nprobe)
+        .select("query_id", centroid_id_col)
+    )
+    cand = (
+        assigned.select(F.col(id_col), F.col(centroid_id_col))
+        .join(F.broadcast(probes), centroid_id_col)
+        .where(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+    )
+    scored = (
+        corpus.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", id_col, cosine(F.col(vec_col), F.col("__qv__")).alias("sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "sim")
     )

@@ -706,11 +706,32 @@ def q_embedding_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 # LSH-bucketed ANN: approximate by construction — rows-only check
 @query("embedding_lsh_topk")
 def q_embedding_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-table multi-probe sign LSH. Defaults are sized for 10^7+ row
+    corpora (8 tables × 2^12 buckets — the shuffle key spreads the corpus,
+    no small-bucket parallelism ceiling); here planes is sized to the sf
+    corpus (bucket count ≈ n / bucket-size). Rows-only by nature
+    (approximate); recall ≥ 0.9 asserted in tests/test_operators.py."""
     from .functions.similarity import lsh_topk
 
     emb = load_table(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    return lsh_topk(emb, queries, "vec_id", "embedding", k=5, planes=4)
+    return lsh_topk(emb, queries, "vec_id", "embedding", k=5, planes=6, tables=8)
+
+
+@query("embedding_ivf_topk")
+def q_embedding_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN end-to-end: spherical k-means centroids (DataFrame Lloyd's),
+    corpus coarse-quantized, queries probe the nprobe nearest lists and
+    rerank exactly. Rows-only by nature (approximate); recall asserted in
+    tests/test_operators.py."""
+    from .functions.similarity import ivf_topk, kmeans_train
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    # coarse quantizer trained on a hash-sample (standard IVF build: the
+    # quantizer needs ~100×k points, not the corpus)
+    centroids = kmeans_train(emb, k=16, n_iter=3, sample_fraction=0.2)
+    return ivf_topk(emb, queries, centroids, "vec_id", "embedding", k=5, nprobe=4)
 
 
 # ------------------------------------------------------- multimodal columns
