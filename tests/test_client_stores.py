@@ -1,0 +1,137 @@
+"""Serving-side store wrappers (summingbird-client zoo): ClientMergeable
+read-merged-write, SideEffectStore, PresentingStore."""
+
+import datetime as dt
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+import summingbird_spark as sb
+from summingbird_spark import TIME_COL
+from summingbird_spark.client.merge import client_view
+from summingbird_spark.client.stores import (
+    ClientMergeable,
+    KVParquetStore,
+    SideEffectStore,
+    presenting_store,
+)
+from summingbird_spark.streaming.store import OnlineStore
+
+
+def ts(i):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)
+
+
+@pytest.fixture()
+def lambda_stores(spark, tmp_path):
+    """offline store committed through batch b_off; online store holding
+    the next batch's deltas."""
+    batcher = sb.of_days(1)
+    rows = [(ts(i), f"k{i % 3}", i) for i in range(48)]  # days 0-1
+    df = spark.createDataFrame(rows, "ts timestamp, key string, value long")
+    ev = df.withColumn(TIME_COL, F.col("ts"))
+    b0 = batcher.batch_of(ts(0))
+
+    offline = sb.VersionedBatchStore(str(tmp_path / "off"), ["key"], "sum_long")
+    sb.rollforward(spark, offline, ev, batcher, b0 + 1)  # days 0-1 committed
+
+    online = OnlineStore(str(tmp_path / "on"), ["key"], "sum_long")
+    d2 = spark.createDataFrame(
+        [("k0", b0 + 2, 1000), ("k1", b0 + 2, 2000)],
+        "key string, batch_id long, delta long",
+    )
+    online.multi_merge(d2)
+    return offline, online, b0
+
+
+def test_client_mergeable_premerge_totals_and_write(spark, lambda_stores, tmp_path):
+    offline, online, b0 = lambda_stores
+    cm = ClientMergeable(offline, online, ["key"], "sum_long")
+
+    # day 0-1 totals per key (offline), plus online b0+2 deltas
+    off = {r.key: r.value for r in offline.read_last(spark)[1].collect()}
+
+    new_delta = spark.createDataFrame(
+        [("k0", b0 + 3, 7), ("k2", b0 + 3, 9), ("kNEW", b0 + 3, 5)],
+        "key string, batch_id long, delta long",
+    )
+    pre = {r.key: r.value for r in cm.merge(new_delta).collect()}
+    # pre-merge = offline ⊕ online batches ≤ b0+3 — NOT including the new delta
+    assert pre["k0"] == off["k0"] + 1000
+    assert pre["k2"] == off["k2"]          # no online state for k2
+    assert pre["kNEW"] is None             # never seen anywhere
+
+    # the delta IS persisted: the readable view now includes it
+    view = {r.key: r.value for r in cm.readable(spark).collect()}
+    assert view["k0"] == off["k0"] + 1000 + 7
+    assert view["k2"] == off["k2"] + 9
+    assert view["kNEW"] == 5
+
+    # parity with client_view built from scratch over the same stores
+    scratch = {
+        r.key: r.value
+        for r in client_view(
+            offline.read_last(spark)[1],
+            online.read(spark),
+            ["key"],
+            "sum_long",
+            offline_batch=offline.last_batch(),
+        ).collect()
+    }
+    assert view == scratch
+
+
+def test_client_mergeable_visibility_bound(spark, lambda_stores):
+    """A delta at batch b sees online state ≤ b only (multiGetBatch
+    batch.prev semantics): merging at b0+1 must NOT see the b0+2 online
+    rows."""
+    offline, online, b0 = lambda_stores
+    cm = ClientMergeable(offline, online, ["key"], "sum_long")
+    off = {r.key: r.value for r in offline.read_last(spark)[1].collect()}
+    # the online b0+2 rows are visible to a delta at b0+2 but not below:
+    probe_low = spark.createDataFrame(
+        [("k1", b0 + 1, 1)], "key string, batch_id long, delta long"
+    )
+    pre_low = {r.key: r.value for r in cm.merge(probe_low).collect()}
+    assert pre_low["k1"] == off["k1"]  # b0+2 online delta invisible at b0+1
+
+
+def test_side_effect_store_fires_with_touched_keys(spark, tmp_path):
+    online = OnlineStore(str(tmp_path / "on"), ["key"], "sum_long")
+    seen = []
+    store = SideEffectStore(online, lambda keys: seen.extend(
+        sorted(r.key for r in keys.collect())
+    ))
+    d = spark.createDataFrame(
+        [("a", 0, 1), ("b", 0, 2), ("a", 0, 3)],
+        "key string, batch_id long, delta long",
+    )
+    store.multi_merge(d)
+    assert seen == ["a", "b"]
+    assert store.read(spark).count() == 2  # delegation works
+
+
+def test_presenting_store_snapshots_touched_keys(spark, lambda_stores, tmp_path):
+    offline, online, b0 = lambda_stores
+    cm = ClientMergeable(offline, online, ["key"], "sum_long")
+    target = KVParquetStore(str(tmp_path / "present"), ["key"])
+    ps = presenting_store(online, cm, target, lambda v: v * 10)
+
+    d = spark.createDataFrame(
+        [("k0", b0 + 3, 7)], "key string, batch_id long, delta long"
+    )
+    ps.multi_merge(d)
+    off = {r.key: r.value for r in offline.read_last(spark)[1].collect()}
+    got = {r.key: r.presented for r in target.read(spark).collect()}
+    # snapshot AFTER merge: (offline ⊕ 1000 ⊕ 7) × 10, only the touched key
+    assert got == {"k0": (off["k0"] + 1000 + 7) * 10}
+
+    # second touch upserts, untouched keys retained
+    d2 = spark.createDataFrame(
+        [("k1", b0 + 3, 1)], "key string, batch_id long, delta long"
+    )
+    ps.multi_merge(d2)
+    got = {r.key: r.presented for r in target.read(spark).collect()}
+    assert got["k0"] == (off["k0"] + 1000 + 7) * 10
+    assert got["k1"] == (off["k1"] + 2000 + 1) * 10
