@@ -45,12 +45,79 @@ def pack_media(df: DataFrame, bytes_col: str, mime: str) -> DataFrame:
     )
 
 
+IMAGE_FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, checksum string, width int, height int, "
+    "mode string, mean_luma double"
+)
+
+
 def _fake_features(payload: bytes) -> dict:
     return {
         "n_bytes": len(payload),
         "checksum": hashlib.md5(payload).hexdigest(),
         "head": payload[:8].hex(),
     }
+
+
+def _pil_image():
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _header_dims(p: bytes):
+    """Dependency-free container-header parse: PNG IHDR, GIF logical
+    screen, JPEG SOF0/2. Real metadata extraction (not a fake), usable
+    when no codec library is installed."""
+    if p[:8] == b"\x89PNG\r\n\x1a\n" and p[12:16] == b"IHDR":
+        return (
+            int.from_bytes(p[16:20], "big"),
+            int.from_bytes(p[20:24], "big"),
+            "png",
+        )
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            int.from_bytes(p[6:8], "little"),
+            int.from_bytes(p[8:10], "little"),
+            "gif",
+        )
+    if p[:2] == b"\xff\xd8":  # JPEG: scan segments for a SOF marker
+        i = 2
+        while i + 9 < len(p) and p[i] == 0xFF:
+            marker, seglen = p[i + 1], int.from_bytes(p[i + 2 : i + 4], "big")
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+                return (
+                    int.from_bytes(p[i + 7 : i + 9], "big"),
+                    int.from_bytes(p[i + 5 : i + 7], "big"),
+                    "jpeg",
+                )
+            i += 2 + seglen
+    return None, None, None
+
+
+def _image_features(payload: bytes) -> dict:
+    """PIL full decode when installed (dimensions + mode + mean luma of a
+    bounded thumbnail); otherwise the pure-header parse (dimensions only,
+    mean_luma NULL)."""
+    p = bytes(payload)
+    base = {"n_bytes": len(p), "checksum": hashlib.md5(p).hexdigest()}
+    Image = _pil_image()
+    if Image is not None:
+        import io
+
+        with Image.open(io.BytesIO(p)) as im:
+            w, h, mode = im.width, im.height, im.mode
+            thumb = im.convert("L").copy()
+            thumb.thumbnail((32, 32))  # bounded work per payload
+            hist = thumb.histogram()
+            n = sum(hist) or 1
+            luma = sum(i * c for i, c in enumerate(hist)) / n
+        return {**base, "width": w, "height": h, "mode": mode, "mean_luma": luma}
+    w, h, fmt = _header_dims(p)
+    return {**base, "width": w, "height": h, "mode": fmt, "mean_luma": None}
 
 
 def extract_features(
@@ -60,14 +127,22 @@ def extract_features(
     decoder: str = "fake",
 ) -> DataFrame:
     """mapInPandas feature extraction; output drops the payload so bytes
-    never shuffle."""
+    never shuffle.
+
+    decoders: ``fake`` (checksum/length/head — plumbing tests),
+    ``image`` (PIL full decode when importable, else a real pure-Python
+    PNG/GIF/JPEG header parse; ``pil`` forces PIL or raises),
+    ``audio``/``librosa`` (stub — dependency not in this container).
+    """
     if decoder == "fake":
-        decode = _fake_features
+        decode, schema = _fake_features, FEATURE_SCHEMA
     elif decoder in ("pil", "image"):
-        raise NotImplementedError(
-            "image decode needs Pillow; install PIL and implement decode -> "
-            "(width, height, channels, resized thumbnail features)"
-        )
+        if decoder == "pil" and _pil_image() is None:
+            raise NotImplementedError(
+                "decoder='pil' needs Pillow installed; decoder='image' "
+                "falls back to header-only parsing without it"
+            )
+        decode, schema = _image_features, IMAGE_FEATURE_SCHEMA
     elif decoder in ("librosa", "audio"):
         raise NotImplementedError(
             "audio decode needs librosa/soundfile; implement decode -> "
@@ -83,7 +158,7 @@ def extract_features(
             out.insert(0, id_col, pdf[id_col].values)
             yield out
 
-    return df.select(id_col, payload_col).mapInPandas(run, FEATURE_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
 def frame_sample(

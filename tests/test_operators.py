@@ -345,3 +345,59 @@ def test_loop_join_sandwich_valid_and_rejections(spark, tmp_path):
     )
     with pytest.raises(TypeError, match="diverge"):
         to_dataframe(spark, bad_sg)
+
+
+# ---- multimodal image decode (round 2) -------------------------------------
+
+
+def _tiny_png(w, h, rgb):
+    """A valid PNG built with stdlib only (zlib + struct)."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        c = tag + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + bytes(rgb) * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_image_decode_header_parse(spark):
+    """decoder='image' really decodes: dimensions come out of the PNG/GIF/
+    JPEG container headers even with no codec library installed."""
+    from summingbird_spark.functions.multimodal import extract_features
+
+    png = _tiny_png(5, 3, (10, 20, 30))
+    gif = b"GIF89a" + (7).to_bytes(2, "little") + (2).to_bytes(2, "little") + b"\x00" * 20
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(gif))], "doc_id long, payload binary"
+    )
+    got = {r.doc_id: r for r in extract_features(df, decoder="image").collect()}
+    assert (got[1].width, got[1].height) == (5, 3)
+    assert (got[2].width, got[2].height) == (7, 2)
+    assert got[1].n_bytes == len(png) and got[1].checksum is not None
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("PIL") is None,
+    reason="Pillow not installed (header-only fallback covered above)",
+)
+def test_image_decode_full_pil(spark):
+    """With Pillow present, decoder='image' decodes pixels: mean_luma of a
+    uniform image equals its luma value."""
+    from summingbird_spark.functions.multimodal import extract_features
+
+    png = _tiny_png(4, 4, (100, 100, 100))
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+    r = extract_features(df, decoder="image").collect()[0]
+    assert (r.width, r.height) == (4, 4)
+    assert r.mean_luma is not None and abs(r.mean_luma - 100) <= 2
