@@ -201,10 +201,22 @@ class Keyed:
         return Keyed(p, self.key_cols)
 
     def collect_keys(self, predicate: ColumnLike, **new_keys: ColumnLike) -> "Keyed":
-        return Keyed(self.producer.option_map(predicate, **new_keys), tuple(new_keys) or self.key_cols)
+        """Partial function on the KEY side (Producer.scala:352-369):
+        filter, then re-map the key columns — values ride along (unlike
+        ``Producer.collect``, which projects the whole row)."""
+        p = Filter(self.producer, predicate)
+        if not new_keys:
+            return Keyed(p, self.key_cols)
+        p = MapCols(
+            p, new_keys, drop=tuple(k for k in self.key_cols if k not in new_keys)
+        )
+        return Keyed(p, tuple(new_keys))
 
     def collect_values(self, predicate: ColumnLike, **cols: ColumnLike) -> "Keyed":
-        return self._wrap(self.producer.option_map(predicate, **cols))
+        """Partial function on the VALUE side: filter, then add/replace
+        value columns — keys and other columns ride along."""
+        p = Filter(self.producer, predicate)
+        return self._wrap(MapCols(p, cols) if cols else p)
 
     def keys(self) -> Producer:
         return Select(self.producer, self.key_cols, {})

@@ -12,7 +12,9 @@ Semantics covered (SURVEY §2.2):
   each left event sees the store's *running semigroup total* as of its
   timestamp.
 * ``max_age`` — BatchedWindowService constraint ``0 <= t_l − t_r < window``
-  (scalding/service/BatchedWindowService.scala:35-72).
+  (scalding/service/BatchedWindowService.scala:35-72). With ``mode='sum'``
+  this is the windowed running total (a RANGE frame over epoch seconds;
+  the age bound is inclusive there — range frames have closed ends).
 
 Spark-first physical strategy: **one shuffle, no row blowup** — union both
 sides tagged, then a per-key time-ordered running window (``last(...,
@@ -63,6 +65,10 @@ def as_of_join(
     visible yet / key deleted / outside ``max_age``), plus nothing else.
     """
     on = [on] if isinstance(on, str) else list(on)
+    max_age_num: Optional[float] = None
+    if max_age is not None and not isinstance(max_age, Column):
+        max_age_num = float(max_age)
+        max_age = F.lit(max_age_num)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (*on, right_time)]
     value_cols = list(value_cols)
@@ -109,18 +115,34 @@ def as_of_join(
         return out.select(*sel)
 
     if mode == "sum":
-        if max_age is not None:
-            raise NotImplementedError("windowed running-sum as-of join: use mode='latest' over pre-aggregated windows")
         sg = sg_mod.get(semigroup)
         run_fn = _RUNNING_AGG.get(getattr(sg, "name", None))
+        if max_age is None:
+            frame = w
+        else:
+            if max_age_num is None:
+                raise TypeError(
+                    "mode='sum' needs max_age as a plain number of seconds "
+                    "(range-frame bounds are literals, not Columns)"
+                )
+            # BatchedWindowService over a summing store: the running total
+            # of right rows with 0 <= t_l - t_r <= max_age — a RANGE frame
+            # over epoch seconds (right rows at exactly t_l are included,
+            # matching the inclusive as-of; left rows contribute NULLs).
+            frame = (
+                Window.partitionBy(*on)
+                .orderBy(F.col("__at__").cast("double"))
+                .rangeBetween(-int(max_age_num), 0)  # long bounds (whole seconds)
+            )
         out_cols = [F.col(c) for c in left.columns]
         filled = u
         for c in value_cols:
             vc = F.col(f"__rv__.{c}")
             if run_fn is not None:
-                running = run_fn(vc).over(w)
+                running = run_fn(vc).over(frame)
             else:
-                vals = F.collect_list(vc).over(w)
+                # collect_list skips the NULL __rv__ of interleaved left rows
+                vals = F.collect_list(vc).over(frame)
                 running = F.when(F.size(vals) == 0, F.lit(None)).otherwise(
                     F.aggregate(
                         F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),

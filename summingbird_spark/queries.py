@@ -415,6 +415,43 @@ def q_asof_running_total(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "asof_windowed_sum",
+    """
+    SELECT e.event_id, e.user_id, round(sum(o.o_totalprice), 2) AS windowed_total
+    FROM events e LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+      AND epoch(e.ts) - epoch(o.o_orderdate) <= 2592000
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def q_asof_windowed_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """BatchedWindowService over a summing store: each event sees the
+    running total of right rows within the last 30 days — a RANGE-frame
+    window over epoch seconds (closes the r1 NotImplementedError for
+    mode='sum' + max_age)."""
+    ev = load_table(spark, sf, "events")
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate"),
+        F.col("o_totalprice").alias("windowed_total"),
+    )
+    joined = as_of_join(
+        ev.select("event_id", "user_id", "ts"),
+        orders,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["windowed_total"],
+        mode="sum",
+        semigroup="sum",
+        max_age=30 * 86400,
+    )
+    return joined.select(
+        "event_id", "user_id", F.round("windowed_total", 2).alias("windowed_total")
+    )
+
+
 # --------------------------------------------------------------- lambda view
 
 @query(
@@ -1199,6 +1236,116 @@ def q_keyed_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         .sum_by_key("doubled", semigroup="sum_long")
     )
     return to_dataframe(spark, k.snapshot()).select("et", F.col("value").alias("total"))
+
+
+@query(
+    "flat_map_values_explode",
+    """
+    SELECT user_id, CAST(sum(v) AS BIGINT) AS total
+    FROM (
+      SELECT user_id,
+             unnest([CAST(round(value) AS BIGINT), CAST(round(value) AS BIGINT) * 2]) AS v
+      FROM events
+    ) GROUP BY user_id
+    """,
+)
+def q_flat_map_values_explode(spark: SparkSession, sf: str) -> DataFrame:
+    """flatMapValues (Producer.scala:371-372): one value explodes to many,
+    key preserved, straight into the summer."""
+    k = (
+        _events(sf)
+        .key_by("user_id")
+        .flat_map_values(
+            "array(cast(round(value) as long), cast(round(value) as long) * 2)",
+            alias="v",
+        )
+        .sum_by_key("v", semigroup="sum_long")
+    )
+    return to_dataframe(spark, k.snapshot()).select(
+        "user_id", F.col("value").alias("total")
+    )
+
+
+@query(
+    "collect_keys_values",
+    """
+    SELECT user_id // 3 AS uid, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total
+    FROM events WHERE user_id % 3 = 0 AND value > 5
+    GROUP BY 1
+    """,
+)
+def q_collect_keys_values(spark: SparkSession, sf: str) -> DataFrame:
+    """collectKeys + collectValues (Producer.scala:352-369): the
+    PartialFunction pair — filter+remap on the key side, then on the value
+    side — fused into scan-level predicates and projections."""
+    k = (
+        _events(sf)
+        .key_by("user_id")
+        .collect_keys("user_id % 3 = 0", uid=F.expr("user_id div 3"))
+        .collect_values("value > 5", cents=F.round(F.col("value") * 100).cast("long"))
+        .sum_by_key("cents", semigroup="sum_long")
+    )
+    return to_dataframe(spark, k.snapshot()).select(
+        "uid", F.col("value").alias("total")
+    )
+
+
+@query(
+    "named_shards_sum",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_named_shards_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """name() + per-name Options (Producer.scala:228, Options.scala:27-60):
+    the summer named 'agg' gets a shards override (FlatMapShards/Reducers
+    analog) — physical-only, so the oracle is the plain aggregate."""
+    from .batch.planner import BatchPlanner
+    from .core.options import Options
+
+    p = (
+        _events(sf)
+        .sum_by_key("event_type", F.lit(1), semigroup="sum_long")
+        .name("agg")
+    )
+    opts = Options().set("agg", shards=8)
+    # unit batcher ⇒ one (prev=NULL, delta=total) row per key
+    return (
+        BatchPlanner(spark, options=opts)
+        .plan(p)
+        .run()
+        .select("event_type", F.col("delta").alias("n"))
+    )
+
+
+@query(
+    "also_write_sum",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS clicks
+    FROM events WHERE event_type = 'click'
+    GROUP BY user_id
+    """,
+)
+def q_also_write_sum(spark: SparkSession, sf: str) -> DataFrame:
+    """write() + also() (Producer.scala:277, 297-311): one branch written
+    to a sink for its side effect, the other emitted — the job runs both;
+    the oracle grades the emitted branch (the write is asserted by
+    pytest)."""
+    import tempfile
+
+    from .sinks.sinks import ParquetSink
+
+    sink = ParquetSink(tempfile.mkdtemp(prefix="sb_also_"))
+    effects = _events(sf).filter("event_type = 'purchase'").write(sink)
+    result = (
+        _events(sf)
+        .filter("event_type = 'click'")
+        .sum_by_key("user_id", F.lit(1), semigroup="sum_long")
+        .snapshot()
+    )
+    p = effects.also(result)
+    return to_dataframe(spark, p).select("user_id", F.col("value").alias("clicks"))
 
 
 @query(

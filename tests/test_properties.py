@@ -164,6 +164,46 @@ def test_asof_join_replay_property(spark, lefts, rights):
     assert got == want
 
 
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lefts=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=25),
+    rights=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=0, max_value=99),
+        ),
+        min_size=0,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    age=st.integers(min_value=1, max_value=200),
+)
+def test_asof_windowed_sum_property(spark, lefts, rights, age):
+    """mode='sum' + max_age (windowed running total, the RANGE-frame path)
+    vs a dict oracle: each left sees the sum of right values with
+    0 <= t_l - t_r <= max_age; NULL when none are visible."""
+    from summingbird_spark.operators.asof import as_of_join
+
+    ldf = spark.createDataFrame(
+        [(BASE + dt.timedelta(seconds=s), "k", i) for i, s in enumerate(lefts)],
+        "t timestamp, key string, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(BASE + dt.timedelta(seconds=s), "k", v) for s, v in rights],
+        "t timestamp, key string, val long",
+    )
+    out = as_of_join(
+        ldf, rdf, "key", "t", "t", ["val"], mode="sum", semigroup="sum",
+        max_age=age,
+    )
+    got = {r.lid: r.val for r in out.collect()}
+    want = {}
+    for i, s in enumerate(lefts):
+        vis = [v for rs, v in rights if rs <= s and s - rs <= age]
+        want[i] = sum(vis) if vis else None
+    assert got == want
+
+
 def test_streaming_summer_plan_shape(spark, tmp_path):
     """Planner-shape invariant (TopologyTests analog): the streaming summer
     plan contains exactly one stateful FlatMapGroupsInPandasWithState node
