@@ -411,12 +411,31 @@ class BatchPlanner:
         (the reference hand-builds this: BatchedStore.scala:115-130
         sumByBatches; FinalFlatMap map-side caches)."""
         if sg.commutative:
-            agg = sg.agg(F.col(va))
-        else:
-            # non-commutative ⇒ time-sorted fold (BatchedStore.scala:199-203)
-            agg = sg.agg_ordered(F.col(TIME_COL), F.col(va))
-        return base.groupBy(*keys, "batch_id").agg(
-            agg.alias("delta"), F.max(TIME_COL).alias(TIME_COL)
+            return base.groupBy(*keys, "batch_id").agg(
+                sg.agg(F.col(va)).alias("delta"), F.max(TIME_COL).alias(TIME_COL)
+            )
+        # non-commutative ⇒ time-sorted fold (BatchedStore.scala:199-203).
+        # Default is one collect+sort per (key, batch) — bounded by the
+        # key's per-batch event count. For hot keys set the per-name
+        # option `ordered_chunk_ms`: a two-phase ordered fold (fold within
+        # time chunks, then fold the chunk results in chunk order —
+        # associativity makes the split exact) bounds each buffer by the
+        # chunk's events / the batch's chunk count, at the cost of a
+        # second shuffle.
+        chunk_ms = self._opt("ordered_chunk_ms")
+        if not chunk_ms:
+            return base.groupBy(*keys, "batch_id").agg(
+                sg.agg_ordered(F.col(TIME_COL), F.col(va)).alias("delta"),
+                F.max(TIME_COL).alias(TIME_COL),
+            )
+        chunk = F.floor(F.unix_millis(F.col(TIME_COL)) / F.lit(int(chunk_ms)))
+        per_chunk = base.groupBy(*keys, "batch_id", chunk.alias("__chunk__")).agg(
+            sg.agg_ordered(F.col(TIME_COL), F.col(va)).alias("__cv__"),
+            F.max(TIME_COL).alias(TIME_COL),
+        )
+        return per_chunk.groupBy(*keys, "batch_id").agg(
+            sg.agg_ordered(F.col("__chunk__"), F.col("__cv__")).alias("delta"),
+            F.max(TIME_COL).alias(TIME_COL),
         )
 
     def _compile_summer(self, node: g.Summer) -> DataFrame:

@@ -226,6 +226,55 @@ def lsh_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine ≥ threshold — the
+    embedding-cosine near-duplicate detector.
+
+    Physical shape: the corpus is collected once into a broadcast matrix
+    (bounded like any broadcast join side — fine to ~10^6 vectors); each
+    partition then does ONE numpy matmul of its Arrow batch against the
+    matrix and emits only threshold survivors. Linear in |corpus| per
+    partition, no pairwise shuffle, BLAS-vectorized. Beyond broadcastable
+    corpus sizes, pre-filter with ``lsh_topk``-style bucket candidates and
+    use this as the exact verify kernel on candidates only.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    b = corpus.sparkSession.sparkContext.broadcast((ids, Mn))
+
+    def gen(batches):
+        ids_b, Mn_b = b.value
+        for pdf in batches:
+            A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            An = A / np.linalg.norm(A, axis=1, keepdims=True)
+            S = An @ Mn_b.T
+            aid = pdf[id_col].to_numpy()
+            ia, ib = np.nonzero(S >= threshold)
+            keep = aid[ia] < ids_b[ib]  # each unordered pair once
+            yield pd.DataFrame(
+                {
+                    "id_a": aid[ia][keep],
+                    "id_b": ids_b[ib][keep],
+                    "sim": np.round(S[ia, ib][keep], round_to),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        gen, "id_a long, id_b long, sim double"
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

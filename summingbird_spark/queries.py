@@ -755,6 +755,28 @@ def q_embedding_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_topk(emb, queries, "vec_id", "embedding", k=5, planes=6, tables=8)
 
 
+@query(
+    "dedup_embedding_cosine",
+    """
+    WITH p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS sim_raw
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(sim_raw, 6) AS sim FROM p WHERE sim_raw >= 0.4
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the 5th dedup family member):
+    blocked matmul against a broadcast corpus matrix — one BLAS call per
+    Arrow batch, no pairwise shuffle. At beyond-broadcast scale the same
+    kernel verifies LSH bucket candidates instead of the full matrix."""
+    from .functions.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
 @query("embedding_ivf_topk")
 def q_embedding_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN end-to-end: spherical k-means centroids (DataFrame Lloyd's),

@@ -213,6 +213,87 @@ class StreamPlanner(BatchPlanner):
         return stateful_summer(base, node.keys, va, sg)
 
 
+class CumulativeCounters:
+    """Job-lifetime counters for streaming plans — accumulates every
+    observation's numeric metrics across triggers via a
+    StreamingQueryListener (the reference's cumulative counters surface,
+    Stats/SummingbirdRuntimeStats: counters are totals over the job, not
+    per-trigger snapshots; ``observed_metrics`` below gives the per-trigger
+    view).
+
+    Usage::
+
+        counters = CumulativeCounters().attach(spark)
+        ... run queries with .observe(...) nodes ...
+        counters.wait_for("my_obs")          # listener events are async
+        counters.totals["my_obs"]["n"]
+
+    Numeric fields sum across triggers; non-numeric fields keep the latest
+    value.
+    """
+
+    def __init__(self):
+        self.totals: dict = {}
+        self._listener = None
+
+    def _accumulate(self, progress) -> None:
+        om = progress.observedMetrics if hasattr(progress, "observedMetrics") else None
+        if not om:
+            return
+        for name, row in om.items():
+            d = row.asDict() if hasattr(row, "asDict") else dict(row)
+            tot = self.totals.setdefault(name, {})
+            for k, v in d.items():
+                if isinstance(v, bool) or not isinstance(v, (int, float)):
+                    tot[k] = v
+                elif v is not None:
+                    tot[k] = tot.get(k, 0) + v
+
+    def attach(self, spark: SparkSession) -> "CumulativeCounters":
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                outer._accumulate(event.progress)
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        self._listener = _L()
+        spark.streams.addListener(self._listener)
+        return self
+
+    def detach(self, spark: SparkSession) -> None:
+        if self._listener is not None:
+            spark.streams.removeListener(self._listener)
+            self._listener = None
+
+    def wait_for(self, obs_name: str, timeout_s: float = 30.0,
+                 until=None) -> dict:
+        """Listener delivery is asynchronous: block until the named
+        observation has arrived — and, when ``until(totals)`` is given,
+        until that predicate holds (e.g. a known expected count; without
+        it an early trigger's totals may be returned while later events
+        are still in flight)."""
+        import time
+
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            t = self.totals.get(obs_name)
+            if t is not None and (until is None or until(t)):
+                return t
+            time.sleep(0.1)
+        raise TimeoutError(f"observed metrics {obs_name!r}: not arrived/satisfied")
+
+
 def observed_metrics(query) -> dict:
     """Accumulated observed metrics across a query's progress events:
     {observation_name: [per-trigger row dicts]} — the streaming face of

@@ -166,3 +166,45 @@ def test_streaming_observe_counters(spark, tmp_path):
     q.awaitTermination(120)
     per_trigger = observed_metrics(q)["seen"]
     assert sorted(m["n"] for m in per_trigger) == [30, 30]
+
+
+def test_cumulative_streaming_counters(spark, tmp_path):
+    """CumulativeCounters: job-lifetime totals across triggers via a
+    StreamingQueryListener (the reference's counters are cumulative, not
+    per-trigger)."""
+    import glob, shutil
+
+    from summingbird_spark.streaming.planner import (
+        CumulativeCounters,
+        StreamPlanner,
+        stream_source,
+    )
+
+    (tmp_path / "src").mkdir()
+    for i, chunk in enumerate([ROWS[:20], ROWS[20:45], ROWS[45:]]):
+        spark.createDataFrame(chunk, "ts timestamp, key string, value long, user string") \
+            .coalesce(1).write.parquet(str(tmp_path / f"w{i}"))
+        for f in glob.glob(str(tmp_path / f"w{i}" / "*.parquet")):
+            shutil.move(f, str(tmp_path / "src" / f"c{i}.parquet"))
+        shutil.rmtree(str(tmp_path / f"w{i}"))
+
+    counters = CumulativeCounters().attach(spark)
+    try:
+        src = stream_source(
+            str(tmp_path / "src"),
+            "ts timestamp, key string, value long, user string",
+            time_col="ts",
+            max_files_per_trigger=1,
+        )
+        p = src.observe("lifetime", n=F.count(F.lit(1)), v=F.sum("value"))
+        q = StreamPlanner(spark).plan(p).start_to_memory(
+            spark, "cum_out", output_mode="append"
+        )
+        q.awaitTermination(120)
+        got = counters.wait_for(
+            "lifetime", until=lambda t: t.get("n", 0) >= len(ROWS)
+        )
+        assert got["n"] == len(ROWS)
+        assert got["v"] == sum(r[2] for r in ROWS)
+    finally:
+        counters.detach(spark)

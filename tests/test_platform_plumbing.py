@@ -276,3 +276,27 @@ def test_rollforward_forces_utc_session(spark, events_df, tmp_path):
         assert got == sum(range(96))  # hours 0..95 all inside days 0-3
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_ordered_chunk_fold_matches_unchunked(spark):
+    """ordered_chunk_ms: two-phase time-chunked ordered fold (bounded
+    buffers for hot keys) must equal the single collect+sort fold for a
+    non-commutative semigroup."""
+    from summingbird_spark.batch.planner import BatchPlanner
+
+    rows = [(ts(i), "hot" if i % 4 else f"k{i % 3}", chr(97 + i % 26)) for i in range(200)]
+    df = spark.createDataFrame(rows, "ts timestamp, key string, value string")
+
+    def run(options):
+        p = (
+            source(df, time_col="ts")
+            .sum_by_key("key", "value", semigroup="concat", batcher=sb.of_days(2))
+            .name("agg")
+        )
+        out = BatchPlanner(spark, options=options).plan(p).run()
+        return {(r.key, r.batch_id): (r.prev, r.delta) for r in out.collect()}
+
+    plain = run(None)
+    chunked = run(Options().set("agg", ordered_chunk_ms=3 * 3600 * 1000))
+    assert plain == chunked
+    assert any(len(d) > 20 for _, d in plain.values())  # hot key exists

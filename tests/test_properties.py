@@ -84,6 +84,51 @@ def test_rollforward_split_property(spark, rows, width, split, tmp_path_factory)
     assert got == dict(want)
 
 
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=events_strategy,
+    width=width_strategy,
+    split=st.integers(min_value=0, max_value=120),
+)
+def test_client_merge_split_property(spark, rows, width, split, tmp_path_factory):
+    """Any offline/online split of the batch range: client_view(offline
+    snapshot through B, online per-batch deltas > B) == one-shot totals
+    (ClientStore.scala:123-174 — the lambda identity for every split, not
+    just one)."""
+    from pyspark.sql import functions as F
+
+    from summingbird_spark.client.merge import client_view
+
+    data = [(BASE + dt.timedelta(seconds=s), k, v) for s, k, v in rows]
+    df = spark.createDataFrame(data, "ts timestamp, key string, value long").withColumn(
+        sb.TIME_COL, F.col("ts")
+    )
+    batcher = sb.of_millis(width)
+    b_lo = min(batcher.batch_of(t) for t, _, _ in data)
+    b_hi = max(batcher.batch_of(t) for t, _, _ in data)
+    b_cut = min(b_lo + split, b_hi)
+
+    d = tmp_path_factory.mktemp("cmprop")
+    offline = sb.VersionedBatchStore(str(d / "off"), ["key"], "sum_long")
+    sb.rollforward(spark, offline, df, batcher, b_cut)
+
+    online = (
+        df.withColumn("batch_id", batcher.batch_col(F.col("ts")))
+        .groupBy("key", "batch_id")
+        .agg(F.sum("value").cast("long").alias("value"))
+    )
+    merged = client_view(
+        offline.read_last(spark)[1], online, ["key"], "sum_long",
+        offline_batch=b_cut,
+    )
+    got = {r.key: r.value for r in merged.collect()}
+
+    want = defaultdict(int)
+    for _, k, v in data:
+        want[k] += v
+    assert got == dict(want)
+
+
 def test_month_batcher_calendar_semantics(spark):
     """Months are variable-width: Jan 31 and Feb 1 land in different
     batches; batch bounds are calendar month starts."""
