@@ -11,7 +11,7 @@ from .batch import batcher
 from .batch.batcher import Batcher, of_days, of_hours, of_millis, of_minutes, of_seconds, UNIT
 from .batch.planner import BatchPlanner, plan, to_dataframe
 from .batch.store import InitialBatchedStore, VersionedBatchStore, rollforward
-from .core.service import BufferService, Service, StoreService, TemporalService
+from .core.service import BufferService, ExternalLookupService, Service, StoreService, TemporalService
 from .sinks.sinks import MemorySink, ParquetSink
 
 __all__ = [
@@ -41,6 +41,7 @@ __all__ = [
     "TemporalService",
     "BufferService",
     "StoreService",
+    "ExternalLookupService",
     "MemorySink",
     "ParquetSink",
 ]

@@ -253,8 +253,15 @@ class BatchPlanner:
         TemporalService → as_of_join (BatchedService/StoreService
         semantics); BufferService → time-range theta join (the batch
         replay of the online Buffer, Producer.scala:396-399)."""
-        from ..core.service import BufferService, StoreService, TemporalService
+        from ..core.service import (
+            BufferService,
+            ExternalLookupService,
+            StoreService,
+            TemporalService,
+        )
 
+        if isinstance(node.service, ExternalLookupService):
+            return self._compile_external_lookup(node)
         if isinstance(node.service, StoreService):
             return self._compile_loop_join(node)
         if isinstance(node.service, TemporalService):
@@ -298,6 +305,46 @@ class BatchPlanner:
         if bcast:
             right = F.broadcast(right)
         return left.join(right, on=node.on, how="left")
+
+    def _compile_external_lookup(self, node: g.LeftJoin) -> DataFrame:
+        """Batched external lookups (FlatMapOperation.combine multiGet):
+        one fetch() per Arrow batch over its unique keys, inside
+        mapInPandas — IO amplification is 1/batch, not 1/event, and the
+        same stage runs unchanged on streaming DataFrames."""
+        svc = node.service
+        left = self.compile(node.parents[0])
+        on = list(node.on)
+        fetch = svc.fetch
+        in_fields = [f"`{f.name}` {f.dataType.simpleString()}" for f in left.schema.fields]
+        schema = ", ".join(in_fields) + ", " + svc.value_schema
+        val_names = [c.split()[0].strip("`") for c in svc.value_schema.split(",")]
+        single = len(on) == 1
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if single:
+                    keys = pdf[on[0]]
+                    uniq = list(pd.unique(keys))
+                else:
+                    keys = list(zip(*[pdf[c] for c in on]))
+                    uniq = list(dict.fromkeys(keys))
+                got = fetch(uniq) if uniq else {}
+                out = pdf.copy()
+                rows = [got.get(k) for k in keys]
+                for i, vn in enumerate(val_names):
+                    if len(val_names) == 1:
+                        out[vn] = [
+                            (r[0] if isinstance(r, (tuple, list)) else r)
+                            if r is not None else None
+                            for r in rows
+                        ]
+                    else:
+                        out[vn] = [r[i] if r is not None else None for r in rows]
+                yield out
+
+        return left.mapInPandas(gen, schema)
 
     def _compile_loop_join(self, node: g.LeftJoin) -> DataFrame:
         """Loop join (ScaldingPlatform.scala:430-469; scanLeft semantics

@@ -49,6 +49,32 @@ class EmptyService(Service):
         super().__init__(load)
 
 
+class ExternalLookupService(Service):
+    """A Python-callable lookup — the storehaus ReadableStore multiGet
+    analog (online/FlatMapOperation.scala:101-137 ``combine``: service
+    lookups batched inside the flatMap operator, never per-event IO).
+
+    ``fetch(keys) -> dict`` is called ONCE per Arrow batch with that
+    batch's unique keys (scalars for a single join column, tuples
+    otherwise) and returns ``{key: value-tuple-or-scalar}``; missing keys
+    join as NULLs. ``value_schema`` is the DDL of the appended columns
+    (e.g. ``"label string, score double"``). Both planners compile
+    ``left_join`` against it to a ``mapInPandas`` stage, so the same DAG
+    does batched RPC enrichment in batch and on a stream.
+    """
+
+    def __init__(self, fetch: Callable, value_schema: str):
+        super().__init__(loader=None, broadcast=False)
+        self.fetch = fetch
+        self.value_schema = value_schema
+
+    def dataframe(self, spark):  # pragma: no cover - defensive
+        raise TypeError(
+            "ExternalLookupService has no DataFrame; it compiles inside "
+            "left_join as a batched mapInPandas lookup"
+        )
+
+
 class TemporalService(Service):
     """A changelog-backed temporal service: ``left_join`` against it sees
     the right value AS OF each left event's time, not a static snapshot.

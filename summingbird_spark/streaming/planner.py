@@ -154,8 +154,17 @@ class StreamPlanner(BatchPlanner):
           (``streaming.joins``);
         * plain Service → inherited stream-static broadcast join.
         """
-        from ..core.service import BufferService, StoreService, TemporalService
+        from ..core.service import (
+            BufferService,
+            ExternalLookupService,
+            StoreService,
+            TemporalService,
+        )
 
+        if isinstance(node.service, ExternalLookupService):
+            # the batch compile is a mapInPandas stage — valid on a
+            # streaming DataFrame as-is (per-micro-batch batched IO)
+            return super()._compile_left_join(node)
         if isinstance(node.service, StoreService):
             svc = node.service
             left = self.compile(node.parents[0])

@@ -300,3 +300,43 @@ def test_ordered_chunk_fold_matches_unchunked(spark):
     chunked = run(Options().set("agg", ordered_chunk_ms=3 * 3600 * 1000))
     assert plain == chunked
     assert any(len(d) > 20 for _, d in plain.values())  # hot key exists
+
+
+def test_external_lookup_service_batch_and_stream(spark, events_df, tmp_path):
+    """left_join(ExternalLookupService): one fetch per Arrow batch over
+    unique keys (FlatMapOperation.combine multiGet semantics), same DAG on
+    batch and stream; missing keys join as NULL."""
+    import glob, shutil
+
+    from summingbird_spark.streaming.planner import StreamPlanner, stream_source
+
+    def fetch(keys):
+        # pretend-RPC: only even keys exist
+        return {k: (f"name-{k}", len(str(k))) for k in keys if k in ("k0", "k2")}
+
+    svc = sb.ExternalLookupService(fetch, "svc_name string, svc_len long")
+    p = source(events_df, time_col="ts").left_join(svc, on="key")
+    rows = to_dataframe(spark, p).collect()
+    assert len(rows) == 96
+    for r in rows:
+        if r.key in ("k0", "k2"):
+            assert r.svc_name == f"name-{r.key}" and r.svc_len == 2
+        else:
+            assert r.svc_name is None and r.svc_len is None
+
+    # same DAG through the streaming planner
+    d = tmp_path / "src"
+    d.mkdir()
+    events_df.coalesce(1).write.parquet(str(tmp_path / "w"))
+    for f in glob.glob(str(tmp_path / "w" / "*.parquet")):
+        shutil.move(f, str(d / "c0.parquet"))
+    src = stream_source(str(d), "ts timestamp, key string, value long", time_col="ts")
+    q = (
+        StreamPlanner(spark)
+        .plan(src.left_join(svc, on="key"))
+        .start_to_memory(spark, "ext_lookup", output_mode="append")
+    )
+    q.awaitTermination(120)
+    srows = spark.sql("SELECT key, svc_name FROM ext_lookup").collect()
+    assert len(srows) == 96
+    assert all((r.svc_name == f"name-{r.key}") == (r.key in ("k0", "k2")) for r in srows)

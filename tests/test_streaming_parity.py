@@ -358,3 +358,55 @@ def test_streaming_loop_join_parity(spark, stream_dir):
         (r.key, r.ts): r.seen for r in to_dataframe(spark, bp).collect()
     }
     assert len(want) == len(ROWS) and got == want
+
+
+def test_streaming_asof_out_of_order_contract(spark, tmp_path):
+    """The online temporal join is BEST-EFFORT under cross-trigger
+    disorder (the reference's online contract: no retro-correction; the
+    batch layer is authoritative — SURVEY §2.5 late-data policy). A right
+    update arriving a trigger AFTER a probe it precedes in event time is
+    NOT retro-applied to that probe, while the batch as-of applies it."""
+    import glob, shutil
+
+    def write_chunk(dirpath, name, rows, schema):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / "w")
+        )
+        for f in glob.glob(str(tmp_path / "w" / "*.parquet")):
+            shutil.move(f, str(dirpath / name))
+        shutil.rmtree(str(tmp_path / "w"))
+
+    rdir, ldir = tmp_path / "right", tmp_path / "left"
+    rdir.mkdir(), ldir.mkdir()
+    R = "rts timestamp, key string, rv long"
+    L = "ts timestamp, key string, probe_id long"
+    # trigger 1: right@10, probe@30 | trigger 2: LATE right@20, probe@40
+    write_chunk(rdir, "c0.parquet", [(ts(10), "k", 1)], R)
+    write_chunk(rdir, "c1.parquet", [(ts(20), "k", 2)], R)
+    write_chunk(ldir, "c0.parquet", [(ts(30), "k", 30)], L)
+    write_chunk(ldir, "c1.parquet", [(ts(40), "k", 40)], L)
+
+    lsrc = stream_source(str(ldir), L, time_col="ts", max_files_per_trigger=1)
+    rsrc = stream_source(str(rdir), R, max_files_per_trigger=1)
+    svc = sb.TemporalService(rsrc, time_col="rts", mode="latest")
+    q = (
+        StreamPlanner(spark)
+        .plan(lsrc.left_join(svc, on="key"))
+        .start_to_memory(spark, "ooo_asof")
+    )
+    q.awaitTermination(120)
+    got = {
+        r.probe_id: r.rv for r in spark.sql("SELECT probe_id, rv FROM ooo_asof").collect()
+    }
+    # probe@30 ran in trigger 1: it saw right@10 only (no retro-fill);
+    # probe@40 (trigger 2) sees the late right@20
+    assert got == {30: 1, 40: 2}
+
+    # the batch as-of IS retroactive: probe@30 sees right@20
+    ldf = spark.read.schema(L).parquet(str(ldir))
+    rdf = spark.read.schema(R).parquet(str(rdir))
+    bp = source(ldf, time_col="ts").left_join(
+        sb.TemporalService(rdf, time_col="rts", mode="latest"), on="key"
+    )
+    want = {r.probe_id: r.rv for r in to_dataframe(spark, bp).collect()}
+    assert want == {30: 2, 40: 2}
