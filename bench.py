@@ -37,8 +37,17 @@ def main() -> None:
 
     from summingbird_spark.queries import QUERIES
 
-    # JVM/codegen warmup on a trivial action (excluded from timings)
+    # Warmup (excluded from timings): JVM/codegen, one parquet scan, and
+    # the Python worker daemons (reused by every later mapInPandas /
+    # applyInPandas stage) — session-startup cost, not query cost.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    try:
+        from summingbird_spark.sources.tables import load_table
+
+        load_table(spark, sf_dir, "region").count()
+    except Exception:
+        pass
+    spark.range(1000).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():

@@ -117,10 +117,16 @@ def minhash_table(
         ),
     )
     if portable:
-        aggs = [
-            F.min(F.md5(F.concat(F.lit(str(s)), F.lit("|"), F.col("__w__")))).alias(f"h{s}")
-            for s in range(num_perm)
-        ]
+        # one md5 yields TWO 64-bit-equivalent hash functions (its hex
+        # halves, minimized independently) — halves the md5 work, the
+        # dominant cost of the portable path; Spark's subexpression
+        # elimination computes each md5 once per row across both mins
+        assert num_perm % 2 == 0, "portable minhash derives 2 perms per md5"
+        aggs = []
+        for s in range(num_perm // 2):
+            fh = F.md5(F.concat(F.lit(f"{s}|"), F.col("__w__")))
+            aggs.append(F.min(F.substring(fh, 1, 16)).alias(f"h{2 * s}"))
+            aggs.append(F.min(F.substring(fh, 17, 16)).alias(f"h{2 * s + 1}"))
     else:
         aggs = [F.min(F.xxhash64(F.col("__w__"), F.lit(s))).alias(f"h{s}") for s in range(num_perm)]
     return sh.groupBy(id_col).agg(*aggs)

@@ -332,6 +332,8 @@ def kmeans_train(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
             < int(sample_fraction * 1_000_000)
         )
+    # every iteration re-reads the training set (assign + mean): cache it
+    data = data.cache()
 
     # hash-ordered limit compiles to TakeOrderedAndProject (bounded, never
     # a global sort); ranking the k survivors is bounded by the limit
@@ -372,6 +374,7 @@ def kmeans_train(
         centroids = new_c.cache()
         centroids.count()  # materialize this round
         old.unpersist()
+    data.unpersist()
     return centroids
 
 

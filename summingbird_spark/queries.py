@@ -606,12 +606,13 @@ def q_loop_join_dsl(spark: SparkSession, sf: str) -> DataFrame:
              i -> array_to_string(t[i:i+2], ' ')))) AS w
       FROM tl WHERE len(t) >= 3
     ), mh AS (
-      SELECT doc_id, s, min(md5(s::VARCHAR || '|' || w)) AS h
-      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS s) seeds
+      SELECT doc_id, s,
+             min(substr(md5(s::VARCHAR || '|' || w), 1, 16)) AS h1,
+             min(substr(md5(s::VARCHAR || '|' || w), 17, 16)) AS h2
+      FROM sh CROSS JOIN (SELECT unnest(range(4)) AS s) seeds
       GROUP BY doc_id, s
     ), bandkeys AS (
-      SELECT doc_id, s // 2 AS band, string_agg(h, '#' ORDER BY s) AS bkey
-      FROM mh GROUP BY doc_id, s // 2
+      SELECT doc_id, s AS band, h1 || '#' || h2 AS bkey FROM mh
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bandkeys a JOIN bandkeys b USING (band, bkey)
@@ -644,12 +645,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     ), sh AS (
       SELECT doc_id, unnest(s) AS w FROM s3
     ), mh AS (
-      SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || w)) AS h
-      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
+      SELECT doc_id, seed,
+             min(substr(md5(seed::VARCHAR || '|' || w), 1, 16)) AS h1,
+             min(substr(md5(seed::VARCHAR || '|' || w), 17, 16)) AS h2
+      FROM sh CROSS JOIN (SELECT unnest(range(4)) AS seed) seeds
       GROUP BY doc_id, seed
     ), bandkeys AS (
-      SELECT doc_id, seed // 2 AS band, string_agg(h, '#' ORDER BY seed) AS bkey
-      FROM mh GROUP BY doc_id, seed // 2
+      SELECT doc_id, seed AS band, h1 || '#' || h2 AS bkey FROM mh
     ), pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bandkeys a JOIN bandkeys b USING (band, bkey)
