@@ -2,9 +2,27 @@
 
 These are the Spark-native extensions beyond the reference's surface
 (SURVEY §7 phase 6): tokenization, token statistics, quality scoring,
-language-ID heuristic, and document fingerprints — all pure Column
-expressions (JVM-side, whole-stage-codegen; no Python UDFs), so they run
-at scan speed on 100 TB inputs.
+language-ID heuristic, and document fingerprints.
+
+Scale note (the round-2 lesson): higher-order-function lambdas
+(``F.filter``/``F.aggregate``/``F.transform``) compile to *interpreted*
+``ArrayFilter``/``ArrayAggregate`` expressions that fall out of
+whole-stage codegen and run ~0.1-1 MB/s/core. Everything here is instead
+expressed with codegen-able string/regexp primitives:
+
+* token counts      -> ``size(split(trim(text), ' +'))``
+* stopword counts   -> ``regexp_count`` over a space-doubled padded string
+* mean token length -> ``length(translate(text, ' ', '')) / n_tokens``
+* fingerprints      -> hash of ``trim(regexp_replace(text, ' +', ' '))``
+
+The only remaining HOF is ``shingles`` (word n-grams need an array
+``transform``); its consumers (MinHash/Jaccard) immediately explode, so
+the lambda touches each shingle once and the cost is dominated by
+hashing, not interpretation.
+
+Token semantics (shared with every DuckDB oracle): a token is a maximal
+run of non-space characters after ``lower()``; splitting is on the space
+character only (tabs/newlines stay inside tokens), empties dropped.
 """
 
 from __future__ import annotations
@@ -23,21 +41,45 @@ STOPWORDS = {
 
 
 def tokenize(text: Column, pattern: str = " ") -> Column:
-    """Whitespace tokenization; empty tokens dropped."""
-    return F.filter(F.split(text, pattern), lambda t: t != F.lit(""))
+    """Tokens as an array; empty tokens dropped.
+
+    For the default single-space pattern this is pure codegen:
+    ``split(trim(text), ' +')`` (split on space *runs* after trimming) is
+    exactly "split on space, drop empties" without an interpreted
+    ``ArrayFilter`` pass. Non-space patterns keep the general HOF path.
+    """
+    if pattern == " ":
+        t = F.trim(text)
+        return F.when(t == "", F.array().cast("array<string>")).otherwise(
+            F.split(t, " +")
+        )
+    return F.filter(F.split(text, pattern), lambda tok: tok != F.lit(""))
 
 
-def bpe_ish_tokens(text: Column) -> Column:
-    """BPE-ish sub-word split: words plus punctuation as separate tokens
-    (regex word-boundary split; a deterministic stand-in for a real BPE)."""
-    return F.filter(
-        F.split(F.regexp_replace(text, r"([^\w\s])", r" $1 "), r"\s+"),
-        lambda t: t != F.lit(""),
-    )
+def normalized_text(text: Column) -> Column:
+    """``array_join(tokenize(lower(text)), ' ')`` as one codegen expr:
+    lower-case, collapse space runs, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), " +", " "))
+
+
+def _padded(text: Column) -> Column:
+    """Every token surrounded by its own private spaces: double each
+    space, then pad both ends. Lets ``regexp_count(padded, ' (w1|w2) ')``
+    count whole-token matches without adjacent matches stealing the
+    shared separator (regexp_count is non-overlapping)."""
+    return F.concat(F.lit(" "), F.regexp_replace(text, " ", "  "), F.lit(" "))
+
+
+def _word_count(padded: Column, words: list[str]) -> Column:
+    pat = " (" + "|".join(words) + ") "
+    return F.regexp_count(padded, F.lit(pat))
 
 
 def token_count(text: Column) -> Column:
-    return F.size(tokenize(text)).cast("long")
+    t = F.trim(text)
+    return (
+        F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, " +"))).cast("long")
+    )
 
 
 def unique_token_count(text: Column) -> Column:
@@ -45,35 +87,31 @@ def unique_token_count(text: Column) -> Column:
 
 
 def stopword_ratio(text: Column, lang: str = "en", ndigits: int = 4) -> Column:
-    toks = tokenize(F.lower(text))
-    stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
-    return F.round(n_stop / F.greatest(F.size(toks), F.lit(1)), ndigits)
+    n_stop = _word_count(_padded(F.lower(text)), STOPWORDS[lang])
+    return F.round(n_stop / F.greatest(token_count(text), F.lit(1)), ndigits)
 
 
 def mean_token_length(text: Column, ndigits: int = 4) -> Column:
-    toks = tokenize(text)
-    total = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
-    return F.round(total / F.greatest(F.size(toks), F.lit(1)), ndigits)
+    # sum(len(token)) == count of non-space chars == len(translate(text,' ',''))
+    total = F.length(F.translate(text, " ", "")).cast("double")
+    return F.round(total / F.greatest(token_count(text), F.lit(1)), ndigits)
 
 
 def repetition_ratio(text: Column, ndigits: int = 4) -> Column:
-    """1 - unique/total tokens: high ⇒ boilerplate/spammy repetition."""
-    toks = tokenize(text)
+    """1 - unique/total tokens: high => boilerplate/spammy repetition."""
+    n = token_count(text)
     return F.round(
-        1 - F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)),
-        ndigits,
+        1 - unique_token_count(text) / F.greatest(n, F.lit(1)), ndigits
     )
 
 
 def quality_score(text: Column, ndigits: int = 4) -> Column:
     """Composite [0,1] quality heuristic: length band + low repetition +
     reasonable mean token length. Deterministic, model-free."""
-    toks = tokenize(text)
-    n = F.size(toks)
+    n = token_count(text)
     len_ok = F.when((n >= 10) & (n <= 10_000), F.lit(1.0)).otherwise(F.lit(0.0))
-    uniq = F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))
-    mean_len = F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t)) / F.greatest(
+    uniq = unique_token_count(text) / F.greatest(n, F.lit(1))
+    mean_len = F.length(F.translate(text, " ", "")).cast("double") / F.greatest(
         n, F.lit(1)
     )
     len_band = F.when((mean_len >= 2.0) & (mean_len <= 12.0), F.lit(1.0)).otherwise(
@@ -84,26 +122,28 @@ def quality_score(text: Column, ndigits: int = 4) -> Column:
 
 def lang_id(text: Column) -> Column:
     """Stopword-vote language ID. Returns the language with the highest
-    stopword hit count, 'und' if no hits."""
-    toks = tokenize(F.lower(text))
-    scores = []
-    for lang, words in STOPWORDS.items():
-        stops = F.array(*[F.lit(s) for s in words])
-        n = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
-        scores.append(F.struct(n.alias("n"), F.lit(lang).alias("lang")))
-    best = F.array_max(F.array(*scores))
+    stopword hit count ('und' if no hits; ties break to the
+    lexicographically largest language code, matching greatest())."""
+    padded = _padded(F.lower(text))
+    scores = [
+        F.struct(
+            _word_count(padded, words).alias("n"), F.lit(lang).alias("lang")
+        )
+        for lang, words in STOPWORDS.items()
+    ]
+    best = F.greatest(*scores)
     return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
 def fingerprint(text: Column) -> Column:
     """64-bit-ish deterministic document fingerprint: xxhash64 of the
     normalized token stream (rolling-hash analog, portable)."""
-    return F.xxhash64(F.array_join(tokenize(F.lower(text)), " "))
+    return F.xxhash64(normalized_text(text))
 
 
 def md5_fingerprint(text: Column) -> Column:
     """Portable fingerprint shared with SQL oracles (DuckDB md5)."""
-    return F.md5(F.array_join(tokenize(F.lower(text)), " "))
+    return F.md5(normalized_text(text))
 
 
 def shingles(text: Column, n: int = 3) -> Column:
@@ -116,3 +156,15 @@ def shingles(text: Column, n: int = 3) -> Column:
         F.size(toks) >= n,
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-ish sub-word split: words plus punctuation as separate tokens
+    (regex word-boundary split; a deterministic stand-in for a real BPE).
+    Codegen path: pad punctuation with spaces, strip outer whitespace,
+    split on whitespace runs."""
+    padded = F.regexp_replace(text, r"([^\w\s])", r" $1 ")
+    stripped = F.regexp_replace(padded, r"^\s+|\s+$", "")
+    return F.when(
+        stripped == "", F.array().cast("array<string>")
+    ).otherwise(F.split(stripped, r"\s+"))

@@ -54,5 +54,26 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+# Tables whose consumers do CPU-heavy per-row work (hashing, signatures,
+# decode). At production scale file count provides scan parallelism, but the
+# plan must not depend on input layout: a single-file parquet scan is one
+# task, which pins the whole signature stage to one core. Spread these to
+# defaultParallelism up front; the shuffle moves only raw rows once and is
+# dwarfed by the per-row work it parallelizes.
+_CPU_HEAVY_TABLES = {"documents", "embeddings"}
+
+
+@lru_cache(maxsize=256)
+def _file_count(path: str) -> int:
+    if os.path.isdir(path):
+        return sum(1 for p in os.listdir(path) if p.endswith(".parquet"))
+    return 1
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    if name in _CPU_HEAVY_TABLES:
+        target = spark.sparkContext.defaultParallelism
+        if _file_count(f"{sf_dir}/{name}.parquet") < target:
+            df = df.repartition(target)
+    return df
