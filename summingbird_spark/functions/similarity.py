@@ -16,11 +16,17 @@
   coarse-quantized to its nearest centroid list, queries probe the
   ``nprobe`` nearest lists and rerank exactly.
 
+* ``embedding_near_dup_pairs`` — all-pairs cosine ≥ threshold dedup:
+  ``method='block'`` is the exact path (distributed tile matmul, recall
+  1.0 by construction, bounded per-task memory, no driver state);
+  ``method='lsh'`` is the subquadratic path for true near-dup thresholds
+  (LSH blocking + exact verify kernel on candidates).
+
 At 100 TB the invariant to preserve: never materialize the corpus×corpus
-product; every candidate generation step must shuffle on a small key
-(bucket id / centroid id) or broadcast the (small) query side; the final
-exact rerank touches only candidates, fetched by broadcast semi-join —
-the corpus itself is never re-shuffled.
+product in one place and never collect vectors to the driver; candidate
+generation shuffles small keys (bucket id / centroid id / block id) or
+broadcasts the (small) query side; exact scoring happens tile- or
+candidate-local, BLAS-vectorized per Arrow batch.
 """
 
 from __future__ import annotations
@@ -226,52 +232,187 @@ def lsh_topk(
     )
 
 
-def embedding_near_dup_pairs(
+def pairwise_cosine_verify(
+    pairs: DataFrame,
     corpus: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with cosine ≥ threshold — the
-    embedding-cosine near-duplicate detector.
+    """Exact-cosine verify kernel on candidate pairs (id_a, id_b): fetch
+    both vectors by join on id, score each Arrow batch with one vectorized
+    numpy row-wise dot, keep survivors ≥ threshold. Candidates shuffle by
+    id (two hash joins); vectors never fan out beyond the candidate set
+    and never touch the driver."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    Physical shape: the corpus is collected once into a broadcast matrix
-    (bounded like any broadcast join side — fine to ~10^6 vectors); each
-    partition then does ONE numpy matmul of its Arrow batch against the
-    matrix and emits only threshold survivors. Linear in |corpus| per
-    partition, no pairwise shuffle, BLAS-vectorized. Beyond broadcastable
-    corpus sizes, pre-filter with ``lsh_topk``-style bucket candidates and
-    use this as the exact verify kernel on candidates only.
+    def pair_cos_fn(va, vb):
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(va.to_numpy()).astype(np.float64)
+        B = np.stack(vb.to_numpy()).astype(np.float64)
+        s = (A * B).sum(axis=1) / (
+            np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        )
+        return pd.Series(np.round(s, round_to))
+
+    pair_cos = pandas_udf(pair_cos_fn, "double")
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("sim", pair_cos(F.col("__va__"), F.col("__vb__")))
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def lsh_near_dup_candidates(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: int = 8,
+    planes: int = 8,
+    multiprobe: bool = True,
+    arrow: bool = True,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) colliding in ≥1 LSH table — the
+    blocking stage of the approximate near-dup path. With ``multiprobe``
+    each row also probes its Hamming-1 buckets (probe keys join against
+    anchor keys, so pairs within Hamming-1 of any table collide). Only
+    (table, bucket, id) triples shuffle; vectors stay at the scan.
+
+    Recall math (size this to the threshold): a pair at angle θ splits on
+    one hyperplane with prob θ/π; P[miss] = (1 - P[Hamming ≤ 1 over
+    ``planes``])^``tables``. At near-dup thresholds (cos ≥ 0.8, θ ≤ 37°)
+    the defaults give P[miss] < 1e-5. At wide-angle thresholds (cos 0.4,
+    θ = 66°) NO parameterization both prunes and keeps recall — use
+    ``embedding_near_dup_pairs(method='block')`` there instead.
     """
+    sigs = lsh_table_signatures(F.col(vec_col), tables, planes, arrow)
+    anchors = corpus.select(
+        F.col(id_col), F.posexplode(sigs).alias("__table__", "__bucket__")
+    )
+    if multiprobe:
+        probe_list = F.transform(
+            sigs,
+            lambda s: F.array(
+                s, *[s.bitwiseXOR(F.lit(1 << b)) for b in range(planes)]
+            ),
+        )
+        probes = corpus.select(
+            F.col(id_col).alias("__pid__"),
+            F.posexplode(probe_list).alias("__table__", "__bkts__"),
+        ).select("__pid__", "__table__", F.explode("__bkts__").alias("__bucket__"))
+    else:
+        probes = anchors.select(
+            F.col(id_col).alias("__pid__"), "__table__", "__bucket__"
+        )
+    return (
+        anchors.join(probes, ["__table__", "__bucket__"])
+        .where(F.col(id_col) != F.col("__pid__"))
+        .select(
+            F.least(F.col(id_col), F.col("__pid__")).alias("id_a"),
+            F.greatest(F.col(id_col), F.col("__pid__")).alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    method: str = "block",
+    blocks: int = 8,
+    lsh_tables: int = 8,
+    lsh_planes: int = 8,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine ≥ threshold — the
+    embedding-cosine near-duplicate detector. Nothing is ever collected to
+    the driver; every method is bounded-memory per task.
+
+    ``method``:
+
+    * ``'block'`` (default) — EXACT, recall 1.0 by construction:
+      distributed tile matmul. Rows get a hash block id in [0, blocks);
+      each of the blocks(blocks+1)/2 unordered block pairs is one
+      ``applyInPandas`` group doing a single BLAS matmul over its two
+      tiles and emitting only threshold survivors. Shuffle = n × blocks
+      rows; per-task memory = 2·(n/blocks)·dim floats — size ``blocks``
+      so a tile fits an executor (at 10^8 rows, blocks ≈ 10^2-10^3).
+      Exact all-pairs is inherently Θ(n²) dot products; this spreads them
+      evenly with no driver state, the right shape when the threshold is
+      too wide for LSH to prune (see the recall math on
+      ``lsh_near_dup_candidates``).
+    * ``'lsh'`` — APPROXIMATE blocking for genuine near-dup thresholds
+      (cos ≥ ~0.8): ``lsh_near_dup_candidates`` then the exact
+      ``pairwise_cosine_verify`` kernel on candidates only. Subquadratic;
+      recall governed by (tables, planes) — see the docstring math.
+    """
+    if method == "lsh":
+        cand = lsh_near_dup_candidates(
+            corpus, id_col, vec_col, tables=lsh_tables, planes=lsh_planes
+        )
+        return pairwise_cosine_verify(
+            cand, corpus, threshold, id_col, vec_col, round_to
+        )
+    if method != "block":
+        raise ValueError(f"unknown method {method!r} (use 'block' or 'lsh')")
+
     import numpy as np
     import pandas as pd
 
-    rows = corpus.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    M = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    b = corpus.sparkSession.sparkContext.broadcast((ids, Mn))
+    spark = corpus.sparkSession
+    # tile grid: block b participates in every tile (i, j), i <= j, where
+    # b ∈ {i, j} — each unordered row pair meets in exactly one tile
+    grid = [
+        (i, j, b)
+        for i in range(blocks)
+        for j in range(i, blocks)
+        for b in ({i, j})
+    ]
+    tiles = spark.createDataFrame(grid, "ti int, tj int, __blk__ int")
+    blocked = corpus.select(
+        F.col(id_col), F.col(vec_col), F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).cast("int").alias("__blk__")
+    ).join(F.broadcast(tiles), "__blk__")
 
-    def gen(batches):
-        ids_b, Mn_b = b.value
-        for pdf in batches:
-            A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            An = A / np.linalg.norm(A, axis=1, keepdims=True)
-            S = An @ Mn_b.T
-            aid = pdf[id_col].to_numpy()
-            ia, ib = np.nonzero(S >= threshold)
-            keep = aid[ia] < ids_b[ib]  # each unordered pair once
-            yield pd.DataFrame(
-                {
-                    "id_a": aid[ia][keep],
-                    "id_b": ids_b[ib][keep],
-                    "sim": np.round(S[ia, ib][keep], round_to),
-                }
-            )
+    def tile_pairs(key, pdf):
+        ti, tj = key
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "sim": pd.Series([], dtype="float64")})
+        a_pdf = pdf[pdf["__blk__"] == ti]
+        b_pdf = pdf[pdf["__blk__"] == tj]
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return empty
+        A = np.stack(a_pdf[vec_col].to_numpy()).astype(np.float64)
+        B = np.stack(b_pdf[vec_col].to_numpy()).astype(np.float64)
+        An = A / np.linalg.norm(A, axis=1, keepdims=True)
+        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        S = An @ Bn.T
+        ida = a_pdf[id_col].to_numpy()
+        idb = b_pdf[id_col].to_numpy()
+        ia, ib = np.nonzero(S >= threshold)
+        lo = np.minimum(ida[ia], idb[ib])
+        hi = np.maximum(ida[ia], idb[ib])
+        keep = lo < hi  # drops self-pairs; same-tile dups below
+        lo, hi, sim = lo[keep], hi[keep], S[ia, ib][keep]
+        if ti == tj:  # self-tile sees each unordered pair twice
+            first = ida[ia][keep] < idb[ib][keep]
+            lo, hi, sim = lo[first], hi[first], sim[first]
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "sim": np.round(sim, round_to)}
+        )
 
-    return corpus.select(id_col, vec_col).mapInPandas(
-        gen, "id_a long, id_b long, sim double"
+    return blocked.groupBy("ti", "tj").applyInPandas(
+        tile_pairs, "id_a long, id_b long, sim double"
     )
 
 

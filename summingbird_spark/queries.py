@@ -770,13 +770,16 @@ def q_embedding_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (the 5th dedup family member):
-    blocked matmul against a broadcast corpus matrix — one BLAS call per
-    Arrow batch, no pairwise shuffle. At beyond-broadcast scale the same
-    kernel verifies LSH bucket candidates instead of the full matrix."""
+    exact distributed tile matmul — rows hash to blocks, each block pair
+    is one applyInPandas BLAS tile, nothing touches the driver. Exact
+    all-pairs at a wide-angle threshold (0.4 ⇒ θ ≤ 66°) is inherently
+    Θ(n²) dots and LSH cannot prune it at recall 1.0 (see
+    lsh_near_dup_candidates' recall math); at real near-dup thresholds
+    use method='lsh' for the subquadratic blocked+verified path."""
     from .functions.similarity import embedding_near_dup_pairs
 
     emb = load_table(spark, sf, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.4)
+    return embedding_near_dup_pairs(emb, threshold=0.4, method="block")
 
 
 @query("embedding_ivf_topk")

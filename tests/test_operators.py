@@ -208,6 +208,60 @@ def test_ivf_topk_recall_vs_brute_force(spark, clustered_corpus):
     assert recall >= 0.9, f"IVF recall@5 = {recall}"
 
 
+def _exact_pairs_numpy(rows, threshold):
+    import numpy as np
+
+    ids = np.array([r[0] for r in rows])
+    M = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    ia, ib = np.nonzero(S >= threshold)
+    return {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(ia, ib)
+        if ids[i] != ids[j]
+    }
+
+
+def test_embedding_near_dup_block_exact(spark, clustered_corpus):
+    """Tile-matmul near-dup (the no-driver-state exact path) == numpy
+    all-pairs oracle; recall 1.0 by construction, every unordered pair
+    emitted exactly once (self-tile double-count and cross-tile
+    orientation both exercised at blocks=5)."""
+    from summingbird_spark.functions.similarity import embedding_near_dup_pairs
+
+    rows = clustered_corpus.select("vec_id", "embedding").collect()
+    expected = _exact_pairs_numpy(rows, 0.85)
+    got = [
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            clustered_corpus, 0.85, method="block", blocks=5
+        ).collect()
+    ]
+    assert len(got) == len(set(got)), "pair emitted twice"
+    assert set(got) == expected
+
+
+def test_embedding_near_dup_lsh_blocked_recall(spark, clustered_corpus):
+    """LSH-blocked + exact-verify near-dup at a true near-dup threshold
+    (0.85 ⇒ θ ≤ 32°): precision 1.0 (verify kernel is exact) and recall
+    ≥ 0.99 at the defaults — deterministic planes, so this is a stable
+    measurement, not a flaky bound."""
+    from summingbird_spark.functions.similarity import embedding_near_dup_pairs
+
+    rows = clustered_corpus.select("vec_id", "embedding").collect()
+    expected = _exact_pairs_numpy(rows, 0.85)
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            clustered_corpus, 0.85, method="lsh"
+        ).collect()
+    }
+    assert got <= expected, "verify kernel admitted a below-threshold pair"
+    recall = len(got & expected) / max(len(expected), 1)
+    assert recall >= 0.99, f"LSH-blocked near-dup recall = {recall}"
+
+
 def test_salted_agg_set_union_hot_key(spark):
     from summingbird_spark.operators.skew import salted_agg
 

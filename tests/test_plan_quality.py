@@ -111,6 +111,15 @@ def test_text_family_stays_in_codegen(spark, name):
         assert interpreted not in plan, f"{name}: interpreted {interpreted} in plan"
 
 
+def test_embedding_near_dup_is_distributed_tiles(spark):
+    """The exact near-dup detector must be the distributed tile matmul
+    (FlatMapGroupsInPandas over block pairs), not a driver-side collect +
+    broadcast matrix (VERDICT r2 item 2 — driver OOM beyond ~10^6
+    vectors)."""
+    plan = plan_of(spark, "dedup_embedding_cosine")
+    assert "FlatMapGroupsInPandas" in plan
+
+
 def test_cpu_heavy_single_file_scan_is_spread(spark):
     """Signature work over a single-file documents scan must not pin to one
     task: load_table spreads CPU-heavy tables to defaultParallelism
