@@ -519,6 +519,70 @@ def kmeans_train(
     return centroids
 
 
+def ivf_index_path(
+    sf_dir: str,
+    k: int,
+    n_iter: int,
+    sample_fraction: Optional[float],
+    cache_root: Optional[str] = None,
+) -> str:
+    """Deterministic on-disk location for the IVF index artifact of one
+    (corpus, build-params) combination."""
+    import hashlib
+    import os
+    import tempfile
+
+    root = cache_root or os.path.join(
+        tempfile.gettempdir(), "summingbird_spark_ivf"
+    )
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(root, f"{key}_k{k}_i{n_iter}_s{sample_fraction}")
+
+
+def ensure_ivf_index(
+    spark,
+    sf_dir: str,
+    k: int = 16,
+    n_iter: int = 3,
+    sample_fraction: Optional[float] = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_root: Optional[str] = None,
+):
+    """The IVF index-build step, split out of the query path (an index is
+    built once and amortized over every probe — training the coarse
+    quantizer per query would be like rebuilding a B-tree per lookup).
+
+    First call trains spherical k-means on a hash-sample, quantizes the
+    corpus, and persists ``centroids`` + ``assigned`` (partitioned by
+    ``centroid_id``, so a probe's file pruning touches nprobe/k of the
+    index); later calls — including other sessions — just read the
+    artifact. Deterministic (hash init, fixed iterations): a rebuild race
+    produces byte-identical results. Returns ``(centroids, assigned)``.
+    """
+    import os
+
+    from .. sources.tables import load_table
+
+    path = ivf_index_path(sf_dir, k, n_iter, sample_fraction, cache_root)
+    c_path, a_path = os.path.join(path, "centroids"), os.path.join(path, "assigned")
+    if not (
+        os.path.exists(os.path.join(c_path, "_SUCCESS"))
+        and os.path.exists(os.path.join(a_path, "_SUCCESS"))
+    ):
+        corpus = load_table(spark, sf_dir, "embeddings")
+        centroids = kmeans_train(
+            corpus, k=k, id_col=id_col, vec_col=vec_col, n_iter=n_iter,
+            sample_fraction=sample_fraction,
+        )
+        assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+        centroids.write.mode("overwrite").parquet(c_path)
+        assigned.select(id_col, "centroid_id").write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(a_path)
+    return spark.read.parquet(c_path), spark.read.parquet(a_path)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
