@@ -539,7 +539,33 @@ def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
 # language-ID has no compact ANSI-SQL oracle (argmax over stopword votes);
 # registered without an oracle → driver records the weaker rows-only check.
-@query("lang_id")
+def _lang_id_oracle_sql() -> str:
+    """DuckDB replica of functions/text.lang_id, generated from the same
+    STOPWORDS so the two can't drift: per-language whole-token counts via
+    regexp_extract_all over the space-doubled padded string, argmax with
+    the same (count, lang-code) struct ordering greatest() uses."""
+    from .functions.text import STOPWORDS
+
+    votes = ", ".join(
+        f"len(regexp_extract_all(pd, ' ({'|'.join(ws)}) ')) AS n_{lang}"
+        for lang, ws in STOPWORDS.items()
+    )
+    structs = "list_max([" + ", ".join(
+        "{'n': n_%s, 'lang': '%s'}" % (lang, lang) for lang in STOPWORDS
+    ) + "])"
+    return f"""
+    WITH p AS (
+      SELECT doc_id, ' ' || replace(lower(text), ' ', '  ') || ' ' AS pd
+      FROM documents
+    ), v AS (SELECT doc_id, {votes} FROM p)
+    SELECT doc_id,
+           CASE WHEN ({structs}).n > 0
+                THEN ({structs}).lang ELSE 'und' END AS lang
+    FROM v
+    """
+
+
+@query("lang_id", _lang_id_oracle_sql())
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang"))
@@ -829,14 +855,28 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     return extract_features(media, "doc_id", "payload", decoder="fake")
 
 
-@query("multimodal_frame_sample")
+@query(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id, CAST(fn AS INT) AS frame_no,
+           substr(hex(encode(text)), CAST(fn * 128 + 1 AS BIGINT), 16) AS frame_hex
+    FROM (SELECT doc_id, text FROM documents),
+         LATERAL (SELECT unnest(range(CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT))) AS fn)
+    """,
+)
 def q_multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic frame sampling over an opaque binary payload (one row
+    → many frame rows via Arrow mapInPandas). Frames are projected as hex
+    for the cross-engine oracle; the operator itself emits binary."""
     from .functions.multimodal import frame_sample, pack_media
 
     docs = load_table(spark, sf, "documents").withColumn(
         "blob", F.encode(F.col("text"), "utf-8")
     )
-    return frame_sample(pack_media(docs, "blob", "video/fake"), "doc_id", "payload")
+    frames = frame_sample(pack_media(docs, "blob", "video/fake"), "doc_id", "payload")
+    return frames.select(
+        "doc_id", "frame_no", F.hex(F.col("frame_bytes")).alias("frame_hex")
+    )
 
 
 # ------------------------------------------------- windows & groupings
