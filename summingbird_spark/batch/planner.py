@@ -101,6 +101,9 @@ class BatchPlanner:
         self.observations: dict[str, object] = {}
 
     def plan(self, node: g.Producer) -> BatchPlan:
+        # batch_col mixes unix_millis with calendar functions — they only
+        # agree under a UTC session (CalendarBatcher.scala:120-124)
+        b_mod.ensure_utc(self.spark)
         self._fanout = dependants(node)
         df = self.compile(node)
         plan = BatchPlan(df, self._writes)
@@ -432,8 +435,14 @@ class BatchPlanner:
                             f"summer aggregates with {nsg!r} — the observed "
                             "state would diverge from the store"
                         )
-                break
-            if not isinstance(cur, allowed) and bad is None:
+                    break
+                # a LeftJoin on some OTHER service is not a value-transform
+                # (a dup-keyed dimension duplicates left rows): record it
+                # and KEEP WALKING — the matching StoreService join may sit
+                # deeper in the chain and still needs validation
+                if bad is None:
+                    bad = cur
+            elif not isinstance(cur, allowed) and bad is None:
                 bad = cur
             if not cur.parents:
                 break

@@ -83,8 +83,11 @@ def client_view(
     sg = sg_mod.get(semigroup)
     key_cols = list(key_cols)
     online = online_deltas
-    if offline_batch is not None and "batch_id" in online.columns:
-        online = online.where(F.col("batch_id") > F.lit(offline_batch))
+    if "batch_id" in online.columns:
+        if offline_batch is not None:
+            online = online.where(F.col("batch_id") > F.lit(offline_batch))
+        # the read bound applies even with no offline side (offline_batch
+        # None): an empty batch layer must not expose online batches > N
         if through_batch is not None:
             online = online.where(F.col("batch_id") <= F.lit(through_batch))
     if sg.commutative:

@@ -12,9 +12,11 @@ Semantics covered (SURVEY §2.2):
   each left event sees the store's *running semigroup total* as of its
   timestamp.
 * ``max_age`` — BatchedWindowService constraint ``0 <= t_l − t_r < window``
-  (scalding/service/BatchedWindowService.scala:35-72). With ``mode='sum'``
-  this is the windowed running total (a RANGE frame over epoch seconds;
-  the age bound is inclusive there — range frames have closed ends).
+  (scalding/service/BatchedWindowService.scala:35-72). NOTE the closure
+  difference: ``mode='latest'`` implements the reference's EXCLUSIVE
+  bound; ``mode='sum'`` is the windowed running total as an INCLUSIVE
+  RANGE frame over whole epoch seconds (closed frame ends — fractional
+  ages are rejected rather than silently truncated).
 
 Spark-first physical strategy: **one shuffle, no row blowup** — union both
 sides tagged, then a per-key time-ordered running window (``last(...,
@@ -125,10 +127,20 @@ def as_of_join(
                     "mode='sum' needs max_age as a plain number of seconds "
                     "(range-frame bounds are literals, not Columns)"
                 )
-            # BatchedWindowService over a summing store: the running total
-            # of right rows with 0 <= t_l - t_r <= max_age — a RANGE frame
-            # over epoch seconds (right rows at exactly t_l are included,
-            # matching the inclusive as-of; left rows contribute NULLs).
+            if max_age_num != int(max_age_num):
+                raise ValueError(
+                    "mode='sum' max_age must be a whole number of seconds "
+                    f"(RANGE frame bounds are longs); got {max_age_num!r} — "
+                    "int() truncation would silently shrink the window"
+                )
+            # CONTRACT DIFFERENCE vs mode='latest': this is the running
+            # total of right rows with 0 <= t_l - t_r <= max_age — an
+            # INCLUSIVE SQL RANGE frame over epoch seconds. mode='latest'
+            # follows the reference BatchedWindowService's EXCLUSIVE bound
+            # (0 <= t_l - t_r < max_age, BatchedWindowService.scala:35-72);
+            # a closed RANGE bound cannot express '<' on a continuous
+            # order column, so the sum window keeps SQL semantics and says
+            # so here and in the module docstring.
             frame = (
                 Window.partitionBy(*on)
                 .orderBy(F.col("__at__").cast("double"))

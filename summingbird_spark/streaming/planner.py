@@ -107,6 +107,9 @@ class StreamPlanner(BatchPlanner):
     the stateful/effect cases for the streaming execution model."""
 
     def plan(self, node: g.Producer) -> StreamPlan:
+        from ..batch.batcher import ensure_utc
+
+        ensure_utc(self.spark)
         df = self.compile(node)
         return StreamPlan(df, self._writes)
 

@@ -86,6 +86,15 @@ def streaming_as_of_join(
     is_latest = mode == "latest"
     if not is_latest and mode != "sum":
         raise ValueError(f"unknown as-of mode {mode!r}")
+    if mode == "sum" and max_age_seconds is not None:
+        # the stateful fn only consults max_age_seconds in the latest
+        # branch; silently returning UNWINDOWED running totals would be
+        # wrong results, not a missing feature (mirrors TemporalService)
+        raise NotImplementedError(
+            "streaming_as_of_join: mode='sum' with max_age_seconds is not "
+            "supported (windowed running totals need retraction state); "
+            "use the batch as_of_join for windowed sums"
+        )
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         # state: latest → {"rt": epoch_s, "vals": tuple|None-elements}

@@ -97,6 +97,37 @@ def test_client_mergeable_visibility_bound(spark, lambda_stores):
     assert pre_low["k1"] == off["k1"]  # b0+2 online delta invisible at b0+1
 
 
+def test_readable_through_batch_with_empty_offline(spark, tmp_path):
+    """readable(through_batch=N) must bound the online side even when the
+    offline store is empty — an absent batch layer is not a license to
+    serve batches beyond N."""
+    online = OnlineStore(str(tmp_path / "on"), ["key"], "sum_long")
+    online.multi_merge(
+        spark.createDataFrame(
+            [("k", 1, 10), ("k", 2, 100), ("k", 3, 1000)],
+            "key string, batch_id long, delta long",
+        )
+    )
+    empty_off = sb.VersionedBatchStore(str(tmp_path / "off"), ["key"], "sum_long")
+    cm = ClientMergeable(empty_off, online, ["key"], "sum_long")
+    view = {r.key: r.value for r in cm.readable(spark, through_batch=2).collect()}
+    assert view == {"k": 110}  # batch 3 excluded
+
+
+def test_streaming_asof_sum_with_max_age_rejected(spark):
+    """streaming_as_of_join must refuse mode='sum' + max_age_seconds
+    (the stateful fn only windows the latest branch — silently returning
+    UNWINDOWED totals would be wrong results, not a missing feature)."""
+    from summingbird_spark.streaming.temporal import streaming_as_of_join
+
+    l = spark.createDataFrame([(ts(1), "k")], "t timestamp, key string")
+    r = spark.createDataFrame([(ts(0), "k", 1.0)], "t timestamp, key string, v double")
+    with pytest.raises((NotImplementedError, ValueError)):
+        streaming_as_of_join(
+            l, r, "key", "t", "t", ["v"], mode="sum", max_age_seconds=60.0
+        )
+
+
 def test_side_effect_store_fires_with_touched_keys(spark, tmp_path):
     online = OnlineStore(str(tmp_path / "on"), ["key"], "sum_long")
     seen = []

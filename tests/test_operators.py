@@ -70,6 +70,19 @@ def test_asof_join_max_age_window(spark):
     assert got == {1: "v0", 30: None}
 
 
+def test_asof_sum_fractional_max_age_rejected(spark):
+    """mode='sum' max_age is a long RANGE bound: a fractional age must
+    raise, not silently truncate to a narrower window (0.5 -> 0)."""
+    left = spark.createDataFrame([(ts(1), "k")], "t timestamp, key string")
+    chg = spark.createDataFrame(
+        [(ts(0), "k", 1.0)], "t timestamp, key string, v double"
+    )
+    with pytest.raises(ValueError, match="whole number of seconds"):
+        as_of_join(
+            left, chg, "key", "t", "t", ["v"], mode="sum", max_age=0.5
+        ).collect()
+
+
 def test_simhash_candidates_find_near_dups(spark):
     from summingbird_spark.functions.dedup import simhash_table, simhash_candidates
 
@@ -399,6 +412,21 @@ def test_loop_join_sandwich_valid_and_rejections(spark, tmp_path):
     )
     with pytest.raises(TypeError, match="diverge"):
         to_dataframe(spark, bad_sg)
+
+    # a plain-service left_join BETWEEN the StoreService join and the
+    # summer is not a value-transform (a dup-keyed dimension duplicates
+    # left rows) — the walk must record it and keep going, not stop at
+    # the first LeftJoin it meets
+    dim = spark.createDataFrame([("k0", "x")], "key string, tag string")
+    plain = sb.Service(dim, key_cols=["key"])
+    bad_mid_join = (
+        source(df, time_col="ts")
+        .left_join(svc, on="key")
+        .left_join(plain, on="key")
+        .sum_by_key("key", "value", semigroup="sum", store=store)
+    )
+    with pytest.raises(TypeError, match="value-transforms"):
+        to_dataframe(spark, bad_mid_join)
 
 
 # ---- multimodal image decode (round 2) -------------------------------------

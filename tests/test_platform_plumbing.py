@@ -53,6 +53,22 @@ def test_named_options_drive_summer_shards(spark, events_df):
     assert "REPARTITION_BY_NUM" not in plan2
 
 
+def test_planner_forces_utc_session(spark, events_df):
+    """Planning a summer under a non-UTC session must flip the session to
+    UTC before batch_col compiles: batch assignment mixes unix_millis
+    (UTC instants) with calendar functions the session timezone
+    interprets, and the reference batchers are UTC by construction
+    (CalendarBatcher.scala:120-124)."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Australia/Sydney")
+        p = source(events_df, time_col="ts").sum_by_key("key", "value")
+        BatchPlanner(spark).plan(p)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_commutativity_option_switches_fold_path(spark):
     """MonoidIsCommutative is declared, not inferred: overriding it per
     name must switch between the sorted-fold and plain-agg physical plans."""
