@@ -10,9 +10,10 @@ from .core.semigroup import Semigroup, TopKSemigroup
 from .batch import batcher
 from .batch.batcher import Batcher, of_days, of_hours, of_millis, of_minutes, of_seconds, UNIT
 from .batch.planner import BatchPlanner, plan, to_dataframe
+from .batch.delta import BatchedDeltaService, read_delta_log
 from .batch.store import InitialBatchedStore, VersionedBatchStore, rollforward
 from .core.service import BufferService, ExternalLookupService, Service, StoreService, TemporalService
-from .sinks.sinks import MemorySink, ParquetSink
+from .sinks.sinks import BatchedParquetSink, MemorySink, ParquetSink
 
 __all__ = [
     "Producer",
@@ -37,6 +38,9 @@ __all__ = [
     "VersionedBatchStore",
     "InitialBatchedStore",
     "rollforward",
+    "read_delta_log",
+    "BatchedDeltaService",
+    "BatchedParquetSink",
     "Service",
     "TemporalService",
     "BufferService",

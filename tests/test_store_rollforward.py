@@ -221,3 +221,84 @@ def test_hll_sketch_rollforward_merges(spark, events_df, tmp_path):
     }
     for k, est in got_one.items():
         assert abs(est - exact[k]) <= max(2, 0.05 * exact[k])
+
+
+# ---- readDeltaLog + BatchedDeltaService (BatchedStore.scala:345-352) -------
+
+
+def test_read_delta_log_snapshot_timestamp_and_union(spark, events_df, tmp_path):
+    """Snapshot rows carry latestTimeOf(lastBatch) (1 ms before the next
+    batch starts); delta rows keep their event times; keys fold correctly."""
+    batcher = sb.of_days(1)
+    store = VersionedBatchStore(str(tmp_path / "s"), ["key"], "sum")
+    cut_b = batcher.batch_of(dt.datetime(2024, 1, 4, tzinfo=dt.timezone.utc))
+    rollforward(spark, store, events_df, batcher, cut_b - 1)  # days 1-3
+
+    sink = sb.BatchedParquetSink(str(tmp_path / "d"), batcher, TIME_COL)
+    sink.write(
+        events_df.where(F.col("ts") >= F.lit("2024-01-04").cast("timestamp"))
+        .select("key", "value", TIME_COL)
+    )
+
+    log = sb.read_delta_log(spark, store, sink, out_col="state")
+    snap_ts = dt.datetime(2024, 1, 3, 23, 59, 59, 999000)
+    snap_rows = {r.key: r.state for r in log.where(F.col(TIME_COL) == snap_ts).collect()}
+    assert snap_rows == oracle_through(72)  # days 1-3 folded
+    n_delta = log.where(F.col(TIME_COL) > snap_ts).count()
+    assert n_delta == 200 - 72  # every later event kept, own timestamp
+
+
+def test_delta_service_equals_full_history_asof(spark, events_df, tmp_path):
+    """Rollforward consistency: for probes at/after the snapshot instant,
+    left_join(BatchedDeltaService) == as_of_join(mode='sum') over the FULL
+    raw history — the snapshot fold loses nothing."""
+    from summingbird_spark import source, to_dataframe
+    from summingbird_spark.operators.asof import as_of_join
+
+    batcher = sb.of_days(1)
+    store = VersionedBatchStore(str(tmp_path / "s"), ["key"], "sum")
+    cut_b = batcher.batch_of(dt.datetime(2024, 1, 4, tzinfo=dt.timezone.utc))
+    rollforward(spark, store, events_df, batcher, cut_b - 1)
+    sink = sb.BatchedParquetSink(str(tmp_path / "d"), batcher, TIME_COL)
+    sink.write(
+        events_df.where(F.col("ts") >= F.lit("2024-01-04").cast("timestamp"))
+        .select("key", "value", TIME_COL)
+    )
+
+    probes = events_df.select("ts", "key").withColumn("pid", F.monotonically_increasing_id())
+    svc = sb.BatchedDeltaService(store, sink)
+    via_svc = to_dataframe(
+        spark, source(probes, time_col="ts").left_join(svc, on="key")
+    ).select("pid", "ts", "state")
+
+    full = as_of_join(
+        probes,
+        events_df.select("key", F.col("value").alias("state"), F.col("ts").alias("rts")),
+        on="key", left_time="ts", right_time="rts",
+        value_cols=["state"], mode="sum", semigroup="sum",
+    ).select("pid", "ts", "state")
+
+    cut = dt.datetime(2024, 1, 3, 23, 59, 59, 999000)
+    got = {r.pid: r.state for r in via_svc.where(F.col("ts") >= cut).collect()}
+    want = {r.pid: r.state for r in full.where(F.col("ts") >= cut).collect()}
+    assert got == want and len(got) > 0
+    # probes before the snapshot instant see nothing: that history exists
+    # only folded inside the snapshot (the reference's presence contract)
+    early = via_svc.where(F.col("ts") < cut).collect()
+    assert len(early) > 0 and all(r.state is None for r in early)
+
+
+def test_read_delta_log_empty_store_and_unit_batcher(spark, events_df, tmp_path):
+    batcher = sb.of_days(1)
+    store = VersionedBatchStore(str(tmp_path / "s"), ["key"], "sum")
+    sink = sb.BatchedParquetSink(str(tmp_path / "d"), batcher, TIME_COL)
+    sink.write(events_df.select("key", "value", TIME_COL))
+    # empty store: the log degenerates to the raw delta history
+    assert sb.read_delta_log(spark, store, sink).count() == 200
+
+    rollforward(spark, store, events_df, batcher, batcher.batch_of(
+        dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc)))
+    unit_sink = sb.BatchedParquetSink(str(tmp_path / "u"), sb.UNIT, TIME_COL)
+    unit_sink.write(events_df.select("key", "value", TIME_COL))
+    with pytest.raises(ValueError, match="time-based batcher"):
+        sb.read_delta_log(spark, store, unit_sink)
