@@ -97,56 +97,122 @@ def streaming_as_of_join(
         )
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        # state: latest → {"rt": epoch_s, "vals": tuple|None-elements}
-        #        sum    → {"run": {col: merged-or-None}}
         st = pickle.loads(bytes(state.get[0])) if state.exists else None
         pdf = pd.concat(list(pdfs), ignore_index=True)
-        # rights sort before lefts at equal times (inclusive as-of)
-        pdf = pdf.sort_values(["__at__", "__is_left__"], kind="stable").reset_index(drop=True)
-
-        filled: dict[str, list] = {c: [] for c in value_cols}
-        left_idx: list[int] = []
-        for i in range(len(pdf)):
-            row = pdf.iloc[i]
-            if row["__is_left__"] == 0:
-                vals = tuple(
-                    None if pd.isna(v) else v
-                    for v in (row[c] for c in value_cols)
-                )
-                if is_latest:
-                    st = {"rt": row["__at__"].timestamp(), "vals": vals}
-                else:
-                    run = (st or {"run": {}})["run"] if st else {}
-                    for c, v in zip(value_cols, vals):
-                        if v is not None:
-                            prev = run.get(c)
-                            run[c] = v if prev is None else sg.py_merge(prev, v)
-                    st = {"run": run}
-            else:
-                left_idx.append(i)
-                if st is None:
-                    out_vals = (None,) * len(value_cols)
-                elif is_latest:
-                    visible = (
-                        max_age_seconds is None
-                        or row["__at__"].timestamp() - st["rt"] < max_age_seconds
-                    )
-                    out_vals = st["vals"] if visible else (None,) * len(value_cols)
-                else:
-                    out_vals = tuple(st["run"].get(c) for c in value_cols)
-                for c, v in zip(value_cols, out_vals):
-                    filled[c].append(v)
-
+        out, st = _asof_group(
+            pdf, st, left_cols, value_cols, is_latest, sg, max_age_seconds
+        )
         if st is not None:
             state.update((pickle.dumps(st),))
-        out = pdf.iloc[left_idx][left_cols].copy()
-        for c in value_cols:
-            out[c] = filled[c]
         yield out
 
     return u.groupBy(*on).applyInPandasWithState(
         fn, out_schema, "state binary", "update", GroupStateTimeout.NoTimeout
     )
+
+
+def _asof_group(
+    pdf: pd.DataFrame,
+    st,
+    left_cols: Sequence[str],
+    value_cols: Sequence[str],
+    is_latest: bool,
+    sg,
+    max_age_seconds: Optional[float],
+):
+    """One key-group trigger of the stateful as-of join, vectorized.
+
+    state: latest → {"rt": epoch_s, "vals": tuple|None-elements}
+           sum    → {"run": {col: merged-or-None}}
+
+    Shape: sort once, then a ``maximum.accumulate`` pointer array maps
+    every left row to the latest right row at-or-before it (rights sort
+    before lefts at equal times — the inclusive as-of tie rule lives in
+    the sort key). Per-row Python touches only RIGHT rows in sum mode
+    (the general-semigroup fold); everything else is numpy indexing —
+    the hot-key cost the per-row ``.iloc`` loop used to pay is gone.
+    Returns ``(out_pdf, new_state)``.
+    """
+    import numpy as np
+
+    pdf = pdf.sort_values(["__at__", "__is_left__"], kind="stable").reset_index(
+        drop=True
+    )
+    n = len(pdf)
+    is_left = pdf["__is_left__"].to_numpy() == 1
+    at_s = pdf["__at__"].to_numpy("datetime64[ns]").astype("int64") / 1e9
+    idx = np.where(~is_left, np.arange(n), -1)
+    ptr = np.maximum.accumulate(idx) if n else idx
+    lp = ptr[is_left]  # per-left-row pointer to its visible right row
+    has = lp >= 0
+    n_left = int(is_left.sum())
+
+    def norm(col):
+        a = pdf[col].to_numpy(dtype=object, copy=True)
+        a[pd.isna(a)] = None
+        return a
+
+    filled: dict[str, "np.ndarray"] = {}
+    if is_latest:
+        carried = st or {}
+        c_vals = carried.get("vals")
+        visible = has.copy()
+        if c_vals is not None:
+            visible |= True  # carried state is visible to pre-right rows
+        if max_age_seconds is not None:
+            rt = np.full(n_left, np.nan)
+            rt[has] = at_s[lp[has]]
+            if c_vals is not None:
+                rt[~has] = carried["rt"]
+            with np.errstate(invalid="ignore"):
+                visible &= (at_s[is_left] - rt) < max_age_seconds
+        for ci, c in enumerate(value_cols):
+            a = norm(c)
+            out = np.empty(n_left, dtype=object)
+            out[:] = None
+            iv = visible & has
+            out[iv] = a[lp[iv]]
+            if c_vals is not None:
+                for i in np.flatnonzero(visible & ~has):
+                    out[i] = c_vals[ci]
+            filled[c] = out
+        last_r = int(ptr[-1]) if n and ptr[-1] >= 0 else None
+        if last_r is not None:
+            st = {
+                "rt": float(at_s[last_r]),
+                "vals": tuple(norm(c)[last_r] for c in value_cols),
+            }
+    else:
+        run0 = dict((st or {}).get("run", {}))
+        r_rows = np.flatnonzero(~is_left)
+        r_ord = np.cumsum(~is_left) - 1
+        new_run = dict(run0)
+        for c in value_cols:
+            a = norm(c)
+            run = run0.get(c)
+            acc = np.empty(len(r_rows), dtype=object)
+            for j, ri in enumerate(r_rows):  # rights only: the general-
+                v = a[ri]                    # semigroup fold is inherently
+                if v is not None:            # sequential
+                    run = v if run is None else sg.py_merge(run, v)
+                acc[j] = run
+            new_run[c] = run
+            out = np.empty(n_left, dtype=object)
+            out[:] = None
+            if len(acc):
+                out[has] = acc[r_ord[lp[has]]]
+            v0 = run0.get(c)
+            if v0 is not None:
+                for i in np.flatnonzero(~has):
+                    out[i] = v0
+            filled[c] = out
+        if len(r_rows):
+            st = {"run": new_run}
+
+    out_pdf = pdf.loc[is_left, list(left_cols)].copy()
+    for c in value_cols:
+        out_pdf[c] = filled[c]
+    return out_pdf, st
 
 
 def streaming_self_loop(
