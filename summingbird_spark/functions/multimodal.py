@@ -120,6 +120,55 @@ def _image_features(payload: bytes) -> dict:
     return {**base, "width": w, "height": h, "mode": fmt, "mean_luma": None}
 
 
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, checksum string, channels int, "
+    "sample_rate int, bits int, duration_ms long, mean_abs double"
+)
+
+
+def _audio_features(payload: bytes) -> dict:
+    """Dependency-free RIFF/WAVE parse (the audio analog of
+    ``_header_dims``): fmt-chunk metadata for any WAV; for PCM16 also a
+    real decode of a bounded sample prefix (mean |amplitude| in [0, 1]).
+    Compressed containers (mp3/ogg/flac) need a codec library this
+    container doesn't ship — they raise, explicitly."""
+    import struct
+
+    p = bytes(payload)
+    base = {"n_bytes": len(p), "checksum": hashlib.md5(p).hexdigest()}
+    if len(p) < 44 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "audio decode without codec libraries supports RIFF/WAVE only "
+            "(PCM16 gets a real bounded decode; mp3/ogg/flac need "
+            "librosa/soundfile)"
+        )
+    off, fmt, data = 12, None, None
+    while off + 8 <= len(p):
+        cid, csz = p[off : off + 4], struct.unpack("<I", p[off + 4 : off + 8])[0]
+        body = p[off + 8 : off + 8 + csz]
+        if cid == b"fmt " and csz >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        off += 8 + csz + (csz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    audio_format, channels, rate, byte_rate, _block, bits = fmt
+    duration_ms = int(len(data) * 1000 // byte_rate) if byte_rate else 0
+    mean_abs = None
+    if audio_format == 1 and bits == 16 and len(data) >= 2:
+        import array
+
+        n = min(len(data) // 2, 32768)  # bounded work per payload
+        samples = array.array("h")
+        samples.frombytes(data[: 2 * n])
+        mean_abs = sum(abs(s) for s in samples) / (n * 32768.0)
+    return {
+        **base, "channels": channels, "sample_rate": rate, "bits": bits,
+        "duration_ms": duration_ms, "mean_abs": mean_abs,
+    }
+
+
 def extract_features(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -132,7 +181,8 @@ def extract_features(
     decoders: ``fake`` (checksum/length/head — plumbing tests),
     ``image`` (PIL full decode when importable, else a real pure-Python
     PNG/GIF/JPEG header parse; ``pil`` forces PIL or raises),
-    ``audio``/``librosa`` (stub — dependency not in this container).
+    ``audio`` (dependency-free RIFF/WAVE parse + bounded PCM16 decode;
+    ``librosa`` forces the codec-library path, absent here, and raises).
     """
     if decoder == "fake":
         decode, schema = _fake_features, FEATURE_SCHEMA
@@ -144,10 +194,13 @@ def extract_features(
             )
         decode, schema = _image_features, IMAGE_FEATURE_SCHEMA
     elif decoder in ("librosa", "audio"):
-        raise NotImplementedError(
-            "audio decode needs librosa/soundfile; implement decode -> "
-            "(sample_rate, duration_ms, mfcc head)"
-        )
+        if decoder == "librosa":
+            raise NotImplementedError(
+                "decoder='librosa' needs librosa/soundfile installed; "
+                "decoder='audio' does a dependency-free RIFF/WAVE parse "
+                "(real PCM16 decode of a bounded prefix)"
+            )
+        decode, schema = _audio_features, AUDIO_FEATURE_SCHEMA
     else:
         raise ValueError(f"unknown decoder {decoder!r}")
 
