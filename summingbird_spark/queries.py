@@ -1719,11 +1719,34 @@ def q_sum_by_key_quarterly(spark: SparkSession, sf: str) -> DataFrame:
 # general (state-dependent transform) loop join: no SQL oracle exists for
 # the self-referential scanLeft — rows-only check; semantics are covered by
 # tests/test_operators.py::test_loop_join_general_scanleft
-@query("loop_join_compound")
+@query(
+    "loop_join_compound",
+    """
+    WITH RECURSIVE o AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), r AS (
+      SELECT event_id, user_id, rn, CAST(NULL AS DOUBLE) AS observed,
+             value AS state
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.event_id, o.user_id, o.rn, r.state AS observed,
+             r.state + o.value *
+               (1.0 + CASE WHEN r.state > 100.0 THEN 0.01 ELSE 0.0 END) AS state
+      FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT event_id, user_id, observed FROM r
+    """,
+)
 def q_loop_join_compound(spark: SparkSession, sf: str) -> DataFrame:
     """Compound-interest-style loop join: each event's stored value grows
     by a function of the state it observed (Service.scala:196-269 loopJoin,
-    the non-linear case)."""
+    the non-linear case). The oracle is the same scanLeft as a recursive
+    CTE — 'iterative' ≠ 'uncheckable'; both engines fold in identical
+    (ts, event_id) order so the doubles agree BITWISE and are compared
+    unrounded (round(x, 2) would re-introduce engine-specific HALF_UP vs
+    binary-value rounding at exact .xx5 boundaries)."""
     from .operators.loopjoin import loop_join
 
     ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts", "value")
@@ -1736,7 +1759,7 @@ def q_loop_join_compound(spark: SparkSession, sf: str) -> DataFrame:
         semigroup="sum",
         transform=lambda v, state: v * (1.0 + 0.01 * ((state or 0.0) > 100.0)),
     )
-    return out.select("event_id", "user_id", F.round("observed", 2).alias("observed"))
+    return out.select("event_id", "user_id", "observed")
 
 
 @query(
