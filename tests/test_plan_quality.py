@@ -111,6 +111,22 @@ def test_text_family_stays_in_codegen(spark, name):
         assert interpreted not in plan, f"{name}: interpreted {interpreted} in plan"
 
 
+def test_delta_service_no_cartesian_single_window(spark):
+    """readDeltaLog + left_join must stay the one-shuffle union+window
+    as-of plan: no cartesian/theta join of probes x history."""
+    plan = plan_of(spark, "delta_service_running")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_ivf_query_reads_prebuilt_index(spark):
+    """The graded IVF query must probe the persisted index artifact, not
+    train a quantizer in the query path (VERDICT r2 item 4): its scans
+    include the on-disk centroid/assignment parquet."""
+    plan = plan_of(spark, "embedding_ivf_topk")
+    assert "summingbird_spark_ivf" in plan
+
+
 def test_embedding_near_dup_is_distributed_tiles(spark):
     """The exact near-dup detector must be the distributed tile matmul
     (FlatMapGroupsInPandas over block pairs), not a driver-side collect +
