@@ -1,4 +1,5 @@
 import os
+import tempfile
 
 import pytest
 from pyspark.sql import SparkSession
@@ -17,6 +18,9 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "4g")
         .config("spark.ui.enabled", "false")
+        # bucketed-table tests use the catalog; keep the warehouse out of
+        # the repo working tree
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="sbspark-wh-"))
         .getOrCreate()
     )
     yield s

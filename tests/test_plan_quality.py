@@ -148,3 +148,31 @@ def test_global_topn_takeordered(spark):
     plan = plan_of(spark, "global_topn")
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_bucketed_join_skips_both_exchanges(spark, tmp_path):
+    """Two tables bucketed by the same key and count join with NO shuffle
+    on either side — the write-time bucketing replaces the per-job
+    Exchange (the durable co-location the reference hand-schedules with
+    reducer reuse)."""
+    from summingbird_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    ev = spark.range(0, 4000).selectExpr(
+        "id AS user_id", "id % 97 AS value"
+    )
+    dim = spark.range(0, 500).selectExpr("id AS user_id", "id % 7 AS seg")
+    write_bucketed(ev, "bq_events", "user_id", 8,
+                   sort_cols="user_id", path=str(tmp_path / "ev"))
+    write_bucketed(dim, "bq_dim", "user_id", 8,
+                   sort_cols="user_id", path=str(tmp_path / "dim"))
+    try:
+        a, b = read_bucketed(spark, "bq_events"), read_bucketed(spark, "bq_dim")
+        joined = a.join(b.hint("merge"), "user_id")
+        joined.write.format("noop").mode("overwrite").save()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 500
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bq_events")
+        spark.sql("DROP TABLE IF EXISTS bq_dim")
