@@ -147,6 +147,46 @@ def test_month_batcher_calendar_semantics(spark):
     assert b.earliest_time_of(jan + 1).replace(tzinfo=None) == dt.datetime(2024, 2, 1)
 
 
+def test_scaled_combined_batcher_composition(spark):
+    """ScaledBatcher over a CombinedBatcher (and vice versa): the Column
+    expression, the Python batch_of, and earliest_time_of must agree
+    across the switch point — compositions are where off-by-one batch
+    assignment hides."""
+    switch = dt.datetime(2024, 1, 10)
+    combined = sb.batcher.CombinedBatcher(
+        sb.of_days(1), sb.of_hours(6), switch
+    )
+    scaled = sb.batcher.ScaledBatcher(combined, 4)
+
+    probes = [
+        dt.datetime(2024, 1, 8, 3), dt.datetime(2024, 1, 9, 23, 59),
+        dt.datetime(2024, 1, 10, 0, 0), dt.datetime(2024, 1, 10, 5, 59),
+        dt.datetime(2024, 1, 10, 6, 0), dt.datetime(2024, 1, 12, 18),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(t,) for t in probes], "ts timestamp")
+    for b in (combined, scaled):
+        col_ids = [
+            r.b for r in df.select(b.batch_col(F.col("ts")).alias("b")).collect()
+        ]
+        py_ids = [b.batch_of(t) for t in probes]
+        assert col_ids == py_ids, (col_ids, py_ids)
+    # contiguity across the switch: consecutive probes straddling it are
+    # adjacent combined batches
+    assert combined.batch_of(probes[2]) == combined.batch_of(probes[1]) + 1
+    # scaled floors groups of 4 combined ids
+    assert all(
+        scaled.batch_of(t) == combined.batch_of(t) // 4 for t in probes
+    )
+    # earliest_time_of inverts batch_of at batch starts (pre- and
+    # post-switch)
+    for t in (dt.datetime(2024, 1, 8), dt.datetime(2024, 1, 11, 6)):
+        bid = combined.batch_of(t)
+        assert combined.earliest_time_of(bid).replace(tzinfo=None) == t
+        assert combined.batch_of(combined.earliest_time_of(bid)) == bid
+
+
 def test_batched_sink_replay(spark, tmp_path):
     """BatchedSink: second write skips already-written batches
     (BatchedSink.scala:26-60)."""
