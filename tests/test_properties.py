@@ -301,3 +301,41 @@ def test_streaming_summer_plan_shape(spark, tmp_path):
     )
     logical = plan.dataframe._jdf.queryExecution().logical().toString()
     assert logical.count("FlatMapGroupsInPandasWithState") == 1
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(min_value=2, max_value=40),
+    dim=st.integers(min_value=3, max_value=8),
+    blocks=st.integers(min_value=1, max_value=6),
+    thr=st.sampled_from([0.0, 0.3, 0.7, 0.95]),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+def test_tile_near_dup_matches_numpy_all_pairs(spark, n, dim, blocks, thr, seed):
+    """Distributed tile matmul == numpy all-pairs oracle for arbitrary
+    corpus sizes / block counts / thresholds: every unordered pair ≥ thr
+    appears exactly once (blocks=1 self-tile, blocks>n empty tiles, and
+    ragged block occupancy all exercised)."""
+    import numpy as np
+
+    from summingbird_spark.functions.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in M[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    got = [
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            df, thr, method="block", blocks=blocks
+        ).collect()
+    ]
+    assert len(got) == len(set(got)), "pair emitted more than once"
+    Mf = np.stack([np.asarray([float(x) for x in M[i]], dtype=np.float32) for i in range(n)]).astype(np.float64)
+    Mn = Mf / np.linalg.norm(Mf, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    ia, ib = np.nonzero(S >= thr)
+    want = {(int(min(i, j)), int(max(i, j))) for i, j in zip(ia, ib) if i != j}
+    assert set(got) == want
