@@ -12,11 +12,13 @@ Semantics covered (SURVEY §2.2):
   each left event sees the store's *running semigroup total* as of its
   timestamp.
 * ``max_age`` — BatchedWindowService constraint ``0 <= t_l − t_r < window``
-  (scalding/service/BatchedWindowService.scala:35-72). NOTE the closure
-  difference: ``mode='latest'`` implements the reference's EXCLUSIVE
-  bound; ``mode='sum'`` is the windowed running total as an INCLUSIVE
-  RANGE frame over whole epoch seconds (closed frame ends — fractional
-  ages are rejected rather than silently truncated).
+  (scalding/service/BatchedWindowService.scala:35-72). BOTH modes
+  implement the reference's EXCLUSIVE upper bound: ``mode='latest'`` as a
+  visibility predicate, ``mode='sum'`` as a RANGE frame over epoch
+  MICROSECONDS (Spark's native timestamp resolution) with bounds
+  ``[-(age_µs − 1), 0]`` — a closed frame one tick short of the window is
+  exactly the half-open interval. Ages that aren't a whole number of
+  microseconds are rejected rather than silently truncated.
 
 Spark-first physical strategy: **one shuffle, no row blowup** — union both
 sides tagged, then a per-key time-ordered running window (``last(...,
@@ -127,24 +129,24 @@ def as_of_join(
                     "mode='sum' needs max_age as a plain number of seconds "
                     "(range-frame bounds are literals, not Columns)"
                 )
-            if max_age_num != int(max_age_num):
+            max_age_us = max_age_num * 1_000_000
+            if max_age_us != int(max_age_us) or int(max_age_us) < 1:
                 raise ValueError(
-                    "mode='sum' max_age must be a whole number of seconds "
-                    f"(RANGE frame bounds are longs); got {max_age_num!r} — "
-                    "int() truncation would silently shrink the window"
+                    "mode='sum' max_age must be a positive whole number of "
+                    f"microseconds (RANGE frame bounds are longs); got "
+                    f"{max_age_num!r}s — truncation would silently shrink "
+                    "the window"
                 )
-            # CONTRACT DIFFERENCE vs mode='latest': this is the running
-            # total of right rows with 0 <= t_l - t_r <= max_age — an
-            # INCLUSIVE SQL RANGE frame over epoch seconds. mode='latest'
-            # follows the reference BatchedWindowService's EXCLUSIVE bound
-            # (0 <= t_l - t_r < max_age, BatchedWindowService.scala:35-72);
-            # a closed RANGE bound cannot express '<' on a continuous
-            # order column, so the sum window keeps SQL semantics and says
-            # so here and in the module docstring.
+            # The reference bound is EXCLUSIVE: 0 <= t_l - t_r < max_age
+            # (BatchedWindowService.scala:35-72). A closed RANGE frame over
+            # epoch microseconds with lower bound -(age_µs - 1) is exactly
+            # that half-open interval at Spark's native timestamp
+            # resolution — a right row at precisely t_l - max_age falls
+            # one tick outside and is excluded, matching mode='latest'.
             frame = (
                 Window.partitionBy(*on)
-                .orderBy(F.col("__at__").cast("double"))
-                .rangeBetween(-int(max_age_num), 0)  # long bounds (whole seconds)
+                .orderBy(F.unix_micros(F.col("__at__")))
+                .rangeBetween(-(int(max_age_us) - 1), 0)
             )
         out_cols = [F.col(c) for c in left.columns]
         filled = u

@@ -421,15 +421,20 @@ def q_asof_running_total(spark: SparkSession, sf: str) -> DataFrame:
     SELECT e.event_id, e.user_id, round(sum(o.o_totalprice), 2) AS windowed_total
     FROM events e LEFT JOIN orders o
       ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
-      AND epoch(e.ts) - epoch(o.o_orderdate) <= 2592000
+      AND epoch_us(e.ts) - epoch_us(o.o_orderdate::TIMESTAMP)
+          < 9125::BIGINT * 86400 * 1000000
     GROUP BY e.event_id, e.user_id
     """,
 )
 def q_asof_windowed_sum(spark: SparkSession, sf: str) -> DataFrame:
     """BatchedWindowService over a summing store: each event sees the
-    running total of right rows within the last 30 days — a RANGE-frame
-    window over epoch seconds (closes the r1 NotImplementedError for
-    mode='sum' + max_age)."""
+    running total of right rows within the window under the reference's
+    EXCLUSIVE bound 0 <= t_l - t_r < window
+    (BatchedWindowService.scala:35-72) — a RANGE frame over epoch
+    microseconds with bounds [-(window_µs - 1), 0]. The ~25-year window
+    splits this dataset's 22-29-year event-order ages (same choice as
+    asof_windowed) so the output is windowed, not vacuously NULL — the
+    old 30-day window matched ZERO pairs at every sf."""
     ev = load_table(spark, sf, "events")
     orders = load_table(spark, sf, "orders").select(
         F.col("o_custkey").alias("user_id"),
@@ -445,7 +450,7 @@ def q_asof_windowed_sum(spark: SparkSession, sf: str) -> DataFrame:
         value_cols=["windowed_total"],
         mode="sum",
         semigroup="sum",
-        max_age=30 * 86400,
+        max_age=9125 * 86400,
     )
     return joined.select(
         "event_id", "user_id", F.round("windowed_total", 2).alias("windowed_total")

@@ -70,17 +70,38 @@ def test_asof_join_max_age_window(spark):
     assert got == {1: "v0", 30: None}
 
 
-def test_asof_sum_fractional_max_age_rejected(spark):
-    """mode='sum' max_age is a long RANGE bound: a fractional age must
-    raise, not silently truncate to a narrower window (0.5 -> 0)."""
+def test_asof_sum_subresolution_max_age_rejected(spark):
+    """mode='sum' max_age is a long µs RANGE bound: an age finer than
+    Spark's µs timestamp resolution must raise, not silently truncate to
+    a narrower window (1e-7 s -> 0 µs)."""
     left = spark.createDataFrame([(ts(1), "k")], "t timestamp, key string")
     chg = spark.createDataFrame(
         [(ts(0), "k", 1.0)], "t timestamp, key string, v double"
     )
-    with pytest.raises(ValueError, match="whole number of seconds"):
+    with pytest.raises(ValueError, match="whole number of"):
         as_of_join(
-            left, chg, "key", "t", "t", ["v"], mode="sum", max_age=0.5
+            left, chg, "key", "t", "t", ["v"], mode="sum", max_age=1e-7
         ).collect()
+
+
+def test_asof_max_age_bound_exclusive_both_modes(spark):
+    """The reference window bound is 0 <= t_l - t_r < max_age
+    (BatchedWindowService.scala:35-72): a right row at EXACTLY
+    t_l - max_age is excluded in both modes; one inside the bound counts."""
+    left = spark.createDataFrame([(ts(10), "k")], "t timestamp, key string")
+    chg = spark.createDataFrame(
+        # exactly 600s before the probe (excluded) and 599s before (included)
+        [(ts(0), "k", 100.0), (ts(0) + dt.timedelta(seconds=1), "k", 7.0)],
+        "t timestamp, key string, v double",
+    )
+    sum_out = as_of_join(
+        left, chg, "key", "t", "t", ["v"], mode="sum", max_age=600
+    ).collect()
+    assert [r.v for r in sum_out] == [7.0]
+    latest_out = as_of_join(
+        left, chg, "key", "t", "t", ["v"], mode="latest", max_age=600
+    ).collect()
+    assert [r.v for r in latest_out] == [7.0]
 
 
 def test_simhash_candidates_find_near_dups(spark):
