@@ -53,7 +53,7 @@ def main() -> None:
         # every query) — pre-build it like the parquet itself
         from summingbird_spark.functions.similarity import ensure_ivf_index
 
-        ensure_ivf_index(spark, sf_dir, k=16, n_iter=3, sample_fraction=0.2)
+        ensure_ivf_index(spark, sf_dir, k=32, n_iter=5, sample_fraction=0.5)
     except Exception:
         pass
 
