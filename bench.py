@@ -1,11 +1,21 @@
 """Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"timing": "median_of_3_steady_state", "queries": {name: sec},
+"ivf_index_build_sec": sec, "sf": ...}.
 
 Each query executes fully (noop sink — no driver-side result transfer), so
 the timing reflects scan + shuffle + aggregation, the parts that matter at
 100 TB.
+
+Methodology (r5, VERDICT r4 item 5): every query is timed THREE times and
+the MEDIAN reported — single-run numbers mixed codegen-compile and GC
+variance into the signal (the r3->r4 "regression" on byte-identical code
+was a 4x swing on exactly the two md5-heavy queries). Labeled steady-state:
+NOT comparable to the r1/r2 single-cold-run numbers. The IVF index build,
+amortized infrastructure excluded from query timings, is measured cold into
+a throwaway cache and reported as its own ivf_index_build_sec figure so its
+cost stays visible.
 """
 
 from __future__ import annotations
@@ -48,14 +58,28 @@ def main() -> None:
     except Exception:
         pass
     spark.range(1000).mapInPandas(lambda it: it, "id long").count()
+    ivf_build_sec = -1.0
     try:
         # index build is amortized infrastructure (built once, probed by
-        # every query) — pre-build it like the parquet itself
+        # every query) — pre-build it like the parquet itself, but time a
+        # COLD build into a throwaway cache so the cost stays visible
+        import shutil
+        import tempfile
+
         from summingbird_spark.functions.similarity import ensure_ivf_index
 
+        cold_root = tempfile.mkdtemp(prefix="sbspark-ivf-bench-")
+        t0 = time.perf_counter()
+        ensure_ivf_index(
+            spark, sf_dir, k=32, n_iter=5, sample_fraction=0.5,
+            cache_root=cold_root,
+        )
+        ivf_build_sec = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(cold_root, ignore_errors=True)
+        # the graded query path reads the default-cache artifact
         ensure_ivf_index(spark, sf_dir, k=32, n_iter=5, sample_fraction=0.5)
-    except Exception:
-        pass
+    except Exception as e:
+        print(f"bench error in ivf_index_build: {e}", file=sys.stderr)
 
     def run_one(fn) -> float:
         t0 = time.perf_counter()
@@ -89,15 +113,15 @@ def main() -> None:
     all_queries["ngram_jaccard_xxh"] = _jaccard_xxh
     all_queries["simhash_fingerprint_xxh"] = _simhash_xxh
 
+    import statistics
+
     timings: dict[str, float] = {}
     for name, fn in all_queries.items():
         try:
-            t = run_one(fn)
-            if t >= 1.0:
-                # slow queries get a second run; report the steady-state
-                # min — first-run time mixes in codegen/compile variance
-                t = min(t, run_one(fn))
-            timings[name] = round(t, 3)
+            # median of 3: the first run's codegen-compile cost lands in
+            # the discarded tail, and a one-off GC/IO stall can't move the
+            # reported number (r4's 4x phantom swings on unchanged code)
+            timings[name] = round(statistics.median(run_one(fn) for _ in range(3)), 3)
         except Exception as e:  # keep the bench line parseable even on error
             timings[name] = -1.0
             print(f"bench error in {name}: {e}", file=sys.stderr)
@@ -114,7 +138,9 @@ def main() -> None:
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
+                "timing": "median_of_3_steady_state",
                 "queries": timings,
+                "ivf_index_build_sec": ivf_build_sec,
                 "sf": sf,
             }
         )
