@@ -53,8 +53,41 @@ class OnlineStore:
             return None
         return spark.read.parquet(os.path.join(self.path, f"v={vs[-1]}"))
 
-    def multi_merge(self, delta_df: DataFrame, value_col: str = "delta") -> None:
-        """Bulk merge one micro-batch of per-(key, batch) deltas."""
+    def last_epoch(self) -> int:
+        """Newest streaming epoch id applied to this store (-1 if none).
+
+        Epochs are monotone for a single writer, so the max over retained
+        versions is the high-water mark even after old versions vacuum."""
+        out = -1
+        for v in self._versions():
+            p = os.path.join(self.path, f"v={v}", "_epoch")
+            if os.path.exists(p):
+                with open(p) as f:
+                    out = max(out, int(f.read().strip()))
+        return out
+
+    def multi_merge(
+        self, delta_df: DataFrame, value_col: str = "delta",
+        epoch_id: Optional[int] = None,
+    ) -> None:
+        """Bulk merge one micro-batch of per-(key, batch) deltas.
+
+        ``epoch_id`` (the foreachBatch batch id) makes the merge
+        IDEMPOTENT per micro-batch: foreachBatch is at-least-once — a
+        crash after the store write but before the checkpoint commit
+        replays the same epoch on restart, and a blind semigroup merge
+        would double-count it. An epoch at or below the applied
+        high-water mark is a no-op (single-writer assumption; on a real
+        deployment this guard is the txn/MERGE condition of the target
+        store)."""
+        if epoch_id is not None and epoch_id <= self.last_epoch():
+            # Replayed micro-batch after a crash-restart: already applied.
+            # Still CONSUME every partition — Spark validates that
+            # foreachBatch processed the whole stateful DataFrame (state-
+            # store commits ride on partition consumption); a bare early
+            # return fails STATE_STORE_COMMIT_VALIDATION_FAILED on replay.
+            delta_df.count()
+            return
         spark = delta_df.sparkSession
         sg = self.semigroup
         # deltas within one micro-batch frame are already per-(key, batch)
@@ -75,7 +108,11 @@ class OnlineStore:
                 )
             )
         nxt = (self._versions()[-1] + 1) if self._versions() else 0
-        merged.write.mode("overwrite").parquet(os.path.join(self.path, f"v={nxt}"))
+        vdir = os.path.join(self.path, f"v={nxt}")
+        merged.write.mode("overwrite").parquet(vdir)
+        if epoch_id is not None:
+            with open(os.path.join(vdir, "_epoch"), "w") as f:
+                f.write(str(epoch_id))
         for v in self._versions()[: -self.versions_to_keep]:
             shutil.rmtree(os.path.join(self.path, f"v={v}"), ignore_errors=True)
 
@@ -98,7 +135,7 @@ def run_summer_to_store(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        store.multi_merge(batch_df)
+        store.multi_merge(batch_df, epoch_id=batch_id)
 
     q = (
         stream_df.writeStream.foreachBatch(sink)

@@ -145,6 +145,86 @@ def test_stream_static_left_join(spark, stream_dir, tmp_path):
     assert all(r.label in ("zero", "one") for r in rows)
 
 
+def test_stream_crash_restart_client_parity(spark, stream_dir, tmp_path):
+    """The reference's core promise under FAILURE (ClientStore.scala:95-109
+    offline ⊕ online), composed end-to-end: the streaming query is killed
+    mid-BatchID in the worst-case at-least-once window — AFTER the online
+    store write, BEFORE the checkpoint epoch commit — then restarted from
+    the checkpoint. Spark replays the killed epoch; the store's epoch
+    high-water guard must make the replay a no-op (not a double-count).
+    After the batch layer rolls forward over the same interval, the client
+    merged view equals the one-shot batch answer exactly."""
+    from pyspark.errors import StreamingQueryException
+
+    ckpt = str(tmp_path / "ckpt_crash")
+    store = OnlineStore(str(tmp_path / "online_crash"), ["key"], "sum_long")
+
+    def make_stream():
+        src = stream_source(
+            stream_dir, SCHEMA, time_col="ts", max_files_per_trigger=1
+        )
+        return StreamPlanner(spark).plan(_pipeline(src)).dataframe
+
+    seen: list[int] = []
+
+    def crashing_sink(batch_df, batch_id):
+        if len(seen) == 1:
+            # second trigger: persist the merge, THEN die before Spark can
+            # commit the epoch — forcing an at-least-once replay on restart
+            seen.append(batch_id)
+            if not batch_df.isEmpty():
+                store.multi_merge(batch_df, epoch_id=batch_id)
+            raise RuntimeError("injected crash after store write")
+        seen.append(batch_id)
+        if not batch_df.isEmpty():
+            store.multi_merge(batch_df, epoch_id=batch_id)
+
+    q = (
+        make_stream().writeStream.foreachBatch(crashing_sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+    assert len(seen) == 2  # the kill really landed mid-run
+
+    # restart from the same checkpoint: the killed epoch is REPLAYED, the
+    # epoch guard absorbs it, and the remaining triggers complete
+    q2 = run_summer_to_store(make_stream(), store, ckpt)
+    q2.awaitTermination(120)
+
+    got = {(r.key, r.batch_id): r.value for r in store.read(spark).collect()}
+    assert got == batch_deltas(spark, stream_dir)
+
+    # lambda view across the crash: offline through b_cut ⊕ online > b_cut
+    df = spark.read.schema(SCHEMA).parquet(stream_dir).withColumn(
+        TIME_COL, F.col("ts")
+    )
+    batcher = sb.of_days(1)
+    b_cut = batcher.batch_of(dt.datetime(2024, 1, 2))
+    offline_store = sb.VersionedBatchStore(
+        str(tmp_path / "off_crash"), ["key"], "sum_long"
+    )
+    sb.rollforward(
+        spark, offline_store, df.where("value != 0"), batcher, b_cut,
+        value_col="value",
+    )
+    merged = client_view(
+        offline_store.read_last(spark)[1],
+        store.read(spark).select("key", "batch_id", F.col("value")),
+        ["key"],
+        semigroup="sum_long",
+        offline_batch=b_cut,
+    )
+    oracle = defaultdict(int)
+    for _t, k, v in ROWS:
+        if v != 0:
+            oracle[k] += v
+    assert {r.key: r.value for r in merged.collect()} == dict(oracle)
+
+
 def test_stateful_summer_eviction_bounds_state(spark, stream_dir, tmp_path):
     """evict_before_batch drops closed batches from per-key state: evicted
     batches re-emit with prev=None if data arrives later (the batch layer
