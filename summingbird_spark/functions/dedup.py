@@ -140,14 +140,29 @@ def minhash_candidates(
     bands: int = 4,
     shingle_n: int = 1,
     portable: bool = False,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Candidate duplicate pairs (id_a < id_b) sharing ≥1 LSH bucket.
 
     Plan shape at scale: explode shingles → groupBy(id) signature (partial
     agg) → ``bands`` bucket rows per doc (bounded fan-out) → shuffle on
     (band, bkey) → in-bucket self-join → distinct. Buckets are tiny for
-    non-pathological corpora; a hot bucket (boilerplate) is exactly the
-    skew AQE's skew-join handles.
+    non-pathological corpora; a moderately hot bucket (boilerplate) is the
+    skew AQE's skew-join splits at runtime (tests/test_dedup_skew.py
+    plan-asserts the split).
+
+    ``max_bucket_size`` is the 100 TB guard for PATHOLOGICAL buckets,
+    where AQE cannot help — a bucket of m near-identical docs emits
+    m(m-1)/2 pairs (10M boilerplate docs → 5·10^13 pairs) no matter how
+    the input partitions are split. Buckets above the threshold emit STAR
+    edges through the bucket's min-id representative instead: linear in
+    bucket size, and every member stays connected to the cluster, so the
+    dup GROUPING downstream (transitive closure / connected components)
+    is unchanged — only pairwise completeness inside mega-buckets is
+    traded away, which is the standard production trade for boilerplate.
+    The bucket-size stats ride the same (band, bkey) shuffle as the join
+    key (partial-aggregable count+min), so the guard adds no extra pass
+    over the corpus. Default None keeps exact all-pairs semantics.
     """
     rows = num_perm // bands
     sig = minhash_table(df, id_col, text_col, num_perm, shingle_n, portable)
@@ -165,16 +180,42 @@ def minhash_candidates(
     buckets = sig.select(
         F.col(id_col), F.explode(band_structs).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+    if max_bucket_size is not None:
+        stats = buckets.groupBy("band", "bkey").agg(
+            F.count("*").alias("__n__"), F.min(id_col).alias("__rep__")
+        )
+        tagged = buckets.join(stats, ["band", "bkey"])
+        small = tagged.where(F.col("__n__") <= max_bucket_size).select(
+            id_col, "band", "bkey"
+        )
+        hot_star = (
+            tagged.where(
+                (F.col("__n__") > max_bucket_size)
+                & (F.col(id_col) != F.col("__rep__"))
+            )
+            # rep == min(id) in the bucket, so id_a < id_b holds by
+            # construction
+            .select(
+                F.col("__rep__").alias("id_a"), F.col(id_col).alias("id_b")
+            )
+        )
+        buckets = small
+    else:
+        hot_star = None
+
     a = buckets.alias("a")
     b = buckets.alias("b")
-    return (
+    pairs = (
         a.join(b, ["band", "bkey"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .distinct()
     )
+    if hot_star is not None:
+        pairs = pairs.unionByName(hot_star)
+    return pairs.distinct()
 
 
 def jaccard(a_tokens: Column, b_tokens: Column) -> Column:

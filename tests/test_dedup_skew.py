@@ -1,0 +1,124 @@
+"""Skew hardening for the LSH dedup candidate join — the 100 TB reality
+check the operator docstrings promise.
+
+Two distinct hazards, two distinct defenses:
+
+* a MODERATELY hot (band, bkey) shuffle partition → AQE's skew join
+  splits it at runtime (plan-asserted below);
+* a PATHOLOGICAL mega-bucket (boilerplate corpus) → the m(m-1)/2 pair
+  blowup is quadratic no matter how the partition is split, so
+  ``max_bucket_size`` degrades those buckets to linear star edges while
+  preserving cluster connectivity.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from summingbird_spark.functions.dedup import minhash_candidates
+
+BOILER = "subscribe to our newsletter terms and conditions apply all rights reserved " * 3
+
+
+def _corpus(spark, n_boiler=200, n_unique=60):
+    rows = [(i, BOILER) for i in range(n_boiler)]
+    # distinct tails so unique docs land in their own buckets
+    rows += [
+        (n_boiler + i, f"document number {i} about topic {i * 37} with words {i * i} unique")
+        for i in range(n_unique)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hot_bucket_star_candidates_bounded(spark):
+    """An adversarial boilerplate corpus (one mega-bucket per band) must
+    not emit quadratic candidates under max_bucket_size: the hot buckets
+    degrade to star edges (linear), every boilerplate doc stays connected
+    to the cluster representative, and normal small-bucket pairs are
+    untouched."""
+    n_boiler = 200
+    docs = _corpus(spark, n_boiler=n_boiler)
+    bands = 4
+
+    capped = minhash_candidates(
+        docs, "doc_id", "text", num_perm=8, bands=bands, shingle_n=3,
+        max_bucket_size=20,
+    ).collect()
+    all_pairs = n_boiler * (n_boiler - 1) // 2  # 19900 uncapped
+    assert len(capped) < all_pairs / 10
+    # star edges: every boilerplate doc is adjacent to the min-id rep, so
+    # the dup cluster is one connected component through doc 0
+    boiler_edges = {(r.id_a, r.id_b) for r in capped if r.id_a < n_boiler}
+    assert {(0, i) for i in range(1, n_boiler)} <= boiler_edges
+
+    # without the cap the same corpus is exact all-pairs (semantics default)
+    uncapped = minhash_candidates(
+        docs, "doc_id", "text", num_perm=8, bands=bands, shingle_n=3,
+    )
+    assert uncapped.where(F.col("id_a") < n_boiler).count() == all_pairs
+
+
+@pytest.mark.parametrize("max_bucket_size,expect_star", [(5, True), (10**6, False)])
+def test_capped_candidates_preserve_small_buckets(spark, max_bucket_size, expect_star):
+    """Pairs from buckets at or below the threshold are identical with and
+    without the cap — the guard only rewrites mega-buckets."""
+    docs = _corpus(spark, n_boiler=30, n_unique=40)
+    base = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidates(
+            docs, "doc_id", "text", num_perm=8, bands=4, shingle_n=3
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidates(
+            docs, "doc_id", "text", num_perm=8, bands=4, shingle_n=3,
+            max_bucket_size=max_bucket_size,
+        ).collect()
+    }
+    if expect_star:
+        assert capped < base  # strictly fewer pairs ...
+        assert {(0, i) for i in range(1, 30)} <= capped  # ... but connected
+        # non-boilerplate pairs (small buckets) identical
+        assert {p for p in base if p[0] >= 30} == {p for p in capped if p[0] >= 30}
+    else:
+        assert capped == base  # threshold above every bucket: no change
+
+
+def test_candidate_join_aqe_skew_split(spark):
+    """The in-bucket self-join on a skewed corpus must be split by AQE's
+    skew-join handling (OptimizeSkewedJoin), not processed as one giant
+    sort-merge partition: the executed plan carries a skew-split shuffle
+    read. Thresholds are scaled down to test-data sizes; at production
+    sizes the defaults fire the same rule."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4096",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2048",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        docs = _corpus(spark, n_boiler=400, n_unique=100)
+        pairs = minhash_candidates(
+            docs, "doc_id", "text", num_perm=8, bands=4, shingle_n=3
+        )
+        # execute THIS DataFrame's QueryExecution (count() would build a
+        # new one and leave this plan un-finalized) so AQE replans it
+        n = len(pairs.collect())
+        assert n >= 400 * 399 // 2
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skewed" in plan or "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
