@@ -265,8 +265,9 @@ def test_asof_join_replay_property(spark, lefts, rights):
 )
 def test_asof_windowed_sum_property(spark, lefts, rights, age):
     """mode='sum' + max_age (windowed running total, the RANGE-frame path)
-    vs a dict oracle: each left sees the sum of right values with
-    0 <= t_l - t_r <= max_age; NULL when none are visible."""
+    vs a dict oracle: each left sees the sum of right values under the
+    reference's EXCLUSIVE bound 0 <= t_l - t_r < max_age
+    (BatchedWindowService.scala:35-72); NULL when none are visible."""
     from summingbird_spark.operators.asof import as_of_join
 
     ldf = spark.createDataFrame(
@@ -284,7 +285,7 @@ def test_asof_windowed_sum_property(spark, lefts, rights, age):
     got = {r.lid: r.val for r in out.collect()}
     want = {}
     for i, s in enumerate(lefts):
-        vis = [v for rs, v in rights if rs <= s and s - rs <= age]
+        vis = [v for rs, v in rights if rs <= s and s - rs < age]
         want[i] = sum(vis) if vis else None
     assert got == want
 
