@@ -39,6 +39,13 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesce targets shuffle BYTES; at bench scale every
+        # exchange is < minPartitionSize (1m default) so CPU-bound window/
+        # agg stages collapse to 1-5 tasks (measured: asof_windowed 3.9s
+        # -> 1.0s). A lower floor keeps local parallelism; at 100 TB
+        # partitions dwarf 1m and parallelismFirst already keeps
+        # defaultParallelism, so this only affects small-corpus runs.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -93,9 +93,15 @@ def corpus_fingerprint(path: str) -> str:
 _CPU_HEAVY_TABLES = {"documents", "embeddings"}
 
 # CPU-heavy work is per-row, so rows (from parquet footers, no data read)
-# — not compressed bytes — size the spread: a 500-row table gets a handful
-# of tasks, not defaultParallelism near-empty ones.
-_MIN_ROWS_PER_TASK = 128
+# — not compressed bytes — size the spread: a 10-row table gets two tasks,
+# not defaultParallelism near-empty ones. The floor is deliberately LOW
+# (32 rows/task): these tables carry expensive rows — embedding rows
+# participate in ~n similarity dots each, document rows in full shingle
+# hashing — so a 2000-row corpus should still fan out to every core
+# (measured: halving tasks on sf0.1 embeddings cost 3.5x on the tile
+# matmul). The floor only exists to keep trivial fixtures from shuffling
+# into dozens of empty partitions.
+_MIN_ROWS_PER_TASK = 32
 
 
 @lru_cache(maxsize=256)
