@@ -354,3 +354,82 @@ def simhash_candidates(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    ids: Optional[DataFrame] = None,
+    id_col_a: str = "id_a",
+    id_col_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components of the verified-duplicate pair graph:
+    ``(id, cluster_id)`` where ``cluster_id`` is the component's min
+    member id — the dup-GROUPING stage of a dedup pipeline (candidates →
+    verify → **cluster** → keep one survivor per cluster, i.e. the rows
+    with ``id == cluster_id``).
+
+    Pass ``ids`` (a one-column DataFrame of every corpus id) to include
+    singletons mapped to themselves, making the output a total
+    ``doc → cluster`` assignment ready for a survivor anti-join.
+
+    Physical shape: iterative min-label propagation — per round, each
+    node takes the min of its own label and its neighbors' labels (one
+    join + one partial-aggregable groupBy, both shuffling on the node
+    id), materialized and short-circuited the round nothing changes. The
+    driver sees only the changed-count scalar, never the data. Rounds
+    needed = component diameter: near-dup clusters are dense (and the
+    ``max_bucket_size`` star edges give boilerplate clusters diameter 2),
+    so 2-4 rounds is typical; ``max_iter`` bounds adversarial chains.
+    For graphs with genuinely long chains swap in large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce"), which the
+    propagation loop here structurally matches.
+    """
+    e = pairs.select(F.col(id_col_a).alias("a"), F.col(id_col_b).alias("b"))
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
+
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .cache()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.select(F.col("id").alias("b"), F.col("label").alias("nlabel")),
+            "b",
+        ).select(F.col("a").alias("id"), F.col("nlabel").alias("label"))
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .cache()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("label").alias("old")), "id"
+            )
+            .where(F.col("label") < F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+
+    out = labels.select("id", F.col("label").alias("cluster_id"))
+    if ids is not None:
+        (id_name,) = ids.columns
+        out = (
+            ids.select(F.col(id_name).alias("id"))
+            .join(out, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
+            )
+        )
+    return out

@@ -792,6 +792,72 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE tl AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents
+    ), s3 AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+             i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM tl WHERE len(t) >= 3
+    ), sh AS (
+      SELECT doc_id, unnest(s) AS w FROM s3
+    ), mh AS (
+      SELECT doc_id, seed,
+             min(substr(md5(seed::VARCHAR || '|' || w), 1, 16)) AS h1,
+             min(substr(md5(seed::VARCHAR || '|' || w), 17, 16)) AS h2
+      FROM sh CROSS JOIN (SELECT unnest(range(4)) AS seed) seeds
+      GROUP BY doc_id, seed
+    ), bandkeys AS (
+      SELECT doc_id, seed AS band, h1 || '#' || h2 AS bkey FROM mh
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandkeys a JOIN bandkeys b USING (band, bkey)
+      WHERE a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT p.id_a, p.id_b
+      FROM cand p
+      JOIN s3 sa ON sa.doc_id = p.id_a
+      JOIN s3 sb ON sb.doc_id = p.id_b
+      WHERE len(list_intersect(sa.s, sb.s)) /
+            (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM verified
+      UNION SELECT id_b, id_a FROM verified
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT d.doc_id,
+           CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS BIGINT)
+             AS cluster_id
+    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup pipeline's GROUPING stage end-to-end: LSH candidates →
+    exact Jaccard >= 0.5 verification → connected components via
+    distributed min-label propagation (functions/dedup.dup_clusters) →
+    total (doc_id, cluster_id) assignment with singletons mapped to
+    themselves. Survivor selection is then `WHERE doc_id = cluster_id`.
+    The oracle computes the same closure as a recursive CTE."""
+    from .functions.dedup import dup_clusters, minhash_candidates, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf, "documents")
+    cand = minhash_candidates(
+        docs, "doc_id", "text", num_perm=8, bands=4, shingle_n=3, portable=True
+    )
+    verified = ngram_jaccard_pairs(
+        docs, cand, "doc_id", "text", shingle_n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    out = dup_clusters(verified, ids=docs.select("doc_id"))
+    return out.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+@query(
     "simhash_fingerprint",
     """
     WITH toks AS (

@@ -122,3 +122,68 @@ def test_candidate_join_aqe_skew_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---- dup_clusters: the grouping stage downstream of the candidates --------
+
+def test_dup_clusters_chain_and_components(spark):
+    from summingbird_spark.functions.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        # a 5-chain (worst diameter), a triangle, and an untouched singleton 99
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    ids = spark.createDataFrame([(i,) for i in [0, 1, 2, 3, 4, 10, 11, 12, 99]], "doc_id long")
+    got = {r.id: r.cluster_id for r in dup_clusters(pairs, ids=ids).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_dup_clusters_property_vs_union_find(spark):
+    """Min-label propagation vs a driver-side union-find on random graphs."""
+    import random
+
+    rng = random.Random(7)
+    n = 60
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(70)})
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comp_min = {}
+    for i in range(n):
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    want = {i: comp_min[find(i)] for i in range(n)}
+
+    from summingbird_spark.functions.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {r.id: r.cluster_id for r in dup_clusters(pairs, ids=ids).collect()}
+    assert got == want
+
+
+def test_star_capped_candidates_yield_same_clusters(spark):
+    """The max_bucket_size star degradation's headline claim, verified:
+    clusters from capped candidates == clusters from exact all-pairs."""
+    from summingbird_spark.functions.dedup import dup_clusters, minhash_candidates
+
+    docs = _corpus(spark, n_boiler=120, n_unique=50)
+    ids = docs.select("doc_id")
+
+    def clusters(**kw):
+        pairs = minhash_candidates(
+            docs, "doc_id", "text", num_perm=8, bands=4, shingle_n=3, **kw
+        )
+        return {
+            r.id: r.cluster_id for r in dup_clusters(pairs, ids=ids).collect()
+        }
+
+    assert clusters(max_bucket_size=15) == clusters()
