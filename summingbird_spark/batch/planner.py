@@ -283,8 +283,9 @@ class BatchPlanner:
                 value_cols=svc.value_cols,
                 mode=svc.mode,
                 semigroup=svc.semigroup,
-                max_age=None if svc.max_age_seconds is None
-                else F.lit(float(svc.max_age_seconds)),
+                # plain number, not Column: sum mode turns it into a long
+                # RANGE-frame bound (latest wraps it into a lit itself)
+                max_age=svc.max_age_seconds,
             )
         if isinstance(node.service, BufferService):
             svc = node.service

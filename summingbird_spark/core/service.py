@@ -91,7 +91,10 @@ class TemporalService(Service):
     ``loader`` may be a DataFrame, parquet path, ``spark -> DataFrame``
     callable, or a Producer (use a ``stream_source`` Producer to make the
     changelog itself a stream). ``max_age_seconds`` is the
-    BatchedWindowService visibility bound (latest mode only).
+    BatchedWindowService visibility bound — EXCLUSIVE, 0 <= t_l − t_r <
+    window (BatchedWindowService.scala:35-72) — in both modes: latest
+    hides an aged-out value, sum becomes the windowed running total
+    (batch: µs RANGE frame; streaming: retraction-buffer state).
     """
 
     def __init__(
@@ -105,10 +108,6 @@ class TemporalService(Service):
     ):
         if mode not in ("latest", "sum"):
             raise ValueError(f"TemporalService mode {mode!r}: 'latest' or 'sum'")
-        if mode == "sum" and max_age_seconds is not None:
-            raise NotImplementedError(
-                "windowed running-sum service: pre-aggregate windows + mode='latest'"
-            )
         super().__init__(loader, broadcast=False)
         self.time_col = time_col
         self.mode = mode

@@ -16,7 +16,12 @@ cross-trigger arrivals follow the reference's online contract — best
 effort, with the batch layer authoritative (SURVEY §2.5 late-data policy).
 
 Scale notes: one shuffle on the join key; state per key is O(1) (a single
-value per value column — never a buffer of right history); Arrow batches
+value per value column — never a buffer of right history) for
+``mode='latest'`` and unwindowed ``mode='sum'``; the WINDOWED running sum
+(``mode='sum'`` + ``max_age_seconds``) is the one retraction-bearing case
+and keeps exactly the right rows still inside the window horizon —
+O(window × right-rate) per key, the irreducible state of a windowed
+aggregate (what Spark's own windowed streaming aggs hold). Arrow batches
 the Python transfer. Hot keys are single-task for their group, the same
 bound the reference's grouped leftJoin bolt has.
 """
@@ -86,15 +91,6 @@ def streaming_as_of_join(
     is_latest = mode == "latest"
     if not is_latest and mode != "sum":
         raise ValueError(f"unknown as-of mode {mode!r}")
-    if mode == "sum" and max_age_seconds is not None:
-        # the stateful fn only consults max_age_seconds in the latest
-        # branch; silently returning UNWINDOWED running totals would be
-        # wrong results, not a missing feature (mirrors TemporalService)
-        raise NotImplementedError(
-            "streaming_as_of_join: mode='sum' with max_age_seconds is not "
-            "supported (windowed running totals need retraction state); "
-            "use the batch as_of_join for windowed sums"
-        )
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         st = pickle.loads(bytes(state.get[0])) if state.exists else None
@@ -122,8 +118,18 @@ def _asof_group(
 ):
     """One key-group trigger of the stateful as-of join, vectorized.
 
-    state: latest → {"rt": epoch_s, "vals": tuple|None-elements}
-           sum    → {"run": {col: merged-or-None}}
+    state: latest       → {"rt": epoch_s, "vals": tuple|None-elements}
+           sum          → {"run": {col: merged-or-None}}
+           windowed sum → {"buf": [(rt_epoch_s, {col: val})]} — the
+           retraction buffer: right rows still inside the window horizon
+           (rt > max-seen-time − max_age); each probe folds the buffer
+           slice with 0 <= t_l − rt < max_age (the reference's EXCLUSIVE
+           BatchedWindowService bound, same as batch mode='sum').
+           Invertible integer semigroups (sum_long) take an exact
+           prefix-difference fast path, O(1) per probe; general
+           semigroups fold their slice left-to-right — the same order
+           Spark's batch RANGE frame aggregates in, so doubles agree
+           bitwise with the batch path.
 
     Shape: sort once, then a ``maximum.accumulate`` pointer array maps
     every left row to the latest right row at-or-before it (rights sort
@@ -182,6 +188,54 @@ def _asof_group(
                 "rt": float(at_s[last_r]),
                 "vals": tuple(norm(c)[last_r] for c in value_cols),
             }
+    elif max_age_seconds is not None:
+        # windowed running sum: retraction buffer of in-horizon rights
+        buf = list((st or {}).get("buf", []))
+        vals_arr = {c: norm(c) for c in value_cols}
+        for ri in np.flatnonzero(~is_left):
+            buf.append(
+                (float(at_s[ri]), {c: vals_arr[c][ri] for c in value_cols})
+            )
+        buf.sort(key=lambda e: e[0])
+        rts = np.array([e[0] for e in buf], dtype="float64")
+        lt = at_s[is_left]
+        # exclusive bound: rt > t - max_age (searchsorted 'right' skips
+        # an entry at exactly t - max_age) and rt <= t
+        hi = np.searchsorted(rts, lt, side="right")
+        lo = np.searchsorted(rts, lt - max_age_seconds, side="right")
+        exact_int = getattr(sg, "name", None) == "sum_long"
+        for c in value_cols:
+            out = np.empty(n_left, dtype=object)
+            out[:] = None
+            if len(buf):
+                if exact_int:
+                    vs = np.array(
+                        [0 if e[1][c] is None else int(e[1][c]) for e in buf],
+                        dtype="int64",
+                    )
+                    nn = np.array(
+                        [e[1][c] is not None for e in buf], dtype="int64"
+                    )
+                    ps = np.concatenate([[0], np.cumsum(vs)])
+                    pc = np.concatenate([[0], np.cumsum(nn)])
+                    tot, cnt = ps[hi] - ps[lo], pc[hi] - pc[lo]
+                    for i in range(n_left):
+                        if cnt[i] > 0:
+                            out[i] = int(tot[i])
+                else:
+                    for i in range(n_left):
+                        run = None
+                        for j in range(int(lo[i]), int(hi[i])):
+                            v = buf[j][1][c]
+                            if v is not None:
+                                run = v if run is None else sg.py_merge(run, v)
+                        out[i] = run
+            filled[c] = out
+        if n:
+            horizon = float(at_s.max()) - max_age_seconds
+            buf = [e for e in buf if e[0] > horizon]
+        if buf or st is not None:
+            st = {"buf": buf}
     else:
         run0 = dict((st or {}).get("run", {}))
         r_rows = np.flatnonzero(~is_left)

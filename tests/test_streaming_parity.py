@@ -355,6 +355,22 @@ def test_streaming_asof_running_sum_parity(spark, temporal_dirs):
     assert any(v for v in want.values())
 
 
+def test_streaming_asof_windowed_sum_parity(spark, temporal_dirs):
+    """Windowed running sum (mode='sum' + max_age, the retraction-state
+    case that used to raise NotImplementedError): streaming buffer kernel
+    == batch µs RANGE frame under the exclusive bound, bitwise."""
+    max_age = 17 * 60 * 2.5  # 2.5 probe-steps: totals genuinely retract
+    want = _batch_asof(spark, temporal_dirs, "sum", max_age_seconds=max_age)
+    got = _stream_asof(spark, temporal_dirs, "sum", "asof_wsum_s",
+                       max_age_seconds=max_age)
+    assert len(want) > 100 and got == want
+    # the window really retracts: some windowed totals differ from the
+    # unwindowed running totals, and some probes see nothing at all
+    unbounded = _batch_asof(spark, temporal_dirs, "sum")
+    assert any(want[k] != unbounded[k] for k in want)
+    assert any(v is not None for v in want.values())
+
+
 def test_streaming_asof_windowed_parity(spark, temporal_dirs):
     """max_age (BatchedWindowService) bounds visibility identically on both
     paths."""
@@ -500,14 +516,21 @@ def _asof_reference(pdf, st, left_cols, value_cols, is_latest, sg, max_age):
     import pandas as pd
 
     pdf = pdf.sort_values(["__at__", "__is_left__"], kind="stable").reset_index(drop=True)
+    windowed_sum = (not is_latest) and max_age is not None
+    buf = list((st or {}).get("buf", [])) if windowed_sum else []
     filled = {c: [] for c in value_cols}
     left_idx = []
+    max_t = None
     for i in range(len(pdf)):
         row = pdf.iloc[i]
+        t = row["__at__"].timestamp()
+        max_t = t if max_t is None else max(max_t, t)
         if row["__is_left__"] == 0:
             vals = tuple(None if pd.isna(v) else v for v in (row[c] for c in value_cols))
             if is_latest:
-                st = {"rt": row["__at__"].timestamp(), "vals": vals}
+                st = {"rt": t, "vals": vals}
+            elif windowed_sum:
+                buf.append((t, dict(zip(value_cols, vals))))
             else:
                 run = (st or {"run": {}})["run"] if st else {}
                 for c, v in zip(value_cols, vals):
@@ -517,22 +540,37 @@ def _asof_reference(pdf, st, left_cols, value_cols, is_latest, sg, max_age):
                 st = {"run": dict(run)}
         else:
             left_idx.append(i)
-            if st is None:
+            if windowed_sum:
+                out_vals = []
+                for c in value_cols:
+                    run = None
+                    for rt, vs in sorted(buf, key=lambda e: e[0]):
+                        # exclusive reference bound: 0 <= t - rt < max_age
+                        if rt <= t and t - rt < max_age and vs[c] is not None:
+                            run = vs[c] if run is None else sg.py_merge(run, vs[c])
+                    out_vals.append(run)
+                out_vals = tuple(out_vals)
+            elif st is None:
                 out_vals = (None,) * len(value_cols)
             elif is_latest:
-                visible = max_age is None or row["__at__"].timestamp() - st["rt"] < max_age
+                visible = max_age is None or t - st["rt"] < max_age
                 out_vals = st["vals"] if visible else (None,) * len(value_cols)
             else:
                 out_vals = tuple(st["run"].get(c) for c in value_cols)
             for c, v in zip(value_cols, out_vals):
                 filled[c].append(v)
+    if windowed_sum:
+        horizon = (max_t if max_t is not None else float("inf")) - max_age
+        st = {"buf": sorted((e for e in buf if e[0] > horizon), key=lambda e: e[0])}
     out = pdf.iloc[left_idx][list(left_cols)].copy()
     for c in value_cols:
         out[c] = filled[c]
     return out, st
 
 
-@pytest.mark.parametrize("is_latest,max_age", [(True, None), (True, 120.0), (False, None)])
+@pytest.mark.parametrize(
+    "is_latest,max_age", [(True, None), (True, 120.0), (False, None), (False, 120.0)]
+)
 def test_asof_group_kernel_matches_reference(is_latest, max_age):
     """Vectorized kernel == per-row reference on random interleavings with
     deletions (None right values) and carried-in state."""
@@ -555,8 +593,13 @@ def test_asof_group_kernel_matches_reference(is_latest, max_age):
             rows.append({"pid": i, "__at__": t, "__is_left__": 1, "v": None})
     pdf = pd.DataFrame(rows)
     sg = sg_mod.get("sum")
-    for st0 in [None, ({"rt": base.timestamp() - 50.0, "vals": (1.5,)} if is_latest
-                       else {"run": {"v": 10.0}})]:
+    if is_latest:
+        carried = {"rt": base.timestamp() - 50.0, "vals": (1.5,)}
+    elif max_age is not None:
+        carried = {"buf": [(base.timestamp() - 50.0, {"v": 1.5})]}
+    else:
+        carried = {"run": {"v": 10.0}}
+    for st0 in [None, carried]:
         got, gst = _asof_group(pdf.copy(), st0, ["pid"], ["v"], is_latest, sg, max_age)
         want, wst = _asof_reference(pdf.copy(), st0, ["pid"], ["v"], is_latest, sg, max_age)
         assert list(got["pid"]) == list(want["pid"])
@@ -567,6 +610,12 @@ def test_asof_group_kernel_matches_reference(is_latest, max_age):
             assert (gst is None) == (wst is None)
             if gst is not None and wst is not None:
                 assert gst["rt"] == wst["rt"]
+        elif max_age is not None:
+            # same pruned retraction buffer (horizon = max time − window)
+            key = lambda e: (e[0], str(e[1]))
+            assert sorted((gst or {}).get("buf", []), key=key) == sorted(
+                (wst or {}).get("buf", []), key=key
+            )
         else:
             assert (gst or {}).get("run", {}).get("v") == (wst or {}).get("run", {}).get("v")
 
