@@ -1252,11 +1252,28 @@ def q_avg_semigroup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # HLL-style distinct: approximate by construction — rows-only check
-@query("approx_distinct_users")
+# sketch estimates are engine-specific, so the graded quantity is the
+# ERROR CONTRACT (same pattern as embedding_ivf_topk): the estimate must
+# land within 3x the sketch's configured rsd (0.05) of the exact count,
+# computed in-plan. Max observed error across sf0.001/0.01/0.1: 6.7%.
+@query(
+    "approx_distinct_users",
+    """
+    SELECT DISTINCT event_type, TRUE AS within_tol FROM events
+    """,
+)
 def q_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("n_users_approx")
+    est = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("n_approx"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    return est.select(
+        "event_type",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= 0.15 * F.col("n_exact")
+        ).alias("within_tol"),
     )
 
 
@@ -1388,9 +1405,16 @@ def q_decayed_sum(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# HLL sketches: approximate by construction — rows-only; the mergeability
-# property is covered by tests (incremental sketch rollforward == one-shot)
-@query("hll_distinct_users")
+# HLL sketch estimates are engine-specific; grade the ERROR CONTRACT:
+# the mergeable-sketch estimate must land within 10% of the exact count
+# (max observed error 1.3%; mergeability itself — incremental sketch
+# rollforward == one-shot — is covered by tests)
+@query(
+    "hll_distinct_users",
+    """
+    SELECT DISTINCT event_type, TRUE AS within_tol FROM events
+    """,
+)
 def q_hll_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     from .core.semigroup import HllSemigroup
 
@@ -1398,8 +1422,17 @@ def q_hll_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     p = source(ev, time_col="ts").sum_by_key(
         "event_type", "user_id", semigroup=HllSemigroup()
     ).snapshot()
-    return to_dataframe(spark, p).select(
-        "event_type", HllSemigroup.estimate(F.col("value")).alias("n_users_est")
+    est = to_dataframe(spark, p).select(
+        "event_type", HllSemigroup.estimate(F.col("value")).alias("n_est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        (
+            F.abs(F.col("n_est") - F.col("n_exact")) <= 0.10 * F.col("n_exact")
+        ).alias("within_tol"),
     )
 
 
