@@ -114,18 +114,19 @@ def test_readable_through_batch_with_empty_offline(spark, tmp_path):
     assert view == {"k": 110}  # batch 3 excluded
 
 
-def test_streaming_asof_sum_with_max_age_rejected(spark):
-    """streaming_as_of_join must refuse mode='sum' + max_age_seconds
-    (the stateful fn only windows the latest branch — silently returning
-    UNWINDOWED totals would be wrong results, not a missing feature)."""
+def test_streaming_asof_sum_with_max_age_builds(spark):
+    """mode='sum' + max_age_seconds is SUPPORTED since r5 (retraction-
+    buffer state in the group kernel; batch parity in
+    tests/test_streaming_parity.py::test_streaming_asof_windowed_sum_parity)
+    — the plan must build without the old NotImplementedError."""
     from summingbird_spark.streaming.temporal import streaming_as_of_join
 
     l = spark.createDataFrame([(ts(1), "k")], "t timestamp, key string")
     r = spark.createDataFrame([(ts(0), "k", 1.0)], "t timestamp, key string, v double")
-    with pytest.raises((NotImplementedError, ValueError)):
-        streaming_as_of_join(
-            l, r, "key", "t", "t", ["v"], mode="sum", max_age_seconds=60.0
-        )
+    out = streaming_as_of_join(
+        l, r, "key", "t", "t", ["v"], mode="sum", max_age_seconds=60.0
+    )
+    assert "v" in out.columns
 
 
 def test_side_effect_store_fires_with_touched_keys(spark, tmp_path):
