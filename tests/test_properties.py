@@ -340,3 +340,43 @@ def test_tile_near_dup_matches_numpy_all_pairs(spark, n, dim, blocks, thr, seed)
     ia, ib = np.nonzero(S >= thr)
     want = {(int(min(i, j)), int(max(i, j))) for i, j in zip(ia, ib) if i != j}
     assert set(got) == want
+
+
+def test_combined_batcher_over_calendar_months(spark):
+    """CombinedBatcher switching INTO a calendar batcher (daily history,
+    monthly going forward — the roadmap's untested composition): Column
+    expression, Python batch_of, and earliest_time_of agree across the
+    switch, ids stay contiguous, and the summer groups correctly."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    switch = dt.datetime(2024, 2, 1)
+    b = sb.batcher.CombinedBatcher(sb.of_days(1), sb.batcher.of_months(1), switch)
+
+    probes = [
+        dt.datetime(2024, 1, 30, 12), dt.datetime(2024, 1, 31, 23, 59),
+        dt.datetime(2024, 2, 1, 0, 0), dt.datetime(2024, 2, 29, 23, 59),
+        dt.datetime(2024, 3, 1, 0, 0), dt.datetime(2024, 4, 15, 6),
+    ]
+    df = spark.createDataFrame([(t,) for t in probes], "ts timestamp")
+    col_ids = [r.b for r in df.select(b.batch_col(F.col("ts")).alias("b")).collect()]
+    py_ids = [b.batch_of(t) for t in probes]
+    assert col_ids == py_ids, (col_ids, py_ids)
+    # contiguity at the switch: last daily batch + 1 == first monthly batch,
+    # and Feb (a leap month, variable width) is ONE batch
+    assert py_ids[2] == py_ids[1] + 1
+    assert py_ids[2] == py_ids[3]
+    assert py_ids[4] == py_ids[3] + 1
+    # earliest_time_of round-trips on both sides of the switch
+    assert b.earliest_time_of(py_ids[0]).replace(tzinfo=None) == dt.datetime(2024, 1, 30)
+    assert b.earliest_time_of(py_ids[2]).replace(tzinfo=None) == dt.datetime(2024, 2, 1)
+    assert b.earliest_time_of(py_ids[4]).replace(tzinfo=None) == dt.datetime(2024, 3, 1)
+
+    rows = [(t, "k", 1) for t in probes]
+    p = source(
+        spark.createDataFrame(rows, "ts timestamp, key string, value long"),
+        time_col="ts",
+    ).sum_by_key("key", "value", semigroup="sum_long", batcher=b)
+    got = {r.batch_id: r.delta for r in to_dataframe(spark, p).collect()}
+    assert got == {py_ids[0]: 1, py_ids[1]: 1, py_ids[2]: 2, py_ids[4]: 1, py_ids[5]: 1}
