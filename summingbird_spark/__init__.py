@@ -11,7 +11,12 @@ from .batch import batcher
 from .batch.batcher import Batcher, of_days, of_hours, of_millis, of_minutes, of_seconds, UNIT
 from .batch.planner import BatchPlanner, plan, to_dataframe
 from .batch.delta import BatchedDeltaService, read_delta_log
-from .batch.store import InitialBatchedStore, VersionedBatchStore, rollforward
+from .batch.store import (
+    BucketedBatchStore,
+    InitialBatchedStore,
+    VersionedBatchStore,
+    rollforward,
+)
 from .core.service import BufferService, ExternalLookupService, Service, StoreService, TemporalService
 from .sinks.sinks import BatchedParquetSink, MemorySink, ParquetSink
 
@@ -36,6 +41,7 @@ __all__ = [
     "plan",
     "to_dataframe",
     "VersionedBatchStore",
+    "BucketedBatchStore",
     "InitialBatchedStore",
     "rollforward",
     "read_delta_log",

@@ -128,6 +128,81 @@ class InitialBatchedStore(VersionedBatchStore):
         )
 
 
+class BucketedBatchStore(VersionedBatchStore):
+    """VersionedBatchStore whose snapshots are written HASH-BUCKETED on
+    the key columns (``sources.bucketed``): every later equi-join on the
+    key — the rollforward prev ⊕ delta full-outer merge, client-layer
+    offline ⊕ online joins, serving-side enrichments — reads a scan that
+    already satisfies the join's distribution and skips its Exchange.
+
+    Why this matters at 100 TB: in steady state the PREV side of the
+    merge is the full store (every key ever seen) while the delta side is
+    one batch of traffic — the bucketed layout moves the big side's
+    shuffle to write time once, amortized over every subsequent
+    rollforward and every downstream join on the key
+    (tests/test_plan_quality.py asserts the single-Exchange merge plan).
+    The reference hand-schedules the same co-location through Scalding
+    reducer reuse; bucketing is Spark's durable equivalent.
+
+    Bucket metadata lives in the CATALOG (``saveAsTable`` over the same
+    ``{path}/batch_id={N}`` layout), so reads go through
+    ``spark.table``; a session without the catalog entry (or
+    ``rollforward(write_each_batch=True)``, which writes snapshots
+    directly) falls back to the plain parquet read — correct, just
+    re-shuffled. Size ``num_buckets`` like shuffle partitions: total
+    snapshot size / 128-512 MB, rounded to the executor count.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        key_cols: Sequence[str],
+        semigroup="sum",
+        num_buckets: int = 8,
+        versions_to_keep: Optional[int] = None,
+        table_prefix: Optional[str] = None,
+    ):
+        super().__init__(path, key_cols, semigroup, versions_to_keep)
+        self.num_buckets = num_buckets
+        self.table_prefix = table_prefix or (
+            "sb_store_" + re.sub(r"\W+", "_", path.strip("/"))
+        )
+
+    def _table(self, batch_id: int) -> str:
+        return f"{self.table_prefix}_b{batch_id}"
+
+    def write_snapshot(self, df: DataFrame, batch_id: int, prune=None) -> None:
+        from ..sources.bucketed import write_bucketed
+
+        if prune is not None:
+            df = df.where(~prune)
+        write_bucketed(
+            df.select(*self.key_cols, "value"),
+            self._table(batch_id),
+            self.key_cols,
+            self.num_buckets,
+            sort_cols=self.key_cols,
+            path=self._version_path(batch_id),
+        )
+        self._vacuum(df.sparkSession)
+
+    def read_snapshot(self, spark: SparkSession, batch_id: int) -> DataFrame:
+        t = self._table(batch_id)
+        if spark.catalog.tableExists(t):
+            return spark.table(t)
+        return super().read_snapshot(spark, batch_id)
+
+    def _vacuum(self, spark: Optional[SparkSession] = None) -> None:
+        if self.versions_to_keep is None:
+            return
+        if spark is not None:
+            for v in self.versions()[: -self.versions_to_keep]:
+                t = self._table(v)
+                if spark.catalog.tableExists(t):
+                    spark.sql(f"DROP TABLE IF EXISTS {t}")
+        super()._vacuum()
+
+
 def rollforward(
     spark: SparkSession,
     store: VersionedBatchStore,

@@ -176,3 +176,42 @@ def test_bucketed_join_skips_both_exchanges(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bq_events")
         spark.sql("DROP TABLE IF EXISTS bq_dim")
+
+
+def test_bucketed_store_merge_shuffles_only_the_delta_side(spark, tmp_path):
+    """The rollforward prev ⊕ delta merge against a BucketedBatchStore
+    snapshot: the PREV side (full store, the big side at scale) is a
+    bucketed scan that already satisfies the join distribution — the only
+    Exchange in the plan is the delta aggregation's. This is the durable
+    co-location the reference hand-schedules via reducer reuse."""
+    import summingbird_spark as sb
+    from pyspark.sql import functions as F
+
+    store = sb.BucketedBatchStore(
+        str(tmp_path / "bjstore"), ["key"], "sum_long", num_buckets=8,
+        table_prefix="t_bucketed_merge_plan",
+    )
+    snap = spark.range(0, 5000).selectExpr(
+        "CAST(id % 400 AS STRING) AS key", "id AS value"
+    ).groupBy("key").agg(F.sum("value").alias("value"))
+    store.write_snapshot(snap, 7)
+
+    prev = store.read_snapshot(spark, 7)
+    delta = (
+        spark.range(0, 2000)
+        .selectExpr("CAST(id % 100 AS STRING) AS key", "id AS value")
+        .groupBy("key")
+        .agg(F.sum("value").alias("value"))
+    )
+    merged = (
+        prev.withColumnRenamed("value", "__prev__")
+        .join(delta.withColumnRenamed("value", "__delta__"), ["key"], "full")
+        .select("key", (F.coalesce("__prev__", F.lit(0)) + F.coalesce("__delta__", F.lit(0))).alias("value"))
+    )
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert "SortMergeJoin" in plan
+    # exactly the delta side's aggregation exchange; the bucketed prev
+    # scan needs none (its FileScan reports "Bucketed: true")
+    assert n_exchanges == 1, plan[:3000]
+    assert "Bucketed: true" in plan

@@ -302,3 +302,36 @@ def test_read_delta_log_empty_store_and_unit_batcher(spark, events_df, tmp_path)
     unit_sink.write(events_df.select("key", "value", TIME_COL))
     with pytest.raises(ValueError, match="time-based batcher"):
         sb.read_delta_log(spark, store, unit_sink)
+
+
+def test_bucketed_store_rollforward_split_equals_oneshot(spark, tmp_path):
+    """BucketedBatchStore is a drop-in VersionedBatchStore: a split
+    rollforward equals the one-shot totals, snapshots read back through
+    the catalog, and lookup still works."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    data = [
+        (dt.datetime(2024, 1, 1 + i % 6, 8), f"k{i % 7}", i % 5 + 1)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(data, "ts timestamp, key string, value long").withColumn(
+        sb.TIME_COL, F.col("ts")
+    )
+    batcher = sb.of_days(1)
+    b_lo = batcher.batch_of(dt.datetime(2024, 1, 1))
+    store = sb.BucketedBatchStore(
+        str(tmp_path / "bstore"), ["key"], "sum_long", num_buckets=4,
+        table_prefix="t_bucketed_rf",
+    )
+    sb.rollforward(spark, store, df, batcher, b_lo + 2)
+    snap = sb.rollforward(spark, store, df, batcher, b_lo + 5)
+    got = {r.key: r.value for r in snap.collect()}
+    want = {}
+    for _, k, v in data:
+        want[k] = want.get(k, 0) + v
+    assert got == want
+    # reads go through the catalog (bucketed scan)
+    assert spark.catalog.tableExists("t_bucketed_rf_b" + str(b_lo + 5))
+    assert store.lookup(spark, ["k0"]) == {"k0": want["k0"]}
