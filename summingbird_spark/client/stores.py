@@ -183,12 +183,35 @@ def presenting_store(
     target: KVParquetStore,
     present: Callable[[Column], Column],
     presented_col: str = "presented",
+    every_n_merges: int = 1,
+    min_interval_seconds: float = 0.0,
 ) -> SideEffectStore:
-    """PresentingStore.scala:35-46: after every merge, snapshot the touched
-    keys' combined client value through ``present`` into ``target``."""
+    """PresentingStore.scala:35-46: after a merge, snapshot the touched
+    keys' combined client value through ``present`` into ``target``.
 
-    def effect(touched: DataFrame) -> None:
-        spark = touched.sparkSession
+    DEBOUNCE (write-amplification control): with the defaults every merge
+    presents, like the reference. Raising ``every_n_merges`` /
+    ``min_interval_seconds`` batches presents: between fires the touched
+    keys APPEND to a tiny parquet pending log (no driver-side state — a
+    streaming batch frame must not be held across triggers, and key sets
+    can be large), and a fire presents the DISTINCT union of everything
+    pending, so skipped merges lose no keys and each key presents its
+    latest combined value. ``put_all`` rewrites the whole target per
+    call, so fires are the expensive unit — at one fire per N merges the
+    target write cost drops N-fold. Crash between ``put_all`` and the
+    pending-log clear re-presents those keys next fire — presents are
+    recomputed from the client view, so at-least-once is idempotent.
+    The returned store exposes ``flush()`` to force a final fire
+    (e.g. before decommission)."""
+    import time
+
+    pending_path = os.path.join(target.path, "_pending_keys")
+    state = {"merges": 0, "last_fire": float("-inf")}
+
+    def _fire(spark: SparkSession) -> None:
+        if not os.path.isdir(pending_path):
+            return
+        touched = spark.read.parquet(pending_path).distinct()
         view = client.readable(spark).join(
             F.broadcast(touched), client.key_cols, "left_semi"
         )
@@ -197,5 +220,21 @@ def presenting_store(
                 *client.key_cols, present(F.col("value")).alias(presented_col)
             )
         )
+        shutil.rmtree(pending_path, ignore_errors=True)
+        state["last_fire"] = time.monotonic()
 
-    return SideEffectStore(online_store, effect)
+    def effect(touched: DataFrame) -> None:
+        spark = touched.sparkSession
+        touched.write.mode("append").parquet(pending_path)
+        state["merges"] += 1
+        due = (
+            state["merges"] >= every_n_merges
+            and time.monotonic() - state["last_fire"] >= min_interval_seconds
+        )
+        if due:
+            state["merges"] = 0
+            _fire(spark)
+
+    store = SideEffectStore(online_store, effect)
+    store.flush = lambda spark: _fire(spark)
+    return store

@@ -167,3 +167,39 @@ def test_presenting_store_snapshots_touched_keys(spark, lambda_stores, tmp_path)
     got = {r.key: r.presented for r in target.read(spark).collect()}
     assert got["k0"] == (off["k0"] + 1000 + 7) * 10
     assert got["k1"] == (off["k1"] + 2000 + 1) * 10
+
+
+def test_presenting_store_debounce_batches_fires(spark, lambda_stores, tmp_path):
+    """every_n_merges=3: the first two merges only append to the pending
+    log (no target write); the third fire presents the distinct union of
+    ALL touched keys at their latest combined values. flush() forces a
+    fire for a trailing partial batch."""
+    offline, online, b0 = lambda_stores
+    cm = ClientMergeable(offline, online, ["key"], "sum_long")
+    target = KVParquetStore(str(tmp_path / "present_db"), ["key"])
+    ps = presenting_store(online, cm, target, lambda v: v * 10,
+                          every_n_merges=3)
+
+    def merge(key, delta):
+        ps.multi_merge(spark.createDataFrame(
+            [(key, b0 + 3, delta)], "key string, batch_id long, delta long"
+        ))
+
+    merge("k0", 7)
+    merge("k0", 5)   # same key again: must present the LATEST total once
+    assert target.read(spark) is None  # debounced: no fire yet
+    merge("k1", 1)   # third merge fires
+    off = {r.key: r.value for r in offline.read_last(spark)[1].collect()}
+    got = {r.key: r.presented for r in target.read(spark).collect()}
+    assert got == {
+        "k0": (off["k0"] + 1000 + 7 + 5) * 10,
+        "k1": (off["k1"] + 2000 + 1) * 10,
+    }
+
+    # one more merge stays pending; flush() forces the trailing fire
+    merge("k0", 2)
+    assert {r.key: r.presented for r in target.read(spark).collect()} == got
+    ps.flush(spark)
+    got2 = {r.key: r.presented for r in target.read(spark).collect()}
+    assert got2["k0"] == (off["k0"] + 1000 + 7 + 5 + 2) * 10
+    assert got2["k1"] == got["k1"]
