@@ -1042,6 +1042,50 @@ def q_embedding_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 # ------------------------------------------------------- multimodal columns
 
+# ------------------------------------------------- deterministic sampling
+
+@query(
+    "hash_sample_docs",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 8))::BIGINT < 858993459
+    """,
+)
+def q_hash_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic ~20% corpus sample (functions/sampling.hash_sample):
+    keep/drop is a pure function of (doc_id, seed) — layout-independent,
+    engine-portable (both sides compute the same md5 bucket), nested
+    across rates. 858993459 = floor(0.2 * 16^8)."""
+    from .functions.sampling import hash_sample
+
+    docs = load_table(spark, sf, "documents")
+    return hash_sample(docs, 0.2, "doc_id", seed=0).select("doc_id", "lang")
+
+
+@query(
+    "stratified_sample_events",
+    """
+    SELECT event_id, event_type FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY event_type
+      ORDER BY ('0x' || substr(md5('0|' || event_id::VARCHAR), 1, 8))::BIGINT,
+               event_id
+    ) <= 50
+    """,
+)
+def q_stratified_sample_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group quota sampling (functions/sampling.stratified_sample):
+    exactly min(50, group size) events per type, picked by hash rank —
+    the balanced-mix primitive (cap each language/domain at N docs).
+    One shuffle on the group key."""
+    from .functions.sampling import stratified_sample
+
+    ev = load_table(spark, sf, "events")
+    return stratified_sample(ev, "event_type", 50, "event_id", seed=0).select(
+        "event_id", "event_type"
+    )
+
+
 @query(
     "multimodal_features",
     """

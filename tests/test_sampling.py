@@ -1,0 +1,96 @@
+"""Deterministic sampling properties — the contracts that make a sample
+reproducible and auditable (functions/sampling.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from summingbird_spark.functions.sampling import (
+    hash_sample,
+    mixture,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 5000).selectExpr("id AS doc_id", "id % 7 AS grp")
+
+
+def test_hash_sample_layout_independent(spark, ids):
+    """The kept id set is identical regardless of physical layout —
+    the property DataFrame.sample (per-partition seeds) lacks."""
+    a = {r.doc_id for r in hash_sample(ids, 0.3, "doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(ids.repartition(17), 0.3, "doc_id").collect()
+    }
+    c = {
+        r.doc_id for r in hash_sample(ids.coalesce(1), 0.3, "doc_id").collect()
+    }
+    assert a == b == c
+    assert 0.2 < len(a) / 5000 < 0.4  # rate lands near 30%
+
+
+def test_hash_sample_nested_rates_and_disjoint_seeds(spark, ids):
+    s10 = {r.doc_id for r in hash_sample(ids, 0.1, "doc_id").collect()}
+    s20 = {r.doc_id for r in hash_sample(ids, 0.2, "doc_id").collect()}
+    assert s10 < s20  # same seed: smaller rate is a subset (ablation nesting)
+    other = {r.doc_id for r in hash_sample(ids, 0.2, "doc_id", seed=9).collect()}
+    # different seed: an independent draw, not the same set
+    assert other != s20
+    jacc = len(other & s20) / len(other | s20)
+    assert jacc < 0.25  # ~independent 20% draws overlap ~11% of the union
+
+
+def test_hash_sample_rejects_bad_fraction(spark, ids):
+    with pytest.raises(ValueError):
+        hash_sample(ids, 1.5, "doc_id")
+
+
+def test_stratified_sample_exact_quota_and_stability(spark, ids):
+    out = stratified_sample(ids, "grp", 10, "doc_id").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.grp, set()).add(r.doc_id)
+    assert all(len(v) == 10 for v in per.values())  # exact quota (5000/7 > 10)
+
+    # group isolation: removing OTHER groups' rows never changes this
+    # group's picks
+    only3 = stratified_sample(
+        ids.where("grp = 3"), "grp", 10, "doc_id"
+    ).collect()
+    assert {r.doc_id for r in only3} == per[3]
+
+    # quota growth only ADDS rows (nested)
+    bigger = stratified_sample(ids, "grp", 25, "doc_id")
+    per25 = {}
+    for r in bigger.collect():
+        per25.setdefault(r.grp, set()).add(r.doc_id)
+    assert all(per[g] < per25[g] for g in per)
+
+
+def test_stratified_sample_small_group_keeps_all(spark):
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(40)] + [(100 + i, "small") for i in range(3)],
+        "doc_id long, grp string",
+    )
+    out = stratified_sample(df, "grp", 10, "doc_id").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.grp, set()).add(r.doc_id)
+    assert len(got["big"]) == 10 and len(got["small"]) == 3
+
+
+def test_mixture_rates_and_provenance(spark):
+    a = spark.range(0, 4000).selectExpr("id AS doc_id")
+    b = spark.range(0, 4000).selectExpr("id AS doc_id")
+    mixed = mixture([(a, 0.5), (b, 0.1)], "doc_id", source_col="src")
+    counts = {r.src: r.n for r in mixed.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert 0.4 < counts[0] / 4000 < 0.6
+    assert 0.05 < counts[1] / 4000 < 0.16
+    # per-source seeds are independent: the same id can appear in both
+    # sources' samples or neither — provenance disambiguates
+    rerun = mixture([(a, 0.5), (b, 0.1)], "doc_id", source_col="src")
+    assert sorted(map(tuple, mixed.collect())) == sorted(map(tuple, rerun.collect()))
