@@ -183,12 +183,18 @@ def test_bucketed_store_merge_shuffles_only_the_delta_side(spark, tmp_path):
     snapshot: the PREV side (full store, the big side at scale) is a
     bucketed scan that already satisfies the join distribution — the only
     Exchange in the plan is the delta aggregation's. This is the durable
-    co-location the reference hand-schedules via reducer reuse."""
+    co-location the reference hand-schedules via reducer reuse.
+
+    Bucket count follows the sizing rule from the store docstring (match
+    the consumer's parallelism): the CLI test leaves the shared session
+    at 32 shuffle partitions, and the planner disables a bucketed scan
+    whose bucket count is below the shuffle target."""
     import summingbird_spark as sb
     from pyspark.sql import functions as F
 
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
     store = sb.BucketedBatchStore(
-        str(tmp_path / "bjstore"), ["key"], "sum_long", num_buckets=8,
+        str(tmp_path / "bjstore"), ["key"], "sum_long", num_buckets=n_buckets,
         table_prefix="t_bucketed_merge_plan",
     )
     snap = spark.range(0, 5000).selectExpr(
