@@ -239,3 +239,108 @@ def frame_sample(
     return df.select(id_col, payload_col).mapInPandas(
         run, f"{id_col} long, frame_no int, frame_bytes binary"
     )
+
+
+def _encode_png(w: int, h: int, rgb: tuple) -> bytes:
+    """A valid 8-bit RGB PNG built with stdlib only (zlib + struct) —
+    the deterministic-fallback encoder for environments without a codec
+    library. Output parses in any PNG reader (including _header_dims)."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        c = tag + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(rgb) * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _fit_dims(src_w, src_h, tw: int, th: int) -> tuple:
+    """Aspect-preserving fit inside (tw, th); unknown source dims fall
+    back to the target box."""
+    if not src_w or not src_h:
+        return tw, th
+    scale = min(tw / src_w, th / src_h, 1.0)  # never upscale in fit mode
+    return max(1, int(src_w * scale)), max(1, int(src_h * scale))
+
+
+def resize_images(
+    df: DataFrame,
+    size: tuple,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fit: bool = True,
+    decoder: str = "auto",
+) -> DataFrame:
+    """mapInPandas image resize: ``(id, payload)`` →
+    ``(id, payload, width, height)`` with the payload re-encoded as PNG
+    at the new dimensions — the third multimodal verb (decode /
+    feature-extract / **resize** / frame-sample).
+
+    decoders: ``pil`` — real decode + Lanczos resize + PNG re-encode
+    (raises if PIL is not importable); ``fake`` — CLEARLY-MARKED
+    deterministic stand-in for codec-less environments: output dims are
+    computed from the REAL container header (``_header_dims``) with the
+    same fit math, and the payload is a valid stdlib-built PNG whose
+    fill color derives from md5(payload), so plumbing (schema, Arrow
+    batch shape, one-row-in-one-row-out, downstream header parses) is
+    fully exercised while the pixel content is synthetic; ``auto`` —
+    pil when importable, else fake.
+
+    Scale shape: no shuffle (mapInPandas over the scan), bytes stay
+    inside their task, work per row is bounded by the target box.
+    """
+    tw, th = int(size[0]), int(size[1])
+    if tw < 1 or th < 1:
+        raise ValueError(f"target size must be positive; got {size!r}")
+    if decoder not in ("auto", "pil", "fake"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    use_pil = decoder in ("auto", "pil") and _pil_image() is not None
+    if decoder == "pil" and not use_pil:
+        raise ImportError("resize_images(decoder='pil'): PIL not importable")
+
+    def one(payload: bytes) -> tuple:
+        p = bytes(payload)
+        if use_pil:
+            import io
+
+            Image = _pil_image()
+            with Image.open(io.BytesIO(p)) as im:
+                if fit:
+                    im = im.copy()
+                    im.thumbnail((tw, th))
+                    out_im = im
+                else:
+                    out_im = im.resize((tw, th))
+                buf = io.BytesIO()
+                out_im.convert("RGB").save(buf, format="PNG")
+                return buf.getvalue(), out_im.width, out_im.height
+        sw, sh, _fmt = _header_dims(p)
+        w, h = _fit_dims(sw, sh, tw, th) if fit else (tw, th)
+        color = tuple(hashlib.md5(p).digest()[:3])
+        return _encode_png(w, h, color), w, h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = [one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    payload_col: [o[0] for o in outs],
+                    "width": [o[1] for o in outs],
+                    "height": [o[2] for o in outs],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, f"{id_col} long, {payload_col} binary, width int, height int"
+    )

@@ -539,3 +539,51 @@ def test_audio_decode_wav_parse(spark):
 
     with pytest.raises(NotImplementedError, match="RIFF/WAVE"):
         _audio_features(b"ID3\x04mp3-ish-bytes" + b"\x00" * 64)
+
+
+def test_resize_images_plumbing_and_roundtrip(spark):
+    """resize_images: one row in → one row out, schema (id, payload,
+    width, height); fit math preserves aspect from the REAL parsed
+    header; the emitted payload is a valid PNG whose header round-trips
+    through extract_features at the new dimensions; deterministic."""
+    from summingbird_spark.functions.multimodal import (
+        extract_features,
+        resize_images,
+    )
+
+    big = _tiny_png(64, 16, (10, 20, 30))   # 4:1 aspect
+    small = _tiny_png(4, 4, (1, 2, 3))      # already inside the box
+    df = spark.createDataFrame(
+        [(1, bytearray(big)), (2, bytearray(small))], "doc_id long, payload binary"
+    )
+    out = {r.doc_id: r for r in resize_images(df, (16, 16)).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1].width, out[1].height) == (16, 4)  # aspect-preserving fit
+    assert (out[2].width, out[2].height) == (4, 4)   # fit never upscales
+
+    # the resized payload is a real PNG: the header parser agrees
+    rdf = spark.createDataFrame(
+        [(i, bytearray(bytes(r.payload))) for i, r in out.items()],
+        "doc_id long, payload binary",
+    )
+    feats = {r.doc_id: r for r in extract_features(rdf, decoder="image").collect()}
+    assert (feats[1].width, feats[1].height) == (16, 4)
+    assert (feats[2].width, feats[2].height) == (4, 4)
+
+    # deterministic: same inputs, byte-identical outputs
+    again = {r.doc_id: bytes(r.payload) for r in resize_images(df, (16, 16)).collect()}
+    assert {i: bytes(r.payload) for i, r in out.items()} == again
+
+
+def test_resize_images_stretch_and_errors(spark):
+    from summingbird_spark.functions.multimodal import resize_images
+
+    png = _tiny_png(8, 8, (9, 9, 9))
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+    r = resize_images(df, (5, 3), fit=False).collect()[0]
+    assert (r.width, r.height) == (5, 3)  # exact stretch
+
+    with pytest.raises(ValueError):
+        resize_images(df, (0, 3))
+    with pytest.raises(ValueError):
+        resize_images(df, (3, 3), decoder="nope")
