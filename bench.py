@@ -122,16 +122,23 @@ def main() -> None:
 
     import statistics
 
-    timings: dict[str, float] = {}
-    for name, fn in all_queries.items():
-        try:
-            # median of 3: the first run's codegen-compile cost lands in
-            # the discarded tail, and a one-off GC/IO stall can't move the
-            # reported number (r4's 4x phantom swings on unchanged code)
-            timings[name] = round(statistics.median(run_one(fn) for _ in range(3)), 3)
-        except Exception as e:  # keep the bench line parseable even on error
-            timings[name] = -1.0
-            print(f"bench error in {name}: {e}", file=sys.stderr)
+    # median of 3, INTERLEAVED: three full passes over the suite, median
+    # per query across passes. The first pass's codegen-compile cost lands
+    # in the discarded tail, and — unlike three back-to-back runs — a
+    # multi-minute host-load burst (observed: noisy-neighbor spikes
+    # inflating single queries 10-20x) hits each query's samples minutes
+    # apart, so it can poison at most one of the three.
+    samples: dict[str, list[float]] = {name: [] for name in all_queries}
+    for _ in range(3):
+        for name, fn in all_queries.items():
+            try:
+                samples[name].append(run_one(fn))
+            except Exception as e:  # keep the bench line parseable on error
+                print(f"bench error in {name}: {e}", file=sys.stderr)
+    timings: dict[str, float] = {
+        name: round(statistics.median(ts), 3) if ts else -1.0
+        for name, ts in samples.items()
+    }
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
