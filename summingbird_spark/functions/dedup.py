@@ -397,26 +397,34 @@ def dup_clusters(
         .cache()
     )
     labels.count()
+    cached = labels  # the handle cache()/unpersist() must be called on
     for _ in range(max_iter):
+        # one shuffle round: neighbor labels union own label, then a
+        # single groupBy computes BOTH the new min label and the old own
+        # label (the row tagged __own__), so convergence detection needs
+        # no extra join — just a count on the same aggregate.
         nbr = edges.join(
             labels.select(F.col("id").alias("b"), F.col("label").alias("nlabel")),
             "b",
-        ).select(F.col("a").alias("id"), F.col("nlabel").alias("label"))
-        new_labels = (
-            labels.unionByName(nbr)
+        ).select(
+            F.col("a").alias("id"),
+            F.col("nlabel").alias("label"),
+            F.lit(False).alias("__own__"),
+        )
+        agg = (
+            labels.withColumn("__own__", F.lit(True))
+            .unionByName(nbr)
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("__own__"), F.col("label"))).alias("__old__"),
+            )
             .cache()
         )
-        changed = (
-            new_labels.join(
-                labels.select("id", F.col("label").alias("old")), "id"
-            )
-            .where(F.col("label") < F.col("old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = agg.where(F.col("label") < F.col("__old__")).count()
+        cached.unpersist()
+        cached = agg
+        labels = agg.select("id", "label")
         if changed == 0:
             break
     edges.unpersist()
