@@ -94,3 +94,34 @@ def test_mixture_rates_and_provenance(spark):
     # sources' samples or neither — provenance disambiguates
     rerun = mixture([(a, 0.5), (b, 0.1)], "doc_id", source_col="src")
     assert sorted(map(tuple, mixed.collect())) == sorted(map(tuple, rerun.collect()))
+
+
+def test_hash_sample_streaming_batch_parity(spark, tmp_path):
+    """hash_sample is a stateless codegen filter, so it applies to a
+    streaming DataFrame unchanged and keeps EXACTLY the batch-kept id set
+    — deterministic sampling composes with either execution mode (the
+    corpus-mixing story holds for streaming ingestion too)."""
+    df = spark.range(0, 2000).selectExpr("id AS doc_id", "id % 5 AS grp")
+    src_dir = str(tmp_path / "src")
+    df.coalesce(2).write.parquet(src_dir)
+
+    batch_kept = {
+        r.doc_id
+        for r in hash_sample(spark.read.parquet(src_dir), 0.25, "doc_id").collect()
+    }
+
+    stream = spark.readStream.schema("doc_id long, grp long").parquet(src_dir)
+    q = (
+        hash_sample(stream, 0.25, "doc_id")
+        .writeStream.format("memory")
+        .queryName("sample_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_kept = {
+        r.doc_id for r in spark.sql("SELECT doc_id FROM sample_stream").collect()
+    }
+    assert stream_kept == batch_kept
+    assert 0.15 < len(batch_kept) / 2000 < 0.35
