@@ -441,3 +441,39 @@ def dup_clusters(
             )
         )
     return out
+
+
+def keep_survivors(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    score_col: Optional[str] = None,
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """The dedup pipeline's final verb: ONE survivor per cluster — the
+    highest-``score_col`` member (ties: min id), or the min-id member
+    when no score is given. ``clusters`` is a (id, cluster_id) total
+    assignment (``dup_clusters``); singletons survive trivially.
+
+    One shuffle on the cluster id (the same per-group top-1 any argmax
+    pays); survivors keep all of ``df``'s columns plus ``cluster_col``.
+    """
+    from pyspark.sql.window import Window
+
+    joined = df.join(
+        clusters.select(
+            F.col("id").alias(id_col), F.col("cluster_id").alias(cluster_col)
+        ),
+        id_col,
+    )
+    order = (
+        [F.col(score_col).desc(), F.col(id_col)]
+        if score_col is not None
+        else [F.col(id_col)]
+    )
+    w = Window.partitionBy(cluster_col).orderBy(*order)
+    return (
+        joined.withColumn("__rk__", F.row_number().over(w))
+        .where(F.col("__rk__") == 1)
+        .drop("__rk__")
+    )

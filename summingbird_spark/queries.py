@@ -1042,6 +1042,99 @@ def q_embedding_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 # ------------------------------------------------------- multimodal columns
 
+@query(
+    "dedup_survivors",
+    """
+    WITH RECURSIVE tl AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents
+    ), s3 AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+             i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM tl WHERE len(t) >= 3
+    ), sh AS (
+      SELECT doc_id, unnest(s) AS w FROM s3
+    ), mh AS (
+      SELECT doc_id, seed,
+             min(substr(md5(seed::VARCHAR || '|' || w), 1, 16)) AS h1,
+             min(substr(md5(seed::VARCHAR || '|' || w), 17, 16)) AS h2
+      FROM sh CROSS JOIN (SELECT unnest(range(4)) AS seed) seeds
+      GROUP BY doc_id, seed
+    ), bandkeys AS (
+      SELECT doc_id, seed AS band, h1 || '#' || h2 AS bkey FROM mh
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandkeys a JOIN bandkeys b USING (band, bkey)
+      WHERE a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT p.id_a, p.id_b
+      FROM cand p
+      JOIN s3 sa ON sa.doc_id = p.id_a
+      JOIN s3 sb ON sb.doc_id = p.id_b
+      WHERE len(list_intersect(sa.s, sb.s)) /
+            (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM verified
+      UNION SELECT id_b, id_a FROM verified
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), cc AS (
+      SELECT d.doc_id,
+             CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS BIGINT)
+               AS cluster_id
+      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id
+    ), qtoks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), q AS (
+      SELECT doc_id,
+             round((CASE WHEN len(t) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END
+                    + len(list_distinct(t)) / greatest(len(t), 1)
+                    + CASE WHEN len(list_filter(t, x -> x <> '')) > 0
+                           AND (list_sum(list_transform(t, x -> length(x))) / greatest(len(t), 1))
+                               BETWEEN 2.0 AND 12.0
+                           THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS quality
+      FROM qtoks
+    )
+    SELECT cc.cluster_id, cc.doc_id, q.quality
+    FROM cc JOIN q USING (doc_id)
+    QUALIFY row_number() OVER (
+      PARTITION BY cc.cluster_id ORDER BY q.quality DESC, cc.doc_id
+    ) = 1
+    """,
+)
+def q_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup pipeline's FINAL verb, end-to-end: candidates → Jaccard
+    verify → connected components → keep the highest-quality member per
+    cluster (functions/dedup.keep_survivors; ties by min doc_id, ranked
+    on 4-decimal-rounded quality so both engines break ties
+    identically). The surviving set is what a corpus build ships."""
+    from .functions.dedup import (
+        dup_clusters,
+        keep_survivors,
+        minhash_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    cand = minhash_candidates(
+        docs, "doc_id", "text", num_perm=8, bands=4, shingle_n=3, portable=True
+    )
+    verified = ngram_jaccard_pairs(
+        docs, cand, "doc_id", "text", shingle_n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    clusters = dup_clusters(verified, ids=docs.select("doc_id"))
+    scored = docs.select(
+        "doc_id", F.round(T.quality_score(F.col("text")), 4).alias("quality")
+    )
+    return keep_survivors(scored, clusters, "doc_id", score_col="quality").select(
+        "cluster_id", "doc_id", "quality"
+    )
+
+
 # ------------------------------------------------- deterministic sampling
 
 @query(

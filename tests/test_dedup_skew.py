@@ -187,3 +187,29 @@ def test_star_capped_candidates_yield_same_clusters(spark):
         }
 
     assert clusters(max_bucket_size=15) == clusters()
+
+
+def test_keep_survivors_best_per_cluster(spark):
+    from summingbird_spark.functions.dedup import keep_survivors
+
+    docs = spark.createDataFrame(
+        [(0, 0.5), (1, 0.9), (2, 0.9), (10, 0.1), (99, 0.7)],
+        "doc_id long, quality double",
+    )
+    clusters = spark.createDataFrame(
+        # {0,1,2} one cluster, {10} and {99} singletons
+        [(0, 0), (1, 0), (2, 0), (10, 10), (99, 99)], "id long, cluster_id long"
+    )
+    got = {
+        (r.cluster_id, r.doc_id)
+        for r in keep_survivors(docs, clusters, "doc_id", score_col="quality").collect()
+    }
+    # cluster 0: quality tie 1 vs 2 -> min id wins; singletons survive
+    assert got == {(0, 1), (10, 10), (99, 99)}
+
+    # no score: min id per cluster
+    got2 = {
+        (r.cluster_id, r.doc_id)
+        for r in keep_survivors(docs, clusters, "doc_id").collect()
+    }
+    assert got2 == {(0, 0), (10, 10), (99, 99)}
