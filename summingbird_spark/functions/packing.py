@@ -1,0 +1,186 @@
+"""Corpus ordering and sequence packing — the shard-building verbs of a
+training-data pipeline.
+
+Both operators here need a GLOBAL prefix over a deterministic order
+(cumulative token count for shard packing; cumulative row count for a
+reproducible shuffle).  The naive Spark spelling —
+``Window.orderBy(key)`` with no partition — collapses the whole table
+into ONE task and is the classic 100 TB killer.  Instead we use the
+textbook two-phase distributed prefix sum:
+
+1. bucket every row by a range of the order key (a pure expression —
+   no sampling, so bucket boundaries are a deterministic function of
+   the data, unlike ``repartitionByRange``);
+2. aggregate per-bucket totals — at most ``n_buckets`` rows — and take
+   the *exclusive* running total over that tiny table (a single-task
+   window over <= 4096 rows, microseconds);
+3. broadcast the offsets back and finish with a *bucket-partitioned*
+   window for the within-bucket running total.
+
+The result is one shuffle on the bucket key + one broadcast join —
+the same cost as any groupBy — and every task handles one bucket.
+Skewed order keys make skewed buckets, which is ordinary window skew;
+``deterministic_shuffle`` is immune (its order key is a uniform hash),
+and ``pack_shards`` callers can raise ``n_buckets``.
+
+Correctness contract (engine-portable, DuckDB-checkable): the outputs
+equal the single-window SQL
+``SUM(w) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING)`` /
+``ROW_NUMBER() OVER (ORDER BY key)`` — the distributed decomposition is
+an implementation detail the oracle never sees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .sampling import _BUCKET_SPACE, _hash_bucket
+
+_BUCKET = "__psum_bucket"
+_PREFIX = "__psum_prefix"
+
+
+def exclusive_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    weight: Column,
+    out_col: str,
+    n_buckets: int = 1024,
+    domain: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = sum of ``weight`` over all rows strictly before
+    this one in ``order_col`` order (ties broken by ``order_col`` being
+    unique — callers must pass a unique key or pre-compose one).
+
+    ``domain=(lo, hi)``, when the order key's range is known a priori
+    (e.g. a 32-bit hash), skips the min/max pre-scan.
+
+    Distributed shape: one min/max agg (skipped with ``domain``), one
+    shuffle on the bucket key, one broadcast join. No global sort, no
+    single-task window over the data.
+    """
+    key = F.col(order_col)
+    if domain is None:
+        lo, hi = df.agg(F.min(key), F.max(key)).first()
+        if lo is None:  # empty input
+            return df.withColumn(out_col, F.lit(0).cast("long"))
+    else:
+        lo, hi = domain
+    width = max(1, -(-(int(hi) - int(lo) + 1) // n_buckets))  # ceil div
+    # integer DIV, not double division: exact for the full BIGINT range
+    bucketed = df.withColumn(
+        _BUCKET,
+        F.expr(f"(CAST({order_col} AS BIGINT) - {int(lo)}) DIV {width}"),
+    )
+
+    # per-bucket totals -> exclusive running offsets (tiny: <= n_buckets rows)
+    totals = bucketed.groupBy(_BUCKET).agg(F.sum(weight).alias("__w"))
+    off_w = (
+        Window.orderBy(_BUCKET)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        _BUCKET,
+        F.coalesce(F.sum("__w").over(off_w), F.lit(0)).cast("long").alias("__off"),
+    )
+
+    within = (
+        Window.partitionBy(_BUCKET)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), _BUCKET)
+        .withColumn(
+            out_col,
+            (
+                F.col("__off")
+                + F.coalesce(F.sum(weight).over(within), F.lit(0))
+            ).cast("long"),
+        )
+        .drop(_BUCKET, "__off")
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    weight_col: str,
+    budget: int,
+    id_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Sequence packing: concatenate rows in ``id_col`` order into a
+    stream of ``weight_col`` units (tokens) and assign each row the
+    shard holding its FIRST unit: ``shard_id = prefix_before_row DIV
+    budget``.  The GPT-style contiguous-fill contract — every shard
+    except the last carries ~``budget`` tokens, shard membership is a
+    pure function of (ids, weights, budget), and appending documents
+    never reassigns earlier ones (auditable, resumable shard builds).
+
+    Adds ``shard_id``; one bucket shuffle + broadcast join (see module
+    doc), so it scales to any corpus a groupBy scales to.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive; got {budget!r}")
+    out = exclusive_prefix_sum(
+        df, id_col, F.col(weight_col).cast("long"), _PREFIX, n_buckets
+    )
+    return out.withColumn(
+        "shard_id", F.expr(f"{_PREFIX} DIV {int(budget)}").cast("long")
+    ).drop(_PREFIX)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    n_buckets: int = 1024,
+    position_col: str = "position",
+) -> DataFrame:
+    """Reproducible global pseudo-random order for training: each row
+    gets a 0-based ``position`` = its rank under ``md5(seed|id)`` (ties
+    broken by id).  A pure function of (ids, seed) — independent of
+    layout, partitioning, and engine — so epoch order is replayable
+    bit-for-bit across reruns and clusters, and different seeds give
+    independent epoch permutations.
+
+    The order key is a uniform 32-bit hash, so range buckets are
+    balanced by construction (``domain`` skips the min/max scan) and
+    the within-bucket windows see ~|df|/n_buckets rows each.  Writers
+    downstream do ``repartitionByRange(position).sortWithinPartitions``
+    to lay files out in shuffle order without any global sort.
+    """
+    hashed = df.withColumn("__shuf_key", _hash_bucket(F.col(id_col), seed))
+    out = _rank_by(hashed, "__shuf_key", id_col, position_col, n_buckets)
+    return out.drop("__shuf_key")
+
+
+def _rank_by(
+    df: DataFrame,
+    key_col: str,
+    tiebreak_col: str,
+    out_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """0-based global rank over (key, tiebreak) without a global sort:
+    count-weighted prefix sum over hash-range buckets (key is assumed
+    uniform in [0, _BUCKET_SPACE) — the sampling md5 bucket)."""
+    width = -(-_BUCKET_SPACE // n_buckets)
+    bucketed = df.withColumn(_BUCKET, F.expr(f"{key_col} DIV {width}"))
+    totals = bucketed.groupBy(_BUCKET).agg(F.count("*").alias("__w"))
+    off_w = Window.orderBy(_BUCKET).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        _BUCKET,
+        F.coalesce(F.sum("__w").over(off_w), F.lit(0)).cast("long").alias("__off"),
+    )
+    within = Window.partitionBy(_BUCKET).orderBy(key_col, tiebreak_col)
+    return (
+        bucketed.join(F.broadcast(offsets), _BUCKET)
+        .withColumn(
+            out_col,
+            (F.col("__off") + F.row_number().over(within) - 1).cast("long"),
+        )
+        .drop(_BUCKET, "__off")
+    )

@@ -2115,6 +2115,61 @@ def q_intersect_users(spark: SparkSession, sf: str) -> DataFrame:
     return a.intersect(b)
 
 
+@query(
+    "pack_shards",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+                AS BIGINT) AS shard_id
+    FROM w
+    """,
+)
+def q_pack_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing: concatenate docs in id order into a token stream,
+    assign each doc the 2048-token shard holding its first token
+    (functions/packing.pack_shards). The oracle is the single global
+    window; the operator is the two-phase distributed prefix sum —
+    bucket totals + broadcast offsets — with no single-task sort."""
+    from .functions.packing import pack_shards
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", T.token_count(F.lower(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return pack_shards(docs, "n_tokens", 2048, "doc_id").select(
+        "doc_id", "n_tokens", "shard_id"
+    )
+
+
+@query(
+    "deterministic_shuffle",
+    """
+    SELECT CAST(row_number() OVER (
+             ORDER BY ('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 8))::BIGINT,
+                      doc_id) - 1 AS BIGINT) AS pos,
+           doc_id
+    FROM documents
+    """,
+)
+def q_deterministic_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Reproducible epoch order: global 0-based rank under md5(seed|id) —
+    a pure function of (ids, seed), layout- and engine-independent
+    (functions/packing.deterministic_shuffle). Computed as a distributed
+    rank over uniform hash-range buckets, not a global sort."""
+    from .functions.packing import deterministic_shuffle
+
+    docs = load_table(spark, sf, "documents")
+    return deterministic_shuffle(docs, "doc_id", seed=0, position_col="pos").select(
+        "pos", "doc_id"
+    )
+
+
 # ----------------------------------------------------------- grade ordering
 #
 # The correctness driver grades the first N (observed: 50) queries() entries;

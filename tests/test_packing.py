@@ -1,0 +1,107 @@
+"""Packing operators: the two-phase distributed prefix sum must equal the
+naive single-window spelling, stay layout-independent, and keep its
+distributed shape (bucket-partitioned window + broadcast offsets join).
+"""
+
+import random
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from summingbird_spark.functions.packing import (
+    deterministic_shuffle,
+    exclusive_prefix_sum,
+    pack_shards,
+)
+
+
+def _random_docs(spark, n, seed, partitions=7):
+    rng = random.Random(seed)
+    # sparse, unordered ids exercise uneven range buckets
+    ids = rng.sample(range(0, n * 50), n)
+    rows = [Row(doc_id=i, n_tokens=rng.randint(0, 400)) for i in ids]
+    return spark.createDataFrame(rows).repartition(partitions)
+
+
+def _naive_prefix(df, order_col, weight_col):
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    return df.withColumn(
+        "expected", F.coalesce(F.sum(weight_col).over(w), F.lit(0)).cast("long")
+    )
+
+
+def test_prefix_sum_matches_single_window(spark):
+    df = _random_docs(spark, 300, seed=1)
+    got = exclusive_prefix_sum(df, "doc_id", F.col("n_tokens"), "prefix", n_buckets=16)
+    joined = got.join(_naive_prefix(df, "doc_id", "n_tokens"), "doc_id")
+    assert joined.where("prefix <> expected").count() == 0
+
+
+def test_prefix_sum_empty_and_single_row(spark):
+    empty = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert exclusive_prefix_sum(empty, "doc_id", F.col("n_tokens"), "p").count() == 0
+    one = spark.createDataFrame([Row(doc_id=42, n_tokens=7)])
+    [r] = exclusive_prefix_sum(one, "doc_id", F.col("n_tokens"), "p").collect()
+    assert r.p == 0
+
+
+def test_pack_shards_contract(spark):
+    df = _random_docs(spark, 200, seed=2)
+    out = pack_shards(df, "n_tokens", budget=1000, id_col="doc_id").collect()
+    out.sort(key=lambda r: r.doc_id)
+    run = 0
+    prev_shard = 0
+    for r in out:
+        assert r.shard_id == run // 1000  # shard of the doc's first token
+        assert r.shard_id >= prev_shard  # monotone in id order
+        prev_shard = r.shard_id
+        run += r.n_tokens
+
+
+def test_pack_shards_append_stability(spark):
+    """Appending later docs never reassigns earlier ones."""
+    df = _random_docs(spark, 150, seed=3)
+    max_id = df.agg(F.max("doc_id")).first()[0]
+    first = {r.doc_id: r.shard_id for r in pack_shards(df, "n_tokens", 500, "doc_id").collect()}
+    extra = spark.createDataFrame(
+        [Row(doc_id=max_id + 1 + i, n_tokens=100) for i in range(30)]
+    )
+    grown = {
+        r.doc_id: r.shard_id
+        for r in pack_shards(df.unionByName(extra), "n_tokens", 500, "doc_id").collect()
+    }
+    for k, v in first.items():
+        assert grown[k] == v
+
+
+def test_deterministic_shuffle_is_permutation_and_layout_independent(spark):
+    df = _random_docs(spark, 250, seed=4)
+    a = {r.doc_id: r.position for r in deterministic_shuffle(df, "doc_id").collect()}
+    assert sorted(a.values()) == list(range(250))
+    b = {
+        r.doc_id: r.position
+        for r in deterministic_shuffle(df.repartition(31), "doc_id").collect()
+    }
+    assert a == b  # pure function of (ids, seed), not of layout
+    c = {
+        r.doc_id: r.position
+        for r in deterministic_shuffle(df, "doc_id", seed=9).collect()
+    }
+    assert a != c  # a different seed is a different permutation
+    assert sorted(c.values()) == list(range(250))
+
+
+def test_packing_plan_is_distributed(spark):
+    """The data-side window must be partitioned by the range bucket and the
+    offsets side broadcast — never a single-task window over the input."""
+    df = _random_docs(spark, 100, seed=5)
+    plan = pack_shards(df, "n_tokens", 1000, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__psum_bucket" in plan
+    assert "BroadcastExchange" in plan
+    # the only SinglePartition exchange feeds the <= n_buckets offsets
+    # window, never the main input: the full-data window carries the
+    # bucket in its partition spec
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" not in line and "__psum_bucket" in line:
+            break
