@@ -158,6 +158,88 @@ def shingles(text: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def ngram_repetition(
+    df, id_col: str, text_col: str, ndigits: int = 4
+):
+    """Gopher-style n-gram repetition signals, per document:
+
+    * ``dup_token_frac``  — 1 − unique/total tokens (``repetition_ratio``);
+    * ``top_bigram_frac`` — occurrences of the most frequent bigram over
+      all bigram occurrences (boilerplate headers/footers spike this);
+    * ``dup_trigram_frac`` — fraction of trigram occurrences whose
+      trigram appears more than once (templated/spun text spikes this).
+
+    The machine-generated-text filters of Rae et al. 2021 (Gopher §A1.1),
+    re-expressed relationally: explode ``shingles(n)`` once per n, count
+    per (doc, n, gram) with map-side partial aggregation, then one
+    per-doc conditional aggregate.  Both shuffles key on doc_id (+gram),
+    which is as uniform as keys get — no hot keys, no driver state, and
+    the gram strings never leave the first aggregation.
+    """
+    did = F.col(id_col)
+    low = F.lower(F.col(text_col))
+    grams = df.select(
+        did.alias(id_col), F.lit(2).alias("n"),
+        F.explode(shingles(F.col(text_col), 2)).alias("g"),
+    ).unionByName(
+        df.select(
+            did.alias(id_col), F.lit(3).alias("n"),
+            F.explode(shingles(F.col(text_col), 3)).alias("g"),
+        )
+    )
+    counts = grams.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    c, n = F.col("c"), F.col("n")
+    per_doc = counts.groupBy(id_col).agg(
+        (
+            F.max(F.when(n == 2, c)) / F.sum(F.when(n == 2, c))
+        ).alias("__tb"),
+        (
+            F.sum(F.when((n == 3) & (c > 1), c)) / F.sum(F.when(n == 3, c))
+        ).alias("__dt"),
+    )
+    base = df.select(
+        did.alias(id_col),
+        token_count(low).alias("n_tokens"),
+        repetition_ratio(low, ndigits).alias("dup_token_frac"),
+    )
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "dup_token_frac",
+        F.round(F.coalesce(F.col("__tb"), F.lit(0.0)), ndigits).alias(
+            "top_bigram_frac"
+        ),
+        F.round(F.coalesce(F.col("__dt"), F.lit(0.0)), ndigits).alias(
+            "dup_trigram_frac"
+        ),
+    )
+
+
+# PII patterns — deliberately RE2-compatible (no backrefs/lookaround) so
+# the same regex runs in Spark (Java), DuckDB (RE2), and any downstream
+# engine. Detection/redaction only; these are filters, not guarantees.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern (codegen ``regexp_count``)."""
+    return F.regexp_count(text, F.lit(PII_PATTERNS[kind])).cast("long")
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace every PII match with a typed placeholder. Order matters:
+    emails first (their domain part would otherwise feed the ipv4/phone
+    patterns), then ipv4 before phone (dotted phone-likes inside an IP
+    never happen, but an IP must not half-match the phone pattern)."""
+    out = F.regexp_replace(text, PII_PATTERNS["email"], "<EMAIL>")
+    out = F.regexp_replace(out, PII_PATTERNS["ipv4"], "<IP>")
+    return F.regexp_replace(out, PII_PATTERNS["phone"], "<PHONE>")
+
+
 def bpe_ish_tokens(text: Column) -> Column:
     """BPE-ish sub-word split: words plus punctuation as separate tokens
     (regex word-boundary split; a deterministic stand-in for a real BPE).

@@ -2170,6 +2170,103 @@ def q_deterministic_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "repetition_ngrams",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, 2 AS n, t[i+1] || ' ' || t[i+2] AS g
+      FROM toks, LATERAL (SELECT unnest(range(len(t)-1)) AS i)
+      UNION ALL
+      SELECT doc_id, 3 AS n, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+      FROM toks, LATERAL (SELECT unnest(range(len(t)-2)) AS i)
+    ),
+    counts AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY ALL),
+    per_doc AS (
+      SELECT doc_id,
+         CAST(max(CASE WHEN n=2 THEN c END) AS DOUBLE)
+           / sum(CASE WHEN n=2 THEN c END) AS tb,
+         CAST(sum(CASE WHEN n=3 AND c>1 THEN c ELSE 0 END) AS DOUBLE)
+           / sum(CASE WHEN n=3 THEN c END) AS dt
+      FROM counts GROUP BY doc_id
+    )
+    SELECT toks.doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           round((len(t) - len(list_distinct(t))) / greatest(len(t), 1), 4)
+             AS dup_token_frac,
+           round(COALESCE(tb, 0), 4) AS top_bigram_frac,
+           round(COALESCE(dt, 0), 4) AS dup_trigram_frac
+    FROM toks LEFT JOIN per_doc USING (doc_id)
+    """,
+)
+def q_repetition_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style machine-text repetition signals (Rae et al. 2021
+    §A1.1): top-bigram fraction + duplicated-trigram fraction per doc
+    (functions/text.ngram_repetition). Explode-once per n, partial-agg
+    counts, one conditional per-doc aggregate — doc_id-keyed shuffles."""
+    docs = load_table(spark, sf, "documents")
+    return T.ngram_repetition(docs, "doc_id", "text")
+
+
+@query(
+    "pii_scrub",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' reach user' || doc_id::VARCHAR ||
+                       '@example.com or 203.0.113.9 or 555-867-5309 today'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text,
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+             AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+             '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g'))
+             AS scrubbed_md5
+    FROM aug
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detection + redaction (functions/text.pii_count / scrub_pii):
+    RE2-compatible regexes run identically in Spark and DuckDB. The
+    corpus carries no PII, so a deterministic augmentation (same CASE on
+    both sides) plants emails/IPs/phones in 1-in-7 docs; the oracle
+    compares counts and the md5 of the scrubbed text. All codegen
+    regexp exprs — scan-speed, no shuffle."""
+    docs = load_table(spark, sf, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 203.0.113.9 or 555-867-5309 today"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return docs.select(
+        "doc_id",
+        T.pii_count(F.col("text"), "email").alias("n_emails"),
+        T.pii_count(F.col("text"), "phone").alias("n_phones"),
+        T.pii_count(F.col("text"), "ipv4").alias("n_ips"),
+        F.md5(T.scrub_pii(F.col("text"))).alias("scrubbed_md5"),
+    )
+
+
 # ----------------------------------------------------------- grade ordering
 #
 # The correctness driver grades the first N (observed: 50) queries() entries;

@@ -98,7 +98,7 @@ def test_trending_topk_takeordered_not_global_window(spark):
 @pytest.mark.parametrize(
     "name",
     ["text_stats", "lang_id", "quality_scores", "doc_fingerprint", "bpe_tokens",
-     "clean_corpus_pipeline"],
+     "clean_corpus_pipeline", "pii_scrub"],
 )
 def test_text_family_stays_in_codegen(spark, name):
     """The text operators must compile to codegen-able string/regexp
