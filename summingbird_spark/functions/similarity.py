@@ -643,3 +643,49 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "sim")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization, the storage/IO workhorse for
+    100 TB embedding corpora: ``scale = max(|v|)``, ``q_i = floor(v_i /
+    scale * 127 + 0.5)`` ∈ [-127, 127] (zero vectors quantize to zeros).
+
+    4× smaller than float32 on disk and over the shuffle wire; int8
+    dot-product rerank then dequantizes with one multiply. The kernel is
+    one Arrow-vectorized mapInPandas doing a single (batch × dim) numpy
+    matrix op — no per-row Python. The rounding spec (floor(x + 0.5) in
+    float64) is engine-portable: DuckDB's ``floor`` reproduces it
+    bitwise, which is what the oracle checks.
+
+    Output keeps ``q`` as array<bigint> for cross-engine comparison;
+    production sinks cast to array<tinyint> at write time (the values
+    already fit).
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_field = df.schema[id_col].dataType.simpleString()
+
+    def _quant(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(a, dtype=np.float32) for a in pdf[vec_col]]
+            )
+            # float32 max-abs widened to float64: exact, matches the SQL side
+            scales = np.abs(mat).max(axis=1).astype(np.float64)
+            safe = np.where(scales == 0.0, 1.0, scales)
+            q = np.floor(mat.astype(np.float64) / safe[:, None] * 127.0 + 0.5)
+            q = np.where((scales == 0.0)[:, None], 0.0, q).astype(np.int64)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "scale": scales, "q": list(q)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _quant, schema=f"{id_col} {id_field}, scale double, q array<bigint>"
+    )

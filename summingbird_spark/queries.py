@@ -2267,6 +2267,35 @@ def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_quantize",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+               AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, scale,
+           CASE WHEN scale = 0
+                THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                ELSE list_transform(embedding, x ->
+                  CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS BIGINT))
+           END AS q
+    FROM s
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding corpus
+    (functions/similarity.quantize_embeddings): one Arrow-vectorized
+    numpy kernel, floor(x+0.5) float64 rounding spec reproduced bitwise
+    by the DuckDB oracle."""
+    from .functions.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf, "embeddings")
+    return quantize_embeddings(emb, "vec_id", "embedding")
+
+
 # ----------------------------------------------------------- grade ordering
 #
 # The correctness driver grades the first N (observed: 50) queries() entries;

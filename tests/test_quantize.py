@@ -1,0 +1,44 @@
+"""int8 embedding quantization: range, zero-vector guard, reconstruction."""
+
+import math
+
+from pyspark.sql import Row
+
+from summingbird_spark.functions.similarity import quantize_embeddings
+
+
+def _q(spark, vecs):
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    return {r.vec_id: r for r in quantize_embeddings(df).collect()}
+
+
+def test_quantize_range_and_extremes(spark):
+    out = _q(spark, [[1.0, -1.0, 0.5, 0.0], [0.25, 0.125, -0.0625, 0.0]])
+    r = out[0]
+    assert r.scale == 1.0
+    assert r.q == [127, -127, 64, 0]  # floor(0.5*127+0.5)=floor(64.0)=64
+    r2 = out[1]
+    assert r2.scale == 0.25
+    # -0.0625/0.25*127 = -31.75; floor(-31.75 + 0.5) = -32
+    assert r2.q == [127, 64, -32, 0]
+    assert all(-127 <= x <= 127 for r in out.values() for x in r.q)
+
+
+def test_quantize_zero_vector_is_zeros(spark):
+    out = _q(spark, [[0.0, 0.0, 0.0]])
+    assert out[0].scale == 0.0
+    assert out[0].q == [0, 0, 0]
+
+
+def test_quantize_reconstruction_error_bound(spark):
+    vecs = [[math.sin(i * j + 1) for j in range(16)] for i in range(20)]
+    out = _q(spark, vecs)
+    for i, v in enumerate(vecs):
+        s = out[i].scale
+        for orig, qv in zip(v, out[i].q):
+            # dequantized value within half a quantization step (float32
+            # input representation adds < 1e-6 on |v| <= 1)
+            assert abs(qv * s / 127.0 - orig) <= s / 127.0 / 2 + 1e-5
