@@ -42,3 +42,21 @@ def test_quantize_reconstruction_error_bound(spark):
             # dequantized value within half a quantization step (float32
             # input representation adds < 1e-6 on |v| <= 1)
             assert abs(qv * s / 127.0 - orig) <= s / 127.0 / 2 + 1e-5
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    from summingbird_spark.functions.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+    from summingbird_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.where("vec_id < 5")
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    quant = quantized_topk(emb, queries, "vec_id", "embedding", k=5, oversample=4)
+    truth = {(r.query_id, r.vec_id) for r in exact.collect()}
+    got = {(r.query_id, r.vec_id) for r in quant.collect()}
+    recall = len(truth & got) / len(truth)
+    # 64-dim int8 keeps ~all neighbors; the bound leaves room for ties
+    assert recall >= 0.9, recall
