@@ -477,3 +477,43 @@ def keep_survivors(
         .where(F.col("__rk__") == 1)
         .drop("__rk__")
     )
+
+
+def contamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 13,
+    eval_id_col: Optional[str] = None,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    ``shingle_n``-gram with the evaluation set (the GPT-3/PaLM-style
+    13-gram overlap rule). Returns one row per contaminated train doc:
+    ``(id, n_matched_ngrams, n_eval_docs_hit)`` — distinct matched grams
+    and distinct eval docs they came from; downstream either drops the
+    doc or masks the spans.
+
+    Scale shape: the eval side (benchmarks — MBs, not TBs) collapses to
+    DISTINCT (gram-digest, eval_id) pairs and BROADCASTS; the corpus
+    explodes its shingles once and probes the broadcast hash join, so
+    the only shuffle is the final per-doc count aggregation on id. The
+    16-byte digest, never the gram text, crosses the wire.
+    """
+    eid = eval_id_col or id_col
+
+    def grams(df, idc, alias):
+        return df.select(
+            F.col(idc).alias(alias),
+            F.explode(
+                F.array_distinct(shingles(F.col(text_col), shingle_n))
+            ).alias("__g__"),
+        ).select(alias, F.md5(F.col("__g__")).alias("__gd__"))
+
+    ev = grams(eval_set, eid, "eval_id").distinct()
+    tr = grams(train, id_col, id_col)
+    hits = tr.join(F.broadcast(ev), "__gd__")
+    return hits.groupBy(id_col).agg(
+        F.countDistinct("__gd__").alias("n_matched_ngrams"),
+        F.countDistinct("eval_id").alias("n_eval_docs_hit"),
+    )

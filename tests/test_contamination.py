@@ -1,0 +1,40 @@
+"""Decontamination: overlap semantics + the broadcast-probe plan shape."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from summingbird_spark.functions.dedup import contamination
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+def test_contamination_flags_only_overlapping_docs(spark):
+    train = _df(spark, [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely unrelated words here nothing shared at all"),
+        (3, "a quick brown fox appears again in this text"),
+    ])
+    ev = _df(spark, [(100, "quick brown fox benchmarks")])
+    out = {r.doc_id: r for r in contamination(train, ev, "doc_id", "text", shingle_n=3).collect()}
+    assert set(out) == {1, 3}  # both contain the 3-gram 'quick brown fox'
+    assert out[1].n_matched_ngrams == 1 and out[1].n_eval_docs_hit == 1
+
+
+def test_contamination_counts_distinct_grams_and_eval_docs(spark):
+    train = _df(spark, [(1, "x y z p q r x y z")])  # 'x y z' twice -> 1 distinct
+    ev = _df(spark, [(100, "x y z"), (101, "p q r and x y z")])
+    [r] = contamination(train, ev, "doc_id", "text", shingle_n=3).collect()
+    assert r.n_matched_ngrams == 2  # 'x y z', 'p q r'
+    assert r.n_eval_docs_hit == 2
+
+
+def test_contamination_eval_side_broadcasts(spark):
+    train = _df(spark, [(i, f"w{i} a b c d e") for i in range(50)])
+    ev = _df(spark, [(100, "a b c d")])
+    plan = (
+        contamination(train, ev, "doc_id", "text", shingle_n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
