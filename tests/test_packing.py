@@ -105,3 +105,13 @@ def test_packing_plan_is_distributed(spark):
     for line in plan.splitlines():
         if "Window" in line and "row_number" not in line and "__psum_bucket" in line:
             break
+
+
+def test_prefix_sum_clustered_ids_still_correct(spark):
+    """Adversarial key distribution: all ids packed into one narrow range
+    (every row lands in one bucket — degraded parallelism, same answer)."""
+    rows = [Row(doc_id=10_000_000 + i, n_tokens=i % 7) for i in range(200)]
+    df = spark.createDataFrame(rows).repartition(5)
+    got = exclusive_prefix_sum(df, "doc_id", F.col("n_tokens"), "prefix", n_buckets=1024)
+    joined = got.join(_naive_prefix(df, "doc_id", "n_tokens"), "doc_id")
+    assert joined.where("prefix <> expected").count() == 0
