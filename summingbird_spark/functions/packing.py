@@ -184,3 +184,32 @@ def _rank_by(
         )
         .drop(_BUCKET, "__off")
     )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    weight_col: str,
+    budget: int,
+    id_col: str,
+    n_buckets: int = 1024,
+) -> None:
+    """Materialize ``pack_shards`` output as one directory per shard
+    (``shard_id=N/``), rows ordered by ``id_col`` within each file — the
+    layout a training loader streams sequentially.
+
+    ``repartitionByRange(shard_id, id)`` hands each writer task a
+    contiguous run of shards (so a shard's rows land in one or few
+    files, and no task sees interleaved shards), then
+    ``sortWithinPartitions`` makes every file internally ordered without
+    any global sort. Writer parallelism follows the range split, not
+    the shard count — 10^6 shards do not mean 10^6 tasks.
+    """
+    packed = pack_shards(df, weight_col, budget, id_col, n_buckets)
+    (
+        packed.repartitionByRange("shard_id", id_col)
+        .sortWithinPartitions("shard_id", id_col)
+        .write.partitionBy("shard_id")
+        .mode("overwrite")
+        .parquet(path)
+    )

@@ -115,3 +115,31 @@ def test_prefix_sum_clustered_ids_still_correct(spark):
     got = exclusive_prefix_sum(df, "doc_id", F.col("n_tokens"), "prefix", n_buckets=1024)
     joined = got.join(_naive_prefix(df, "doc_id", "n_tokens"), "doc_id")
     assert joined.where("prefix <> expected").count() == 0
+
+
+def test_write_shards_layout_and_roundtrip(spark, tmp_path):
+    from summingbird_spark.functions.packing import write_shards
+
+    df = _random_docs(spark, 120, seed=6)
+    out = str(tmp_path / "shards")
+    write_shards(df, out, "n_tokens", budget=2000, id_col="doc_id")
+
+    import os
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard_id="))
+    assert len(dirs) >= 2  # corpus actually split
+
+    back = spark.read.parquet(out)
+    expect = {
+        (r.doc_id, r.shard_id)
+        for r in pack_shards(df, "n_tokens", 2000, "doc_id").collect()
+    }
+    got = {(r.doc_id, r.shard_id) for r in back.collect()}
+    assert got == expect
+    # shard pruning works on the partitioned layout
+    one = back.where("shard_id = 0")
+    assert one.count() == sum(1 for _, s in expect if s == 0)
+    # idempotent re-run: writing again with the same args replaces, never
+    # appends or corrupts
+    write_shards(df, out, "n_tokens", budget=2000, id_col="doc_id")
+    again = {(r.doc_id, r.shard_id) for r in spark.read.parquet(out).collect()}
+    assert again == expect

@@ -60,3 +60,37 @@ def test_quantized_topk_recall_vs_exact(spark):
     recall = len(truth & got) / len(truth)
     # 64-dim int8 keeps ~all neighbors; the bound leaves room for ties
     assert recall >= 0.9, recall
+
+
+def test_quantize_streaming_batch_parity(spark, tmp_path):
+    """The Arrow quantization kernel is a stateless mapInPandas, so it
+    runs unchanged over a streaming ingest and emits the identical
+    (scale, q) rows — quantize-at-the-door works in both modes."""
+    import math as _m
+
+    rows = [
+        (i, [float(_m.sin(i * j + 1)) for j in range(8)]) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    src = str(tmp_path / "emb_src")
+    df.coalesce(2).write.parquet(src)
+
+    batch = {
+        (r.vec_id, r.scale, tuple(r.q))
+        for r in quantize_embeddings(spark.read.parquet(src)).collect()
+    }
+    stream = spark.readStream.schema("vec_id long, embedding array<float>").parquet(src)
+    q = (
+        quantize_embeddings(stream)
+        .writeStream.format("memory")
+        .queryName("quant_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.vec_id, r.scale, tuple(r.q))
+        for r in spark.sql("SELECT * FROM quant_stream").collect()
+    }
+    assert got == batch

@@ -64,3 +64,39 @@ def test_scrub_pii_ip_before_phone_order(spark):
     r = _scrub(spark, "ping 192.168.100.200 now")
     assert r.s == "ping <IP> now"
     assert r.i == 1 and r.p == 0
+
+
+def test_scrub_pii_streaming_batch_parity(spark, tmp_path):
+    """scrub_pii / pii_count are stateless codegen exprs, so a streaming
+    ingest pipeline scrubs identically to batch — redaction at the door
+    composes with either execution mode."""
+    rows = [
+        (i, f"doc {i} mail u{i}@x{i}.org ip 10.0.0.{i % 256} tel 555-867-5309")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "pii_src")
+    df.coalesce(2).write.parquet(src)
+
+    def scrubbed(d):
+        return d.select(
+            "doc_id",
+            T.scrub_pii(F.col("text")).alias("s"),
+            T.pii_count(F.col("text"), "email").alias("e"),
+        )
+
+    batch = {tuple(r) for r in scrubbed(spark.read.parquet(src)).collect()}
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        scrubbed(stream)
+        .writeStream.format("memory")
+        .queryName("pii_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM pii_stream").collect()}
+    assert got == batch
+    assert all(e == 1 and "<EMAIL>" in s and "<IP>" in s and "<PHONE>" in s
+               for _, s, e in batch)
