@@ -2452,6 +2452,33 @@ def q_corpus_to_shards(spark: SparkSession, sf: str) -> DataFrame:
     return packed.select("doc_id", "pos", "n_tokens", "shard_id")
 
 
+@query(
+    "json_props_agg",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(count(*) FILTER (props->>'$.k' IS NULL) AS BIGINT) AS n_missing_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_props_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured payloads (functions/semistructured.with_json_fields):
+    typed schema-on-read parse of the JSON `props` column (PERMISSIVE with
+    corrupt-record capture — nothing malformed is silently dropped), field
+    extraction BEFORE the shuffle so the groupBy moves longs, not JSON."""
+    from .functions.semistructured import with_json_fields
+
+    ev = load_table(spark, sf, "events")
+    parsed = with_json_fields(ev, "props", "k BIGINT")
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.count(F.when(F.col("k").isNull(), 1)).cast("long").alias("n_missing_k"),
+    )
+
+
 _BM25_TERMS = ["spark", "merge", "window", "hash"]
 
 
