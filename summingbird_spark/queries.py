@@ -2579,6 +2579,41 @@ def q_json_props_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "cross_doc_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+      FROM toks, LATERAL (SELECT unnest(range(len(t)-2)) AS i)
+    ),
+    counts AS (
+      SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY doc_id, g
+    ),
+    dfreq AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM counts GROUP BY g)
+    SELECT doc_id,
+           round(COALESCE(CAST(sum(c) FILTER (df >= 2) AS DOUBLE)
+                          / CAST(sum(c) AS DOUBLE), 0), 4) AS dup_gram_frac,
+           round(COALESCE(CAST(count(*) FILTER (df >= 2) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE), 0), 4) AS dup_distinct_frac
+    FROM counts JOIN dfreq USING (g)
+    GROUP BY doc_id
+    """,
+)
+def q_cross_doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicated-span stats (functions/dedup.cross_doc_repetition): per
+    doc, the fraction of its n-grams shared with other documents — the
+    Lee et al. 2022 substring-dedup signal. Grams digest to 16 bytes
+    before any shuffle; df and tf are both map-side partial-aggregated."""
+    from .functions.dedup import cross_doc_repetition
+
+    docs = load_table(spark, sf, "documents")
+    return cross_doc_repetition(docs, "doc_id", "text", shingle_n=3)
+
+
 _BM25_TERMS = ["spark", "merge", "window", "hash"]
 
 

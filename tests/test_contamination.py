@@ -38,3 +38,24 @@ def test_contamination_eval_side_broadcasts(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_cross_doc_repetition_hand_computed(spark):
+    from summingbird_spark.functions.dedup import cross_doc_repetition
+
+    rows = [
+        (1, "a b c a b c"),   # "a b c" twice; shared with doc 2
+        (2, "a b c x y z"),
+        (3, "q r s t"),       # nothing shared
+        (4, "xy"),            # too short for a 3-gram -> no output row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["dup_gram_frac"], r["dup_distinct_frac"])
+        for r in cross_doc_repetition(df, "doc_id", "text", shingle_n=3).collect()
+    }
+    assert got == {
+        1: (0.5, 0.3333),    # 2 of 4 occurrences / 1 of 3 distinct grams
+        2: (0.25, 0.25),
+        3: (0.0, 0.0),
+    }
