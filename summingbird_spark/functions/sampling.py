@@ -89,6 +89,40 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str,
+    seed: int = 0,
+    ndigits: int = 9,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: ``n`` rows, inclusion
+    probability proportional to ``weight_col`` (algorithm A-ES,
+    Efraimidis & Spirakis 2006 — rank rows by ``-ln(u)/w`` with u a
+    per-row uniform, keep the n smallest).
+
+    The uniform comes from the same portable md5 bucket as
+    ``hash_sample`` (u = (bucket + 0.5) / 2^32 — never 0), so the sample
+    is a pure function of (ids, weights, seed): reproducible across
+    layouts, engines, and retries. The exponential key is rounded before
+    ranking (ties -> id) so a last-ulp ``ln`` difference between engines
+    cannot flip the selection boundary.
+
+    Rows with weight <= 0 or NULL are excluded (zero mass). One-pass,
+    no shuffle: the global top-n runs as TakeOrdered (per-partition
+    heaps + driver merge of n·P candidates).
+    """
+    w = F.col(weight_col).cast("double")
+    u = (_hash_bucket(F.col(id_col), seed) + 0.5) / F.lit(float(_BUCKET_SPACE))
+    ekey = F.round(-F.log(u) / w, ndigits)
+    return (
+        df.where(w > 0)
+        .orderBy(ekey.asc(), F.col(id_col).asc())
+        .limit(n)
+    )
+
+
 def mixture(
     sources: Sequence[tuple[DataFrame, float]],
     id_col: str,

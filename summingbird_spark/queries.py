@@ -2580,6 +2580,32 @@ def q_json_props_agg(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "weighted_sample_docs",
+    """
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM (
+      SELECT doc_id, n_chars,
+             round(-ln((('0x' || substr(md5('7|' || doc_id::VARCHAR), 1, 8))::BIGINT
+                        + 0.5) / 4294967296.0)
+                   / CAST(n_chars AS DOUBLE), 9) AS ekey
+      FROM documents WHERE n_chars > 0
+    )
+    ORDER BY ekey, doc_id LIMIT 50
+    """,
+)
+def q_weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement (functions/sampling.
+    weighted_sample): 50 docs with probability ∝ length — the A-ES
+    exponential-key rank, deterministic from (ids, weights, seed), no
+    shuffle (TakeOrdered)."""
+    from .functions.sampling import weighted_sample
+
+    docs = load_table(spark, sf, "documents")
+    out = weighted_sample(docs, 50, "n_chars", "doc_id", seed=7)
+    return out.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+@query(
     "cross_doc_repetition",
     """
     WITH toks AS (

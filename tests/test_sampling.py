@@ -125,3 +125,45 @@ def test_hash_sample_streaming_batch_parity(spark, tmp_path):
     }
     assert stream_kept == batch_kept
     assert 0.15 < len(batch_kept) / 2000 < 0.35
+
+
+def test_weighted_sample_matches_python_replay(spark):
+    import hashlib
+    import math
+
+    from summingbird_spark.functions.sampling import weighted_sample
+
+    rows = [(i, float(1 + (i % 7))) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+
+    def ekey(i, w, seed=3):
+        b = int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:8], 16)
+        return round(-math.log((b + 0.5) / 2**32) / w, 9)
+
+    want = sorted(rows, key=lambda r: (ekey(*r), r[0]))[:25]
+    got = weighted_sample(df, 25, "w", "id", seed=3).collect()
+    assert sorted(r["id"] for r in got) == sorted(r[0] for r in want)
+
+
+def test_weighted_sample_is_layout_independent_and_biased(spark):
+    from summingbird_spark.functions.sampling import weighted_sample
+
+    rows = [(i, 100.0 if i < 100 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    a = sorted(r["id"] for r in weighted_sample(df, 200, "w", "id", seed=1).collect())
+    b = sorted(
+        r["id"]
+        for r in weighted_sample(df.repartition(13), 200, "w", "id", seed=1).collect()
+    )
+    assert a == b
+    heavy = sum(1 for i in a if i < 100)
+    assert heavy >= 95  # weight-100 rows are ~100x more likely per unit
+
+
+def test_weighted_sample_drops_nonpositive_weights(spark):
+    from summingbird_spark.functions.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, None), (4, 2.0)], "id long, w double"
+    )
+    assert [r["id"] for r in weighted_sample(df, 10, "w", "id").collect()] == [4]
