@@ -250,3 +250,85 @@ def bpe_ish_tokens(text: Column) -> Column:
     return F.when(
         stripped == "", F.array().cast("array<string>")
     ).otherwise(F.split(stripped, r"\s+"))
+
+
+def cooccurrence_pairs(df, id_col: str, text_col: str, window: int = 2):
+    """Unordered word co-occurrence counts within ``window`` positions:
+    one row per (w1 <= w2) pair with its corpus count.
+
+    The pair stream is generated INSIDE the row — for each offset
+    1..window, ``arrays_zip(slice(toks, 1, n-off), slice(toks, 1+off, ...))``
+    pairs each token with its right neighbor — so there is NO positional
+    self-join: the only shuffle is the final pair-count aggregation
+    (map-side partial agg, uniform pair keys). The zip/concat are array
+    expressions whose output explodes immediately, the same
+    touch-each-element-once pattern as ``shingles``.
+    """
+    toks = tokenize(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    zips = [
+        F.when(
+            n > off,
+            F.arrays_zip(
+                F.slice(toks, 1, n - off).alias("a"),
+                F.slice(toks, 1 + off, n - off).alias("b"),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        for off in range(1, window + 1)
+    ]
+    pairs = df.select(
+        F.explode(F.concat(*zips) if len(zips) > 1 else zips[0]).alias("p")
+    ).select(
+        F.least(F.col("p.a"), F.col("p.b")).alias("w1"),
+        F.greatest(F.col("p.a"), F.col("p.b")).alias("w2"),
+    )
+    return pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("pair_count")
+    )
+
+
+def pmi_pairs(
+    df,
+    id_col: str,
+    text_col: str,
+    window: int = 2,
+    min_count: int = 1,
+    ndigits: int = 4,
+):
+    """Pointwise mutual information over co-occurring word pairs:
+    ``pmi = ln((c_ab / N_pairs) / ((c_a / N_tok) * (c_b / N_tok)))``.
+
+    Unigram counts are a vocabulary-sized table joined onto the pair
+    counts twice (w1, w2) — vocabulary ~10^6-10^7 rows even at 100 TB, so
+    both joins get broadcast hints; the scalar totals ride along in the
+    same broadcast row. ``min_count`` prunes the noise floor (and makes
+    the output set layout-independent for the hash gate).
+    """
+    co_all = cooccurrence_pairs(df, id_col, text_col, window)
+    # totals over ALL co-occurrence events — min_count prunes the output,
+    # not the probability space
+    n_pairs = co_all.agg(F.sum("pair_count").cast("double").alias("n_pairs"))
+    co = co_all.where(F.col("pair_count") >= min_count)
+    uni = (
+        df.select(F.explode(tokenize(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    totals = uni.agg(
+        F.sum("wc").cast("double").alias("n_tok"),
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("wc").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("wc").alias("c2"))
+    joined = (
+        co.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_pairs))
+    )
+    pmi = F.log(
+        (F.col("pair_count") / F.col("n_pairs"))
+        / ((F.col("c1") / F.col("n_tok")) * (F.col("c2") / F.col("n_tok")))
+    )
+    return joined.select(
+        "w1", "w2", "pair_count", F.round(pmi, ndigits).alias("pmi")
+    )

@@ -2580,6 +2580,50 @@ def q_json_props_agg(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "pmi_cooccurrence",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, i, t[i+1] AS w
+      FROM toks, LATERAL (SELECT unnest(range(len(t))) AS i)
+    ),
+    pairs AS (
+      SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+      FROM pos a JOIN pos b
+        ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 2
+    ),
+    co AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
+      FROM pairs GROUP BY w1, w2
+    ),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS wc
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(wc) AS DOUBLE) AS n_tok FROM uni),
+    np AS (SELECT CAST(sum(pair_count) AS DOUBLE) AS n_pairs FROM co)
+    SELECT w1, w2, pair_count,
+           round(ln((pair_count / n_pairs)
+                    / ((u1.wc / n_tok) * (u2.wc / n_tok))), 4) AS pmi
+    FROM co JOIN uni u1 ON co.w1 = u1.w JOIN uni u2 ON co.w2 = u2.w, tot, np
+    WHERE pair_count >= 20
+    """,
+)
+def q_pmi_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    """Word-association mining (functions/text.pmi_pairs): PMI over
+    pairs co-occurring within 2 positions. Pairs generate inside the row
+    (zip-with-offset — NO positional self-join); unigram stats broadcast;
+    the min-count floor makes the output set deterministic."""
+    from .functions.text import pmi_pairs
+
+    docs = load_table(spark, sf, "documents")
+    return pmi_pairs(docs, "doc_id", "text", window=2, min_count=20)
+
+
+@query(
     "weighted_sample_docs",
     """
     SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars

@@ -208,3 +208,35 @@ def test_cumulative_streaming_counters(spark, tmp_path):
         assert got["v"] == sum(r[2] for r in ROWS)
     finally:
         counters.detach(spark)
+
+
+def test_cooccurrence_pairs_hand_computed(spark):
+    from summingbird_spark.functions.text import cooccurrence_pairs
+
+    df = spark.createDataFrame([(1, "a b a"), (2, "b")], "doc_id long, text string")
+    # window=2 pairs for "a b a": (a,b)@1-2, (b,a)@2-3, (a,a)@1-3
+    got = {
+        (r["w1"], r["w2"]): r["pair_count"]
+        for r in cooccurrence_pairs(df, "doc_id", "text", window=2).collect()
+    }
+    assert got == {("a", "b"): 2, ("a", "a"): 1}
+
+
+def test_pmi_matches_python(spark):
+    import math
+
+    from summingbird_spark.functions.text import pmi_pairs
+
+    df = spark.createDataFrame(
+        [(1, "x y x y"), (2, "x z")], "doc_id long, text string"
+    )
+    rows = pmi_pairs(df, "doc_id", "text", window=1, min_count=1).collect()
+    got = {(r["w1"], r["w2"]): (r["pair_count"], r["pmi"]) for r in rows}
+    # window=1 adjacencies: (x,y) x3, (x,z) x1 ; unigrams x:3 y:2 z:1, n_tok=6
+    n_pairs = 4.0
+    def pmi(cab, ca, cb):
+        return round(math.log((cab / n_pairs) / ((ca / 6.0) * (cb / 6.0))), 4)
+    assert got == {
+        ("x", "y"): (3, pmi(3, 3, 2)),
+        ("x", "z"): (1, pmi(1, 3, 1)),
+    }
