@@ -2580,6 +2580,38 @@ def q_json_props_agg(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "bpe_pair_counts",
+    """
+    WITH words AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS word
+        FROM documents
+      ) GROUP BY word
+    ),
+    pairs AS (
+      SELECT substr(word, i, 1) AS a, substr(word, i+1, 1) AS b, freq
+      FROM words, LATERAL (SELECT unnest(range(1, length(word))) AS i)
+      UNION ALL
+      SELECT substr(word, length(word), 1) AS a, '</w>' AS b, freq FROM words
+    )
+    SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM pairs GROUP BY a, b
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer training, step statistic (functions/bpe.pair_counts):
+    adjacent symbol-pair frequencies over the word-frequency table — the
+    corpus collapses to its vocabulary first, so every BPE step is
+    vocab-sized. The full iterative learner (bpe_learn) is differential-
+    tested against a reference Python BPE in tests/test_bpe.py."""
+    from .functions.bpe import initial_symbols, pair_counts, word_freqs
+
+    docs = load_table(spark, sf, "documents")
+    return pair_counts(initial_symbols(word_freqs(docs, "text")))
+
+
+@query(
     "pmi_cooccurrence",
     """
     WITH toks AS (
