@@ -1414,6 +1414,37 @@ def q_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "approx_quantiles_value",
+    """
+    SELECT DISTINCT event_type, TRUE AS p50_ok, TRUE AS p95_ok FROM events
+    """,
+)
+def q_approx_quantiles_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming-friendly quantile sketch (percentile_approx, the
+    Greenwald-Khanna analog) graded by a falsifiable error contract: the
+    sketch's p50/p95 must land within the exact quantile's ±5% value
+    band per group (a accuracy=100 sketch stays well inside; a crippled
+    accuracy=1 run fails)."""
+    ev = load_table(spark, sf, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("approx"),
+        F.expr("percentile(value, array(0.5, 0.95))").alias("exact"),
+    )
+    tol = 0.05
+    return q.select(
+        "event_type",
+        (
+            F.abs(F.col("approx")[0] - F.col("exact")[0])
+            <= tol * F.abs(F.col("exact")[0])
+        ).alias("p50_ok"),
+        (
+            F.abs(F.col("approx")[1] - F.col("exact")[1])
+            <= tol * F.abs(F.col("exact")[1])
+        ).alias("p95_ok"),
+    )
+
+
 # --------------------------------------------------- analytical workloads
 
 @query(
