@@ -2611,6 +2611,57 @@ def q_json_props_agg(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "incremental_dedup",
+    """
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+           CAST(min(doc_id) // 250 AS BIGINT) AS first_batch
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental corpus dedup: exact dedup IS the engine's sumByKey —
+    key = content digest, value = doc id, semigroup = min — so dedup
+    state across ingest batches is just a BatchedStore rolled forward.
+    Each new batch aggregates ONLY its own docs and prev⊕delta-merges
+    into the accumulated digest store; the corpus is never rescanned.
+    This query drives THREE incremental rollforward steps against a
+    (content-fingerprinted) store and returns the final survivors —
+    externally graded against the one-shot SQL, the lambda promise
+    applied to the LLM pipeline."""
+    import hashlib
+    import os
+    import tempfile
+
+    from . import VersionedBatchStore, rollforward
+    from .core.graph import TIME_COL
+    from .sources.tables import corpus_fingerprint
+
+    fp = corpus_fingerprint(os.path.join(sf, "documents.parquet"))
+    root = os.path.join(
+        tempfile.gettempdir(), "summingbird_spark_incdedup",
+        hashlib.md5(f"{sf}|{fp}".encode()).hexdigest()[:12],
+    )
+    batcher = of_days(250)  # batch = 250 docs (doc_id doubles as ingest day)
+    store = VersionedBatchStore(os.path.join(root, "store"), ["digest"], "min")
+    docs = load_table(spark, sf, "documents")
+    deltas = docs.select(
+        F.md5("text").alias("digest"),
+        F.col("doc_id").cast("long").alias("value"),
+        F.timestamp_seconds(F.col("doc_id") * 86400).alias(TIME_COL),
+    )
+    max_batch = docs.agg(F.max(F.col("doc_id") / 250).cast("int")).collect()[0][0]
+    # three incremental steps (each covering a third of the batches), so
+    # the prev ⊕ delta store merge really runs — not one big aggregation
+    for through in sorted({max_batch // 3, (2 * max_batch) // 3, max_batch}):
+        rollforward(spark, store, deltas, batcher, through)
+    _, snap = store.read_last(spark)
+    return snap.select(
+        F.col("value").alias("doc_id"),
+        (F.col("value") / 250).cast("long").alias("first_batch"),
+    )
+
+
+@query(
     "bpe_pair_counts",
     """
     WITH words AS (

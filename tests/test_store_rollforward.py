@@ -335,3 +335,34 @@ def test_bucketed_store_rollforward_split_equals_oneshot(spark, tmp_path):
     # reads go through the catalog (bucketed scan)
     assert spark.catalog.tableExists("t_bucketed_rf_b" + str(b_lo + 5))
     assert store.lookup(spark, ["k0"]) == {"k0": want["k0"]}
+
+
+def test_incremental_dedup_rejects_cross_batch_duplicates(spark, tmp_path):
+    """Exact dedup as sumByKey(digest, min doc_id) over a rolled-forward
+    store: a batch-1 duplicate of batch-0 content must lose to the
+    original during the prev-merge, and the state must accumulate."""
+    from pyspark.sql import functions as F
+
+    from summingbird_spark import VersionedBatchStore, of_days, rollforward
+    from summingbird_spark.core.graph import TIME_COL
+
+    store = VersionedBatchStore(str(tmp_path / "dd"), ["digest"], "min")
+    batcher = of_days(10)
+    rows = [
+        (0, "original text"),
+        (1, "only in batch zero"),
+        (15, "original text"),      # batch-1 dup of doc 0
+        (16, "fresh in batch one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    deltas = df.select(
+        F.md5("text").alias("digest"),
+        F.col("doc_id").cast("long").alias("value"),
+        F.timestamp_seconds(F.col("doc_id") * 86400).alias(TIME_COL),
+    )
+    rollforward(spark, store, deltas, batcher, 0)   # docs 0, 1
+    first = {r["digest"]: r["value"] for r in store.read_last(spark)[1].collect()}
+    assert sorted(first.values()) == [0, 1]
+    rollforward(spark, store, deltas, batcher, 1)   # docs 15, 16 merge in
+    final = {r["digest"]: r["value"] for r in store.read_last(spark)[1].collect()}
+    assert sorted(final.values()) == [0, 1, 16]     # 15 lost to 0 (same digest)
