@@ -1445,6 +1445,85 @@ def q_approx_quantiles_value(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Markov transition counts over per-user event sequences: one
+    user-partitioned window (deterministic (ts, event_id) order), then a
+    partial-aggregated pair count — the journey-mining primitive."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           epoch_ms(o.o_orderdate) AS odate_ms,
+           round(sum(l.l_quantity), 2) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 300
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, odate_ms
+    """,
+)
+def q_tpch_q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18: large-volume orders — aggregate-filtered semi-join.
+    The HAVING subquery reduces lineitem to qualifying order keys first
+    (partial-agg + LeftSemi), so the 3-way join only touches the
+    qualifying slice."""
+    li = load_table(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .where(F.col("__sq") > 300)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_millis("o_orderdate").alias("odate_ms"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select("c_custkey", "c_name", "o_orderkey", "odate_ms", "sum_qty")
+    )
+
+
 # --------------------------------------------------- analytical workloads
 
 @query(
