@@ -42,3 +42,59 @@ def test_explode_json_array(spark):
     out = explode_json_array(df, "payload", "x BIGINT")
     got = sorted((r["id"], r["elem"]["x"]) for r in out.collect())
     assert got == [(1, 1), (1, 2)]  # empty + broken arrays contribute no rows
+
+
+def test_json_extract_streaming_parity(spark, tmp_path):
+    """The JSON parse path is streaming-safe: from_json + extract + summer
+    over micro-batches equals the batch answer (corrupt rows included)."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    import summingbird_spark as sb
+    from pyspark.sql import functions as F
+    from summingbird_spark import source, to_dataframe
+    from summingbird_spark.functions.semistructured import parse_json
+    from summingbird_spark.streaming.planner import StreamPlanner, stream_source
+    from summingbird_spark.streaming.store import OnlineStore, run_summer_to_store
+
+    def ts(i):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)
+
+    rows = [
+        (ts(i), f"u{i % 3}", '{"k": %d}' % i if i % 5 else "broken json")
+        for i in range(60)
+    ]
+    schema = "ts timestamp, user string, props string"
+    d = tmp_path / "src"
+    d.mkdir()
+    for i, chunk in enumerate([rows[:30], rows[30:]]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            str(d / f"c{i}")
+        )
+        for f in glob.glob(str(d / f"c{i}" / "*.parquet")):
+            shutil.move(f, str(d / f"chunk{i}.parquet"))
+        shutil.rmtree(str(d / f"c{i}"))
+
+    def pipeline(src):
+        # parsed-k sum per user; corrupt payloads contribute 0 (and are
+        # observable via the corrupt column — the quarantine metric)
+        parsed = parse_json(F.col("props"), "k BIGINT")
+        return src.map(
+            value=F.coalesce(parsed["k"], F.lit(0))
+        ).sum_by_key("user", "value", semigroup="sum_long", batcher=sb.of_days(1))
+
+    batch_df = spark.read.schema(schema).parquet(str(d))
+    p_batch = pipeline(source(batch_df, time_col="ts"))
+    want = {
+        (r.user, r.batch_id): r.delta
+        for r in to_dataframe(spark, p_batch).collect()
+    }
+
+    src = stream_source(str(d), schema, time_col="ts", max_files_per_trigger=1)
+    plan = StreamPlanner(spark).plan(pipeline(src))
+    store = OnlineStore(str(tmp_path / "online"), ["user"], "sum_long")
+    q = run_summer_to_store(plan.dataframe, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {(r.user, r.batch_id): r.value for r in store.read(spark).collect()}
+    assert got == want and len(got) == 9  # 3 users x 3 day-batches
