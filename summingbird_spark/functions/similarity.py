@@ -776,3 +776,117 @@ def quantized_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "sim")
     )
+
+
+# ------------------------------------------------------------------ PCA
+
+def gram_stats(df: DataFrame, vec_col: str = "embedding"):
+    """One distributed pass over the corpus -> (G, s, n): the dim×dim
+    Gram matrix Σ x·xᵀ, the coordinate sum Σ x, and the row count.
+
+    Each Arrow batch contributes ONE partial (its numpy ``X.T @ X``, sum
+    vector, count); partials combine by element-wise aggregation keyed on
+    the flattened position — shuffle volume is partitions × dim², never
+    corpus-sized, and no executor holds more than one dim×dim buffer.
+    The TOTALS (dim² + dim doubles) are the only thing the driver sees —
+    the same bounded-result contract as any aggregate.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partial(batches):
+        g = None
+        s = None
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            g = x.T @ x if g is None else g + x.T @ x
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            n += x.shape[0]
+        if g is None:
+            return
+        yield pd.DataFrame(
+            {
+                "pos": np.arange(g.size + g.shape[0] + 1),
+                "val": np.concatenate([g.ravel(), s, [float(n)]]),
+            }
+        )
+
+    totals = (
+        df.select(vec_col)
+        .mapInPandas(partial, "pos long, val double")
+        .groupBy("pos")
+        .agg(F.sum("val").alias("val"))
+        .collect()
+    )
+    vals = {r["pos"]: r["val"] for r in totals}
+    size = len(vals)
+    # size = dim² + dim + 1  =>  dim
+    dim = int(round((-1 + (1 + 4 * (size - 1)) ** 0.5) / 2))
+    import numpy as np
+
+    flat = np.array([vals[i] for i in range(size)])
+    g = flat[: dim * dim].reshape(dim, dim)
+    s = flat[dim * dim : dim * dim + dim]
+    n = int(flat[-1])
+    return g, s, n
+
+
+def covariance_matrix(df: DataFrame, vec_col: str = "embedding"):
+    """Population covariance  C = G/n − μμᵀ  from one ``gram_stats``
+    pass. Returns (C numpy array, μ, n)."""
+    g, s, n = gram_stats(df, vec_col)
+    mu = s / n
+    return g / n - mu[:, None] * mu[None, :], mu, n
+
+
+def pca_train(df: DataFrame, k: int, vec_col: str = "embedding"):
+    """Learn a top-k PCA basis: one distributed gram_stats pass, then an
+    eigendecomposition of the dim×dim covariance on the driver (the
+    inherently driver-sized step — MLlib's PCA does the same). Component
+    SIGN is fixed (largest-|.| coordinate made positive) so the basis is
+    deterministic across BLAS builds. Returns (components k×dim, mean)."""
+    import numpy as np
+
+    cov, mu, _ = covariance_matrix(df, vec_col)
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    comp = v[:, ::-1][:, :k].T  # k × dim, descending
+    flips = np.sign(comp[np.arange(k), np.abs(comp).argmax(axis=1)])
+    flips[flips == 0] = 1.0
+    return comp * flips[:, None], mu
+
+
+def pca_project(
+    df: DataFrame,
+    components,
+    mean,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project embeddings onto a trained PCA basis: the corpus streams
+    once through an Arrow matmul, the k×dim component matrix riding in
+    the UDF closure (broadcast). Training a basis on last week's corpus
+    and projecting this week's batch is just two calls."""
+    import numpy as np
+
+    comp_l = np.asarray(components).tolist()
+    mu_l = np.asarray(mean).tolist()
+
+    def project(batches):
+        c = np.asarray(comp_l)
+        m = np.asarray(mu_l)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            y = (x - m) @ c.T
+            pdf = pdf.copy()
+            pdf[out_col] = list(y)
+            yield pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} array<double>"
+    return df.mapInPandas(project, schema)

@@ -1936,6 +1936,47 @@ def q_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "quality_percentile_gate",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source,
+             round((CASE WHEN len(t) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END
+                    + len(list_distinct(t)) / greatest(len(t), 1)
+                    + CASE WHEN (list_sum(list_transform(t, x -> length(x)))
+                                 / greatest(len(t), 1)) BETWEEN 2.0 AND 12.0
+                           THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS quality
+      FROM toks
+    )
+    SELECT doc_id, source, quality,
+           round(percent_rank() OVER (PARTITION BY source
+                                      ORDER BY quality, doc_id), 6) AS q_pctl
+    FROM scored
+    QUALIFY q_pctl >= 0.5
+    """,
+)
+def q_quality_percentile_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source quality gating: keep each source's top half by quality
+    PERCENTILE, not a global absolute threshold — the curation rule that
+    survives heterogeneous sources (an absolute cut would empty weak
+    domains and keep everything from strong ones). One shuffle on source;
+    rank order is (quality, doc_id) so the gate is deterministic."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id", "source", T.quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    return (
+        scored.withColumn("q_pctl", F.round(F.percent_rank().over(w), 6))
+        .where(F.col("q_pctl") >= 0.5)
+    )
+
+
+@query(
     "set_ops",
     """
     SELECT user_id, day FROM (
@@ -2814,6 +2855,43 @@ def q_pmi_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return pmi_pairs(docs, "doc_id", "text", window=2, min_count=20)
+
+
+@query(
+    "embedding_covariance",
+    """
+    WITH pos AS (
+      SELECT vec_id, i, embedding[i+1]::DOUBLE AS x
+      FROM embeddings, LATERAL (SELECT unnest(range(len(embedding))) AS i)
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM embeddings),
+    sums AS (SELECT i, sum(x) AS sx FROM pos GROUP BY i)
+    SELECT a.i AS i, b.i AS j,
+           round(sum(a.x * b.x) / n.nn - (ma.sx / n.nn) * (mb.sx / n.nn), 6)
+             AS cov
+    FROM pos a JOIN pos b USING (vec_id), n
+    JOIN sums ma ON ma.i = a.i JOIN sums mb ON mb.i = b.i
+    GROUP BY a.i, b.i, n.nn, ma.sx, mb.sx
+    """,
+)
+def q_embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed covariance of the embedding corpus (functions/
+    similarity.covariance_matrix — the PCA trainer's statistic): each
+    Arrow batch contributes one numpy XᵀX partial; partials combine by
+    element-keyed aggregation, so shuffle volume is partitions × dim²
+    and the driver only ever sees the dim² totals. (The SQL oracle pays
+    the positional self-join this implementation exists to avoid.)"""
+    from .functions.similarity import covariance_matrix
+
+    emb = load_table(spark, sf, "embeddings")
+    cov, _, _ = covariance_matrix(emb, "embedding")
+    dim = cov.shape[0]
+    rows = [
+        (i, j, round(float(cov[i, j]), 6))
+        for i in range(dim)
+        for j in range(dim)
+    ]
+    return spark.createDataFrame(rows, "i long, j long, cov double")
 
 
 @query(
