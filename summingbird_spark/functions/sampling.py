@@ -149,3 +149,46 @@ def mixture(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    target_rows: Optional[float] = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual-sampling
+    rule of mBERT/XLM-R: p_s ∝ n_s^α): draw ~``target_rows`` rows with
+    per-source inclusion rate  min(1, target · p_s / n_s), which
+    up-weights small sources (α < 1 flattens the source distribution;
+    α = 1 is proportional, α = 0 uniform-over-sources).
+
+    One bounded aggregation (per-source counts — rows = #sources) feeds
+    a LITERAL rate map compiled into the scan-side hash filter, so the
+    sample itself is a zero-shuffle codegen filter, deterministic from
+    (ids, counts, α, seed) like every sampler here.
+
+    ``target_rows`` defaults to half the corpus.
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        return df.where(F.lit(False))
+    total = sum(counts.values())
+    if target_rows is None:
+        target_rows = 0.5 * total
+    z = sum(n ** alpha for n in sorted(counts.values()))
+    thresholds = []
+    for s, n in counts.items():
+        rate = min(1.0, target_rows * (n ** alpha) / z / n)
+        thresholds.append((s, int(rate * _BUCKET_SPACE)))
+    mapping = F.create_map(
+        *[F.lit(x) for s, t in thresholds for x in (s, t)]
+    )
+    return df.where(
+        _hash_bucket(F.col(id_col), seed) < mapping[F.col(source_col)]
+    )

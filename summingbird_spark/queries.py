@@ -2858,6 +2858,34 @@ def q_pmi_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "temperature_mixture_docs",
+    """
+    WITH c AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY source
+    ),
+    z AS (SELECT sum(pow(n, 0.5)) AS z, sum(n) AS total FROM c),
+    r AS (
+      SELECT source, least(1.0, (0.5 * total) * pow(n, 0.5) / z / n) AS rate
+      FROM c, z
+    )
+    SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+    WHERE ('0x' || substr(md5('5|' || doc_id::VARCHAR), 1, 8))::BIGINT
+          < CAST(floor(rate * 4294967296.0) AS BIGINT)
+    """,
+)
+def q_temperature_mixture_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-rebalanced corpus mix (functions/sampling.
+    temperature_mixture, α=0.5 — the mBERT/XLM-R rule): small sources
+    up-weighted, target half the corpus. The rates compile into a
+    literal map inside a zero-shuffle scan-side hash filter."""
+    from .functions.sampling import temperature_mixture
+
+    docs = load_table(spark, sf, "documents")
+    out = temperature_mixture(docs, "source", "doc_id", alpha=0.5, seed=5)
+    return out.select("doc_id", "source")
+
+
+@query(
     "embedding_covariance",
     """
     WITH pos AS (

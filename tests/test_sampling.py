@@ -167,3 +167,37 @@ def test_weighted_sample_drops_nonpositive_weights(spark):
         [(1, 0.0), (2, -3.0), (3, None), (4, 2.0)], "id long, w double"
     )
     assert [r["id"] for r in weighted_sample(df, 10, "w", "id").collect()] == [4]
+
+
+def test_temperature_mixture_flattens_sources(spark):
+    from summingbird_spark.functions.sampling import temperature_mixture
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = temperature_mixture(df, "src", "id", alpha=0.5, target_rows=400.0)
+    got = out.groupBy("src").count().collect()
+    by = {r["src"]: r["count"] for r in got}
+    # alpha=0.5: p_big = 30/40, p_small = 10/40 -> expect ~300 / ~100;
+    # proportional (alpha=1) would give 360 / 40 — small must be up-weighted
+    assert 60 <= by.get("small", 0) <= 100  # rate = min(1, 100/100) = 1.0
+    assert 250 <= by["big"] <= 350
+    # determinism + layout independence
+    a = sorted(r["id"] for r in out.collect())
+    b = sorted(
+        r["id"]
+        for r in temperature_mixture(
+            df.repartition(7), "src", "id", alpha=0.5, target_rows=400.0
+        ).collect()
+    )
+    assert a == b
+
+
+def test_temperature_mixture_alpha_one_is_proportional(spark):
+    from summingbird_spark.functions.sampling import temperature_mixture
+
+    rows = [(i, "a" if i % 2 else "b") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = temperature_mixture(df, "src", "id", alpha=1.0, target_rows=200.0)
+    by = {r["src"]: r["count"] for r in out.groupBy("src").count().collect()}
+    # equal sources, alpha=1 -> each sampled at rate 0.5
+    assert abs(by["a"] - 100) < 30 and abs(by["b"] - 100) < 30
