@@ -2858,6 +2858,73 @@ def q_pmi_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "curriculum_deciles",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source,
+             round((CASE WHEN len(t) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END
+                    + len(list_distinct(t)) / greatest(len(t), 1)
+                    + CASE WHEN (list_sum(list_transform(t, x -> length(x)))
+                                 / greatest(len(t), 1)) BETWEEN 2.0 AND 12.0
+                           THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS quality
+      FROM toks
+    )
+    SELECT doc_id, source, quality,
+           CAST(ntile(10) OVER (PARTITION BY source
+                                ORDER BY quality, doc_id) AS BIGINT) AS decile
+    FROM scored
+    """,
+)
+def q_curriculum_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum bucketing: per-source quality deciles (ntile with a
+    deterministic tiebreak) — the standard easy→hard data-ordering input.
+    Same single source-keyed shuffle as any per-group rank."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id", "source", T.quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    return scored.withColumn("decile", F.ntile(10).over(w).cast("long"))
+
+
+@query(
+    "embedding_norms_by_source",
+    """
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(sqrt(list_sum(list_transform(e.embedding,
+                          x -> x::DOUBLE * x::DOUBLE)))), 4) AS avg_norm
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def q_embedding_norms_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-modal join: embeddings ↔ their documents (vec_id = doc_id),
+    mean L2 norm per source — the drift/QA check run after every
+    embedding refresh. The doc side projects to (doc_id, source) before
+    the join, so no text crosses the wire. The per-row norm is the
+    interpreted array-aggregate expression (fine for one pass over dim
+    elements; the heavy matmul paths use the Arrow kernels instead)."""
+    from .functions.similarity import l2_norm
+
+    emb = load_table(spark, sf, "embeddings")
+    docs = load_table(spark, sf, "documents").select("doc_id", "source")
+    return (
+        emb.join(docs, emb.vec_id == docs.doc_id)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg(l2_norm(F.col("embedding"))), 4).alias("avg_norm"),
+        )
+    )
+
+
+@query(
     "temperature_mixture_docs",
     """
     WITH c AS (
