@@ -2858,6 +2858,52 @@ def q_pmi_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "interval_join_events",
+    """
+    SELECT e.event_id, CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(p.value), 2) AS sum_value
+    FROM events e JOIN events p
+      ON p.user_id = e.user_id
+     AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 6 HOUR
+    WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+    GROUP BY e.event_id
+    """,
+)
+def q_interval_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    """General interval join (operators/interval.interval_join — the
+    range-join class the reference lacks entirely; its only windowed join
+    is the as-of variant): purchases falling inside each error event's
+    6-hour follow-up window, possibly-overlapping windows included. The
+    chunked equi-join meets each (event, window) pair in exactly one
+    chunk — never the per-key theta-join blowup."""
+    from .operators.interval import interval_join
+
+    ev = load_table(spark, sf, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("w_end"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = interval_join(
+        purchases,
+        errors,
+        on="user_id",
+        left_time="ts",
+        right_start="w_start",
+        right_end="w_end",
+        chunk_seconds=6 * 3600,
+    )
+    return j.groupBy("event_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
     "curriculum_deciles",
     """
     WITH toks AS (

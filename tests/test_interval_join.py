@@ -1,0 +1,94 @@
+"""Interval join: semantics vs a naive Python product, chunk-boundary
+cases, overlapping windows, left-outer, and plan shape."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from summingbird_spark.operators.interval import interval_join
+
+
+def T(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+LEFT = [  # (id, key, t)
+    (1, "a", T(0, 30)),
+    (2, "a", T(1, 0)),       # exactly at a window start -> inclusive
+    (3, "a", T(2, 0)),       # exactly at a window end -> exclusive
+    (4, "a", T(23, 59)),
+    (5, "b", T(1, 30)),
+    (6, "c", T(5, 0)),       # key with no windows
+]
+RIGHT = [  # (wid, key, start, end)
+    (10, "a", T(0), T(2)),
+    (11, "a", T(1), T(3)),   # overlaps window 10
+    (12, "b", T(1), T(1)),   # empty window -> matches nothing
+    (13, "b", T(0), T(4)),
+]
+
+
+def naive(how="inner"):
+    out = []
+    for lid, lk, t in LEFT:
+        hits = [
+            wid
+            for wid, rk, s, e in RIGHT
+            if rk == lk and s <= t < e
+        ]
+        if hits:
+            out += [(lid, wid) for wid in hits]
+        elif how == "left":
+            out.append((lid, None))
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def dfs(spark):
+    l = spark.createDataFrame(LEFT, "lid long, key string, t timestamp")
+    r = spark.createDataFrame(
+        RIGHT, "wid long, key string, w_start timestamp, w_end timestamp"
+    )
+    return l, r
+
+
+@pytest.mark.parametrize("chunk", [600, 3600, 7200, 86400])
+def test_interval_join_matches_naive_across_chunk_sizes(spark, dfs, chunk):
+    l, r = dfs
+    got = interval_join(
+        l, r, "key", "t", "w_start", "w_end", chunk_seconds=chunk
+    ).select("lid", "wid")
+    assert sorted((x["lid"], x["wid"]) for x in got.collect()) == naive()
+
+
+def test_interval_join_left_outer(spark, dfs):
+    l, r = dfs
+    got = interval_join(
+        l, r, "key", "t", "w_start", "w_end", how="left", chunk_seconds=3600
+    ).select("lid", "wid")
+    assert sorted(
+        (x["lid"], x["wid"]) for x in got.collect()
+    ) == naive("left")
+
+
+def test_interval_join_no_duplicate_pairs_on_long_windows(spark, dfs):
+    """A window spanning many chunks must still meet each event once."""
+    l, r = dfs
+    got = interval_join(
+        l, r, "key", "t", "w_start", "w_end", chunk_seconds=60
+    ).select("lid", "wid")
+    rows = [(x["lid"], x["wid"]) for x in got.collect()]
+    assert len(rows) == len(set(rows)) and sorted(rows) == naive()
+
+
+def test_interval_join_is_equi_join_not_theta(spark, dfs):
+    l, r = dfs
+    plan = (
+        interval_join(l, r, "key", "t", "w_start", "w_end", chunk_seconds=3600)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
