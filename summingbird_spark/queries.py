@@ -2858,6 +2858,40 @@ def q_pmi_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "table_profile_events",
+    """
+    SELECT 'event_id' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (event_id IS NULL) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(min(event_id) AS VARCHAR) AS min_value,
+           CAST(max(event_id) AS VARCHAR) AS max_value
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (user_id IS NULL) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT),
+           CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (event_type IS NULL) AS BIGINT),
+           CAST(count(DISTINCT event_type) AS BIGINT),
+           min(event_type), max(event_type)
+    FROM events
+    """,
+)
+def q_table_profile_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality profile (functions/profile.table_profile): one scan
+    computes every column's null/distinct/min/max simultaneously, then
+    unpivots with `stack` — the post-ingest observability check. (The
+    oracle pays three scans; the implementation pays one.)"""
+    from .functions.profile import table_profile
+
+    ev = load_table(spark, sf, "events")
+    return table_profile(ev, ["event_id", "user_id", "event_type"])
+
+
+@query(
     "interval_join_events",
     """
     SELECT e.event_id, CAST(count(*) AS BIGINT) AS n_purchases,
