@@ -92,3 +92,58 @@ def test_interval_join_is_equi_join_not_theta(spark, dfs):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ev = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200_000),  # event offset seconds
+        st.sampled_from(["a", "b", "c"]),
+    ),
+    min_size=1, max_size=30,
+)
+_win = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200_000),   # window start
+        st.integers(min_value=0, max_value=50_000),    # window length (0 = empty)
+        st.sampled_from(["a", "b", "c"]),
+    ),
+    min_size=1, max_size=15,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=_ev, windows=_win, chunk=st.sampled_from([600, 3600, 50_000]))
+def test_interval_join_property_random_windows(spark, events, windows, chunk):
+    base = dt.datetime(2024, 1, 1)
+    l_rows = [
+        (i, k, base + dt.timedelta(seconds=s)) for i, (s, k) in enumerate(events)
+    ]
+    r_rows = [
+        (
+            i,
+            k,
+            base + dt.timedelta(seconds=s),
+            base + dt.timedelta(seconds=s + ln),
+        )
+        for i, (s, ln, k) in enumerate(windows)
+    ]
+    l = spark.createDataFrame(l_rows, "lid long, key string, t timestamp")
+    r = spark.createDataFrame(
+        r_rows, "wid long, key string, w_start timestamp, w_end timestamp"
+    )
+    got = sorted(
+        (x["lid"], x["wid"])
+        for x in interval_join(
+            l, r, "key", "t", "w_start", "w_end", chunk_seconds=chunk
+        ).select("lid", "wid").collect()
+    )
+    want = sorted(
+        (lid, wid)
+        for lid, lk, t in l_rows
+        for wid, rk, s, e in r_rows
+        if lk == rk and s <= t < e
+    )
+    assert got == want
