@@ -147,3 +147,63 @@ def test_interval_join_property_random_windows(spark, events, windows, chunk):
         if lk == rk and s <= t < e
     )
     assert got == want
+
+
+def test_interval_join_stream_parity(spark, tmp_path):
+    """The same interval semantics run in the streaming layer as a native
+    stream-stream join with a time-range condition + watermarks; its
+    result must equal the batch interval_join."""
+    import glob
+    import shutil
+
+    left_rows = [(i, "k%d" % (i % 3), T(i % 24, 13)) for i in range(40)]
+    right_rows = [
+        (100 + i, "k%d" % (i % 3), T(i % 20), T((i % 20) + 3)) for i in range(20)
+    ]
+    lfmt = "lid long, key string, t timestamp"
+    rfmt = "wid long, key string, w_start timestamp, w_end timestamp"
+    ld, rd = tmp_path / "l", tmp_path / "r"
+    for d, rows, fmt in [(ld, left_rows, lfmt), (rd, right_rows, rfmt)]:
+        d.mkdir()
+        for i, chunk in enumerate([rows[: len(rows) // 2], rows[len(rows) // 2 :]]):
+            spark.createDataFrame(chunk, fmt).coalesce(1).write.parquet(
+                str(d / f"c{i}")
+            )
+            for f in glob.glob(str(d / f"c{i}" / "*.parquet")):
+                shutil.move(f, str(d / f"chunk{i}.parquet"))
+            shutil.rmtree(str(d / f"c{i}"))
+
+    batch = interval_join(
+        spark.read.schema(lfmt).parquet(str(ld)),
+        spark.read.schema(rfmt).parquet(str(rd)),
+        "key", "t", "w_start", "w_end", chunk_seconds=3600,
+    )
+    want = sorted((r["lid"], r["wid"]) for r in batch.select("lid", "wid").collect())
+
+    ls = (
+        spark.readStream.schema(lfmt).parquet(str(ld)).withWatermark("t", "1 day")
+    )
+    rs = (
+        spark.readStream.schema(rfmt)
+        .parquet(str(rd))
+        .withWatermark("w_start", "1 day")
+    )
+    j = ls.alias("l").join(
+        rs.alias("r"),
+        F.expr(
+            "l.key = r.key AND l.t >= r.w_start AND l.t < r.w_end"
+        ),
+        "inner",
+    ).select("l.lid", "r.wid")
+    q = (
+        j.writeStream.format("memory")
+        .queryName("ij_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["lid"], r["wid"]) for r in spark.sql("SELECT * FROM ij_stream").collect()
+    )
+    assert got == want and len(got) > 0
