@@ -582,3 +582,85 @@ def cross_doc_repetition(
             ).alias("dup_distinct_frac"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """The substring-dedup TRANSFORM (Lee et al. 2022 §4: remove, don't
+    drop): delete every token covered by a word ``shingle_n``-gram that
+    occurs in >= ``min_df`` documents, and rebuild the document from the
+    surviving tokens. Unlike document-level dedup this keeps the unique
+    remainder of partially-boilerplate docs. Returns
+    ``(id, clean_text, n_tokens, n_removed)`` — ``clean_text`` is
+    space-normalized (the reassembly joins tokens with single spaces).
+
+    Plan: tokens posexplode once; gram digests get their document
+    frequency from a count window over the digest partition (uniform
+    16-byte keys); hot grams' start positions expand to covered token
+    positions (bounded fan-out: × shingle_n); an anti-join on
+    (doc, position) keeps survivors; one final per-doc sort-agg rebuilds
+    the text. Every shuffle keys on digest or doc id. The corpus is
+    token-exploded — the same volume the gram signal already pays —
+    and nothing is ever driver-resident.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias(id_col),
+        F.posexplode(tokenize(F.lower(F.col(text_col)))).alias("__p__", "__t__"),
+    )
+    grams = df.select(
+        F.col(id_col).alias(id_col),
+        F.posexplode(shingles(F.col(text_col), shingle_n)).alias("__s__", "__g__"),
+    ).select(id_col, "__s__", F.md5(F.col("__g__")).alias("__gd__"))
+    # document frequency WITHOUT unbounded window state: one row per
+    # (doc, gram) first, then a count window over the digest partition
+    # (each row is O(1) — no collect_set of 10M doc ids for a
+    # boilerplate gram), then re-attach the occurrences' start positions
+    w = Window.partitionBy("__gd__")
+    hot_doc_grams = (
+        grams.select(id_col, "__gd__")
+        .distinct()
+        .withColumn("__df__", F.count(F.lit(1)).over(w))
+        .where(F.col("__df__") >= min_df)
+        .select(id_col, "__gd__")
+    )
+    hot_starts = grams.join(hot_doc_grams, [id_col, "__gd__"]).select(
+        id_col, "__s__"
+    )
+    covered = hot_starts.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("__s__"), F.col("__s__") + (shingle_n - 1))
+        ).alias("__p__"),
+    ).distinct()
+    kept = toks.join(covered, [id_col, "__p__"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__p__"), F.col("__t__")))
+                ),
+                lambda s: s["__t__"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+    )
+    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__total__"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            (F.col("__total__") - F.coalesce(F.col("n_tokens"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -3096,6 +3096,58 @@ def q_weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "remove_duplicate_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, i AS p, t[i+1] AS tok
+      FROM toks, LATERAL (SELECT unnest(range(len(t))) AS i)
+    ),
+    grams AS (
+      SELECT doc_id, i AS s, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+      FROM toks, LATERAL (SELECT unnest(range(len(t)-2)) AS i)
+    ),
+    dfq AS (
+      SELECT g FROM (
+        SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g
+      ) WHERE df >= 2
+    ),
+    hot AS (SELECT DISTINCT doc_id, s FROM grams JOIN dfq USING (g)),
+    covered AS (
+      SELECT DISTINCT doc_id, s + o AS p
+      FROM hot, LATERAL (SELECT unnest(range(3)) AS o)
+    ),
+    kept AS (SELECT pos.* FROM pos ANTI JOIN covered USING (doc_id, p)),
+    totals AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS total FROM pos GROUP BY doc_id
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+           COALESCE(r.n_tokens, 0) AS n_tokens,
+           t.total - COALESCE(r.n_tokens, 0) AS n_removed
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q_remove_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-dedup TRANSFORM (functions/dedup.remove_duplicate_spans,
+    Lee et al. 2022 §4): delete tokens covered by any cross-document
+    n-gram and rebuild the text — partially-boilerplate docs keep their
+    unique remainder instead of being dropped whole. Gram df comes from
+    a distinct + count-window on 16-byte digests (no unbounded state)."""
+    from .functions.dedup import remove_duplicate_spans
+
+    docs = load_table(spark, sf, "documents")
+    return remove_duplicate_spans(docs, "doc_id", "text", shingle_n=3, min_df=2)
+
+
+@query(
     "cross_doc_repetition",
     """
     WITH toks AS (

@@ -59,3 +59,49 @@ def test_cross_doc_repetition_hand_computed(spark):
         2: (0.25, 0.25),
         3: (0.0, 0.0),
     }
+
+
+def test_remove_duplicate_spans_hand_computed(spark):
+    from summingbird_spark.functions.dedup import remove_duplicate_spans
+
+    rows = [
+        (1, "x y z a b c"),    # "x y z" shared with doc 2 -> positions 0-2 go
+        (2, "x y z q r"),      # same span goes; "q r" survives
+        (3, "u v w"),          # unique -> untouched
+        (4, "p q"),            # too short for a 3-gram -> untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in remove_duplicate_spans(df, "doc_id", "text", 3, 2).collect()
+    }
+    assert got == {
+        1: ("a b c", 3, 3),
+        2: ("q r", 2, 3),
+        3: ("u v w", 3, 0),
+        4: ("p q", 2, 0),
+    }
+
+
+def test_remove_duplicate_spans_full_coverage_empties_doc(spark):
+    from summingbird_spark.functions.dedup import remove_duplicate_spans
+
+    rows = [(1, "a b c"), (2, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_duplicate_spans(df, "doc_id", "text", 3, 2).collect()
+    }
+    assert got == {1: ("", 3), 2: ("", 3)}
+
+
+def test_remove_duplicate_spans_intra_doc_repeat_not_removed(spark):
+    """min_df counts DOCUMENTS: a gram repeated within one doc only is
+    not cross-document boilerplate and must survive."""
+    from summingbird_spark.functions.dedup import remove_duplicate_spans
+
+    rows = [(1, "m n o m n o"), (2, "zz ww")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = remove_duplicate_spans(df, "doc_id", "text", 3, 2).collect()
+    by = {r["doc_id"]: r["n_removed"] for r in got}
+    assert by == {1: 0, 2: 0}
