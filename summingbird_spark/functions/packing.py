@@ -213,3 +213,53 @@ def write_shards(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split documents into (possibly overlapping) token-window chunks —
+    the retrieval/RAG prep verb. ``stride`` defaults to ``chunk_tokens``
+    (disjoint chunks); a smaller stride overlaps consecutive chunks.
+
+    Output: ``(id, chunk_id, chunk_text, n_tokens)`` with chunk_id the
+    0-based window index; the final window is the shorter tail (no
+    padding, no empty chunks; an empty document yields no rows).
+
+    All in-row column expressions: the token array slices into windows
+    via ``sequence`` + ``transform`` and explodes — no shuffle at all,
+    so chunking composes with partition pruning and runs at scan speed.
+    """
+    from .. functions.text import tokenize
+
+    if stride is None:
+        stride = chunk_tokens
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = tokenize(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    # window starts: 1, 1+stride, ... while start <= n (1-based slice)
+    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_id"),
+            F.array_join(F.slice(toks, s, chunk_tokens), " ").alias("chunk_text"),
+            F.least(n - s + 1, F.lit(chunk_tokens)).alias("n_tokens"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_id").cast("long").alias("chunk_id"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_tokens").cast("long").alias("n_tokens"),
+        )
+    )

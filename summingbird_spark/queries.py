@@ -3096,6 +3096,30 @@ def q_weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "chunk_documents_rag",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents
+    )
+    SELECT doc_id, CAST((s - 1) // 32 AS BIGINT) AS chunk_id,
+           array_to_string(t[s:s+63], ' ') AS chunk_text,
+           CAST(least(len(t) - s + 1, 64) AS BIGINT) AS n_tokens
+    FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1, 32)) AS s)
+    WHERE len(t) > 0
+    """,
+)
+def q_chunk_documents_rag(spark: SparkSession, sf: str) -> DataFrame:
+    """RAG chunking (functions/packing.chunk_documents): 64-token windows
+    at stride 32 (50% overlap) — pure in-row array slicing exploded at
+    scan speed, zero shuffle."""
+    from .functions.packing import chunk_documents
+
+    docs = load_table(spark, sf, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, stride=32)
+
+
+@query(
     "remove_duplicate_spans",
     """
     WITH toks AS (

@@ -143,3 +143,42 @@ def test_write_shards_layout_and_roundtrip(spark, tmp_path):
     write_shards(df, out, "n_tokens", budget=2000, id_col="doc_id")
     again = {(r.doc_id, r.shard_id) for r in spark.read.parquet(out).collect()}
     assert again == expect
+
+
+def test_chunk_documents_disjoint_and_overlap(spark):
+    from summingbird_spark.functions.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x"), (3, "")], "doc_id long, text string"
+    )
+    disjoint = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, "doc_id", "text", chunk_tokens=2).collect()
+    }
+    assert disjoint == {
+        (1, 0): ("a b", 2),
+        (1, 1): ("c d", 2),
+        (1, 2): ("e", 1),
+        (2, 0): ("x", 1),
+    }  # empty doc 3 yields no rows
+    overlap = {
+        (r["doc_id"], r["chunk_id"]): r["chunk_text"]
+        for r in chunk_documents(
+            df, "doc_id", "text", chunk_tokens=4, stride=2
+        ).collect()
+        if r["doc_id"] == 1
+    }
+    assert overlap == {(1, 0): "a b c d", (1, 1): "c d e", (1, 2): "e"}
+
+
+def test_chunk_documents_zero_shuffle_plan(spark):
+    from summingbird_spark.functions.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        chunk_documents(df, "doc_id", "text", 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
