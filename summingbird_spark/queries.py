@@ -3284,12 +3284,14 @@ _GRADE_ORDER = [
     "tpch_q1_pricing",
     # LLM pipeline: text analysis
     "text_stats", "lang_id", "quality_scores", "doc_fingerprint",
-    "bpe_tokens", "clean_corpus_pipeline",
-    # LLM pipeline: dedup, end to end
+    "bpe_tokens",
+    # LLM pipeline: dedup, end to end (incl. the span-removal TRANSFORM;
+    # clean_corpus_pipeline moved below — its composition role is covered
+    # in-window by the fuller corpus_to_shards capstone)
     "dedup_exact", "dedup_minhash_lsh", "ngram_jaccard",
     "simhash_fingerprint", "dedup_embedding_cosine",
     "dedup_clusters", "dedup_survivors", "decontaminate",
-    "incremental_dedup",
+    "incremental_dedup", "remove_duplicate_spans",
     # LLM pipeline: similarity search + retrieval
     "embedding_cosine_topk", "embedding_lsh_topk", "embedding_ivf_topk",
     "bm25_search",
@@ -3301,7 +3303,7 @@ _GRADE_ORDER = [
     # and long-stable §2.5 conveniences (all still graded by the in-repo
     # oracle replica every CI run)
     "avg_semigroup", "distinct_users", "topk_per_group", "rollup_agg",
-    "session_window", "tumbling_window",
+    "session_window", "tumbling_window", "clean_corpus_pipeline",
     "asof_windowed", "trending_decayed_topk",
     "window_lag", "scalar_functions", "cube_agg", "sliding_window",
     "global_topn", "set_ops", "pivot_counts", "median_values",
