@@ -332,3 +332,52 @@ def pmi_pairs(
     return joined.select(
         "w1", "w2", "pair_count", F.round(pmi, ndigits).alias("pmi")
     )
+
+
+def unigram_logprob_scores(
+    df,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.5,
+    ndigits: int = 4,
+):
+    """Perplexity-style quality scoring against a unigram LM TRAINED ON
+    THE CORPUS ITSELF (the KenLM-filter pattern with the simplest real
+    model): per document, the mean log-probability of its tokens under
+    add-alpha-smoothed corpus unigram frequencies. Documents far below
+    the corpus's typical mean log-prob are gibberish/noise candidates;
+    far above are repetitive/boilerplate candidates — both tails get
+    filtered in practice.
+
+    p(w) = (count(w) + alpha) / (N + alpha * (V + 1)); unseen words (when
+    scoring a DIFFERENT corpus against this model) take count 0 — here
+    every token is seen by construction.
+
+    Scale shape: the model is the vocabulary table (one corpus-sized
+    count shuffle, then broadcast); scoring joins each token occurrence
+    to its probability map-side and partial-aggregates the per-doc mean.
+    Returns ``(id, n_tokens, mean_logprob)``.
+    """
+    toks = df.select(
+        F.col(id_col).alias(id_col),
+        F.explode(tokenize(F.lower(F.col(text_col)))).alias("w"),
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    totals = uni.agg(
+        F.sum("c").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    logp = F.log(
+        (F.col("c") + F.lit(alpha))
+        / (F.col("n_total") + F.lit(alpha) * (F.col("v") + 1.0))
+    )
+    scored = (
+        toks.join(F.broadcast(uni), "w")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(logp), ndigits).alias("mean_logprob"),
+        )
+    )
+    return scored

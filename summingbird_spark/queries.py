@@ -3096,6 +3096,37 @@ def q_weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "lm_quality_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+      FROM documents
+    ),
+    uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w),
+    tot AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS n_total, CAST(count(*) AS DOUBLE) AS v
+      FROM uni
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln((c + 0.5) / (n_total + 0.5 * (v + 1.0)))), 4)
+             AS mean_logprob
+    FROM toks JOIN uni USING (w), tot
+    GROUP BY doc_id
+    """,
+)
+def q_lm_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Perplexity-style quality filter (functions/text.
+    unigram_logprob_scores): mean token log-prob under an add-alpha
+    unigram LM trained on the corpus itself — the KenLM-filter pattern.
+    The model is the broadcast vocabulary table; scoring is map-side."""
+    from .functions.text import unigram_logprob_scores
+
+    docs = load_table(spark, sf, "documents")
+    return unigram_logprob_scores(docs, "doc_id", "text", alpha=0.5)
+
+
+@query(
     "chunk_documents_rag",
     """
     WITH toks AS (

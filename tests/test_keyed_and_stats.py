@@ -240,3 +240,27 @@ def test_pmi_matches_python(spark):
         ("x", "y"): (3, pmi(3, 3, 2)),
         ("x", "z"): (1, pmi(1, 3, 1)),
     }
+
+
+def test_unigram_logprob_matches_python(spark):
+    import math
+
+    from summingbird_spark.functions.text import unigram_logprob_scores
+
+    texts = {1: "a a b", 2: "b c", 3: "a"}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    counts = {"a": 3, "b": 2, "c": 1}
+    n, v, al = 6.0, 3.0, 0.5
+
+    def lp(w):
+        return math.log((counts[w] + al) / (n + al * (v + 1.0)))
+
+    want = {
+        d: round(sum(lp(w) for w in t.split()) / len(t.split()), 4)
+        for d, t in texts.items()
+    }
+    got = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in unigram_logprob_scores(df, "doc_id", "text", alpha=0.5).collect()
+    }
+    assert got == want
