@@ -207,3 +207,38 @@ def test_interval_join_stream_parity(spark, tmp_path):
         (r["lid"], r["wid"]) for r in spark.sql("SELECT * FROM ij_stream").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_interval_join_hot_key_bounded(spark):
+    """One key owns every window AND every event (the adversarial case
+    for a per-key theta join): the chunked plan still completes with
+    uniform (key, chunk) buckets, and counts match the naive product."""
+    base = dt.datetime(2024, 1, 1)
+    events = [
+        (i, "hot", base + dt.timedelta(seconds=(i * 37) % 100_000))
+        for i in range(2000)
+    ]
+    windows = [
+        (
+            i,
+            "hot",
+            base + dt.timedelta(seconds=(i * 499) % 100_000),
+            base + dt.timedelta(seconds=(i * 499) % 100_000 + 900),
+        )
+        for i in range(200)
+    ]
+    l = spark.createDataFrame(events, "lid long, key string, t timestamp")
+    r = spark.createDataFrame(
+        windows, "wid long, key string, w_start timestamp, w_end timestamp"
+    )
+    got = (
+        interval_join(l, r, "key", "t", "w_start", "w_end", chunk_seconds=900)
+        .count()
+    )
+    want = sum(
+        1
+        for _, _, t in events
+        for _, _, s, e in windows
+        if s <= t < e
+    )
+    assert got == want > 0
