@@ -98,3 +98,60 @@ def test_json_extract_streaming_parity(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.user, r.batch_id): r.value for r in store.read(spark).collect()}
     assert got == want and len(got) == 9  # 3 users x 3 day-batches
+
+
+def test_streaming_corpus_ingest_parity(spark, tmp_path):
+    """The ingest-side corpus verbs (quality gate, PII scrub, RAG
+    chunking) are pure column transforms — the same code runs unchanged
+    on a readStream DataFrame, and its output equals the batch run."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+    from summingbird_spark.functions.packing import chunk_documents
+    from summingbird_spark.functions.text import scrub_pii, token_count
+
+    rows = [
+        (
+            i,
+            ("reach me at u%d@example.com " % i) + "tok " * (5 + i % 20),
+        )
+        for i in range(40)
+    ]
+    schema = "doc_id long, text string"
+    d = tmp_path / "docs"
+    d.mkdir()
+    for i, chunk in enumerate([rows[:20], rows[20:]]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            str(d / f"c{i}")
+        )
+        for f in glob.glob(str(d / f"c{i}" / "*.parquet")):
+            shutil.move(f, str(d / f"chunk{i}.parquet"))
+        shutil.rmtree(str(d / f"c{i}"))
+
+    def transform(df):
+        cleaned = df.where(token_count(F.col("text")) >= 10).select(
+            "doc_id", scrub_pii(F.col("text")).alias("text")
+        )
+        return chunk_documents(cleaned, "doc_id", "text", chunk_tokens=8)
+
+    want = sorted(
+        tuple(r) for r in transform(spark.read.schema(schema).parquet(str(d))).collect()
+    )
+    # chunker lowercases its token stream, so the scrub placeholder
+    # surfaces as <email>
+    assert want and all("<email>" in r[2] for r in want if r[1] == 0)
+
+    q = (
+        transform(spark.readStream.schema(schema).parquet(str(d)))
+        .writeStream.format("memory")
+        .queryName("ingest_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM ingest_stream").collect()
+    )
+    assert got == want
