@@ -652,7 +652,14 @@ def remove_duplicate_spans(
         ).alias("clean_text"),
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
     )
-    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__total__"))
+    # totals from the SOURCE df (scan-side token_count), not the explode:
+    # an empty document must still appear in the output with zero counts
+    from .text import token_count
+
+    totals = df.select(
+        F.col(id_col).alias(id_col),
+        token_count(F.lower(F.col(text_col))).alias("__total__"),
+    )
     return (
         totals.join(rebuilt, id_col, "left")
         .select(

@@ -3246,9 +3246,7 @@ def q_chunk_documents_rag(spark: SparkSession, sf: str) -> DataFrame:
       FROM hot, LATERAL (SELECT unnest(range(3)) AS o)
     ),
     kept AS (SELECT pos.* FROM pos ANTI JOIN covered USING (doc_id, p)),
-    totals AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS total FROM pos GROUP BY doc_id
-    ),
+    totals AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS total FROM toks),
     rebuilt AS (
       SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
              CAST(count(*) AS BIGINT) AS n_tokens

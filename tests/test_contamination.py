@@ -105,3 +105,43 @@ def test_remove_duplicate_spans_intra_doc_repeat_not_removed(spark):
     got = remove_duplicate_spans(df, "doc_id", "text", 3, 2).collect()
     by = {r["doc_id"]: r["n_removed"] for r in got}
     assert by == {1: 0, 2: 0}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_corpus = st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=0, max_size=12),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus=_corpus, n=st.sampled_from([2, 3]), min_df=st.sampled_from([2, 3]))
+def test_remove_duplicate_spans_property(spark, corpus, n, min_df):
+    from summingbird_spark.functions.dedup import remove_duplicate_spans
+
+    texts = {i: " ".join(words) for i, words in enumerate(corpus)}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    # naive reference
+    grams = {}
+    for d, words in enumerate(corpus):
+        for s in range(len(words) - n + 1):
+            grams.setdefault(" ".join(words[s : s + n]), set()).add(d)
+    hot = {g for g, docs in grams.items() if len(docs) >= min_df}
+    want = {}
+    for d, words in enumerate(corpus):
+        covered = set()
+        for s in range(len(words) - n + 1):
+            if " ".join(words[s : s + n]) in hot:
+                covered.update(range(s, s + n))
+        kept = [w for p, w in enumerate(words) if p not in covered]
+        want[d] = (" ".join(kept), len(kept), len(words) - len(kept))
+
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in remove_duplicate_spans(df, "doc_id", "text", n, min_df).collect()
+    }
+    assert got == want
