@@ -3166,6 +3166,83 @@ def q_weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "corpus_to_rag_chunks",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source, t,
+             round((CASE WHEN len(t) BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END
+                    + len(list_distinct(t)) / greatest(len(t), 1)
+                    + CASE WHEN (list_sum(list_transform(t, x -> length(x)))
+                                 / greatest(len(t), 1)) BETWEEN 2.0 AND 12.0
+                           THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS quality
+      FROM toks
+    ), gated AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, t,
+               percent_rank() OVER (PARTITION BY source
+                                    ORDER BY quality, doc_id) AS pctl
+        FROM scored
+      ) WHERE pctl >= 0.5
+    ), chunks AS (
+      SELECT doc_id, CAST((s - 1) // 8 AS BIGINT) AS chunk_id,
+             md5(array_to_string(t[s:s+15], ' ')) AS chunk_md5,
+             CAST(least(len(t) - s + 1, 16) AS BIGINT) AS n_tokens
+      FROM gated, LATERAL (SELECT unnest(range(1, len(t) + 1, 8)) AS s)
+      WHERE len(t) > 0
+    )
+    SELECT doc_id, chunk_id, chunk_md5, n_tokens,
+           CAST(count(*) OVER (PARTITION BY chunk_md5) AS BIGINT) AS n_copies
+    FROM chunks
+    QUALIFY row_number() OVER (PARTITION BY chunk_md5
+                               ORDER BY doc_id, chunk_id) = 1
+    """,
+)
+def q_corpus_to_rag_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """The RAG-side capstone composition: per-source quality percentile
+    gate → 16/8 overlapping chunking → chunk-LEVEL exact dedup (one
+    survivor per chunk digest; overlapping boilerplate chunks collapse).
+    Every stage is an operator graded separately; this grades their
+    composition — chunk dedup shuffles 16-byte digests, never text."""
+    from pyspark.sql.window import Window
+
+    from .functions.packing import chunk_documents
+
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id", "source", "text", T.quality_score(F.col("text")).alias("q")
+    )
+    wq = Window.partitionBy("source").orderBy("q", "doc_id")
+    gated = (
+        scored.withColumn("pctl", F.percent_rank().over(wq))
+        .where(F.col("pctl") >= 0.5)
+        .select("doc_id", "text")
+    )
+    # 16-token chunks at stride 8: tight enough that boilerplate chunk
+    # collisions actually occur in the synthetic corpus, so the dedup
+    # stage demonstrably collapses copies (64/32 never collided — a
+    # vacuously-passing stage, the r5 asof_windowed_sum lesson)
+    chunks = chunk_documents(gated, "doc_id", "text", chunk_tokens=16, stride=8)
+    chunks = chunks.select(
+        "doc_id", "chunk_id", F.md5("chunk_text").alias("chunk_md5"), "n_tokens"
+    )
+    wd = Window.partitionBy("chunk_md5")
+    return (
+        chunks.withColumn("n_copies", F.count(F.lit(1)).over(wd).cast("long"))
+        .withColumn(
+            "__rn__",
+            F.row_number().over(
+                Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_id")
+            ),
+        )
+        .where(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+@query(
     "lm_quality_scores",
     """
     WITH toks AS (
