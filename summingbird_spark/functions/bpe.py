@@ -134,3 +134,79 @@ def bpe_learn(
         merges.append((a, b))
         symbols = apply_merge(symbols, a, b).localCheckpoint()
     return merges, symbols
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    id_col: str | None = None,
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned merge list to a corpus — the encode side of the
+    tokenizer. Returns the input plus ``out_col`` (array of sub-word
+    symbols, `</w>`-terminated per word).
+
+    The corpus-scale trick mirrors training: encoding is a pure function
+    of the WORD, so the distinct-word table (vocab-sized) is encoded once
+    by a pandas UDF applying the merges in training order, broadcast, and
+    joined back onto the exploded token stream — the corpus itself never
+    runs Python. Per-doc sub-token arrays reassemble in token order.
+    """
+    import pandas as pd
+
+    from .text import tokenize
+
+    key = id_col if id_col is not None else "__rid__"
+    if id_col is not None:
+        src = df
+    else:
+        # synthesized row ids are position-dependent; the frame is
+        # referenced from two subtrees (token explode + final join), so
+        # pin one evaluation — prefer passing a real id_col at scale
+        src = df.withColumn("__rid__", F.monotonically_increasing_id()).cache()
+    toks = src.select(
+        F.col(key).alias(key),
+        F.posexplode(tokenize(F.lower(F.col(text_col)))).alias("__p__", "__w__"),
+    )
+    vocab = toks.select(F.col("__w__")).distinct()
+
+    merges_l = [tuple(m) for m in merges]
+
+    def encode_words(batches):
+        for pdf in batches:
+            def enc(w):
+                syms = list(w) + ["</w>"]
+                for a, b in merges_l:
+                    out, i, m = [], 0, a + b
+                    while i < len(syms):
+                        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                            out.append(m)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                return syms
+
+            yield pd.DataFrame({"__w__": pdf["__w__"], "__enc__": pdf["__w__"].map(enc)})
+
+    encoded = vocab.mapInPandas(encode_words, "__w__ string, __enc__ array<string>")
+    per_doc = (
+        toks.join(F.broadcast(encoded), "__w__")
+        .groupBy(key)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__p__"), F.col("__enc__")))
+                    ),
+                    lambda s: s["__enc__"],
+                )
+            ).alias(out_col)
+        )
+    )
+    out = src.join(per_doc, key, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.array().cast("array<string>"))
+    )
+    return out.drop("__rid__") if id_col is None else out

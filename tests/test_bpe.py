@@ -79,3 +79,33 @@ def test_apply_merge_is_greedy_left_to_right(spark):
     syms = initial_symbols(word_freqs(df, "text"))
     merged = apply_merge(syms, "a", "a")
     assert list(merged.collect()[0]["symbols"]) == ["aa", "a", "</w>"]
+
+
+def test_bpe_encode_matches_reference(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "id long, text string"
+    )
+    from summingbird_spark.functions.bpe import bpe_encode
+
+    merges, _ = bpe_learn(df, "text", n_merges=6)
+    _, ref_syms = reference_bpe(TEXTS, 6)
+    got = {
+        r["id"]: list(r["bpe_tokens"])
+        for r in bpe_encode(df, "text", merges, id_col="id").collect()
+    }
+    for i, t in enumerate(TEXTS):
+        want = [s for w in t.lower().split() if w for s in ref_syms[w]]
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_bpe_encode_empty_and_unseen(spark):
+    from summingbird_spark.functions.bpe import bpe_encode
+
+    df = spark.createDataFrame([(1, "low xyz"), (2, "")], "id long, text string")
+    got = {
+        r["id"]: list(r["bpe_tokens"])
+        for r in bpe_encode(df, "text", [("l", "o"), ("lo", "w")], id_col="id").collect()
+    }
+    # 'xyz' never saw these merges -> stays character-split
+    assert got[1] == ["low", "</w>", "x", "y", "z", "</w>"]
+    assert got[2] == []
