@@ -193,10 +193,13 @@ def write_shards(
     budget: int,
     id_col: str,
     n_buckets: int = 1024,
+    fmt: str = "parquet",
 ) -> None:
     """Materialize ``pack_shards`` output as one directory per shard
     (``shard_id=N/``), rows ordered by ``id_col`` within each file — the
-    layout a training loader streams sequentially.
+    layout a training loader streams sequentially. ``fmt`` is
+    ``parquet`` (default) or ``json`` (JSONL — one record per line, the
+    common text-shard interchange format).
 
     ``repartitionByRange(shard_id, id)`` hands each writer task a
     contiguous run of shards (so a shard's rows land in one or few
@@ -205,13 +208,16 @@ def write_shards(
     any global sort. Writer parallelism follows the range split, not
     the shard count — 10^6 shards do not mean 10^6 tasks.
     """
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"fmt must be 'parquet' or 'json'; got {fmt!r}")
     packed = pack_shards(df, weight_col, budget, id_col, n_buckets)
     (
         packed.repartitionByRange("shard_id", id_col)
         .sortWithinPartitions("shard_id", id_col)
         .write.partitionBy("shard_id")
         .mode("overwrite")
-        .parquet(path)
+        .format(fmt)
+        .save(path)
     )
 
 

@@ -182,3 +182,23 @@ def test_chunk_documents_zero_shuffle_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_write_shards_jsonl(spark, tmp_path):
+    import glob
+    import json
+
+    from summingbird_spark.functions.packing import write_shards
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(20)], "doc_id long, n_tok long"
+    )
+    out = str(tmp_path / "shards_json")
+    write_shards(df, out, "n_tok", 50, "doc_id", fmt="json")
+    files = glob.glob(out + "/shard_id=*/*.json")
+    assert files
+    rows = []
+    for f in sorted(files):
+        with open(f) as fh:
+            rows += [json.loads(line) for line in fh if line.strip()]
+    assert sorted(r["doc_id"] for r in rows) == list(range(20))
