@@ -3491,6 +3491,11 @@ _GRADE_ORDER = [
     "embedding_quantize", "embedding_quantized_topk", "cross_doc_repetition",
     "weighted_sample_docs", "pmi_cooccurrence", "bpe_pair_counts",
     "json_props_agg", "event_transitions",
+    "tpch_q12_shipmode", "tpch_q14_promo_revenue", "quality_percentile_gate",
+    "curriculum_deciles", "embedding_norms_by_source",
+    "temperature_mixture_docs", "embedding_covariance", "interval_join_events",
+    "table_profile_events", "corpus_to_rag_chunks", "lm_quality_scores",
+    "chunk_documents_rag",
 ]
 
 _missing = set(QUERIES) - set(_GRADE_ORDER)
