@@ -3501,6 +3501,7 @@ _GRADE_ORDER = [
 _missing = set(QUERIES) - set(_GRADE_ORDER)
 _unknown = set(_GRADE_ORDER) - set(QUERIES)
 assert not _unknown, f"_GRADE_ORDER names unknown queries: {_unknown}"
+assert len(_GRADE_ORDER) == len(set(_GRADE_ORDER)), "duplicate in _GRADE_ORDER"
 # queries registered after this list was written still run — appended last
 QUERIES = {
     **{n: QUERIES[n] for n in _GRADE_ORDER},
