@@ -2928,6 +2928,93 @@ def q_pmi_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "source_text_profile",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, lang,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(len(t)), 4) AS avg_tokens,
+           round(avg(len(list_distinct(t)) * 1.0 / greatest(len(t), 1)), 4)
+             AS avg_uniq_frac,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM toks
+    GROUP BY source
+    """,
+)
+def q_source_text_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus observability: doc counts, token-length and
+    uniqueness profiles, language spread — the dashboard aggregate a
+    curation run emits per ingest. One partial-aggregated shuffle."""
+    docs = load_table(spark, sf, "documents")
+    toks = T.tokenize(F.lower(F.col("text")))
+    return (
+        docs.select(
+            "source",
+            "lang",
+            F.size(toks).alias("__n"),
+            (
+                F.size(F.array_distinct(toks))
+                / F.greatest(F.size(toks), F.lit(1))
+            ).alias("__u"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("__n"), 4).alias("avg_tokens"),
+            F.round(F.avg("__u"), 4).alias("avg_uniq_frac"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+    )
+
+
+@query(
+    "event_funnel",
+    """
+    WITH steps AS (
+      SELECT user_id,
+             min(ts) FILTER (event_type = 'view') AS t_view,
+             min(ts) FILTER (event_type = 'click') AS t_click,
+             min(ts) FILTER (event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) FILTER (t_view IS NOT NULL) AS BIGINT) AS n_view,
+           CAST(count(*) FILTER (t_view IS NOT NULL AND t_click > t_view)
+                AS BIGINT) AS n_view_click,
+           CAST(count(*) FILTER (t_view IS NOT NULL AND t_click > t_view
+                                 AND t_purchase > t_click)
+                AS BIGINT) AS n_view_click_purchase
+    FROM steps
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase, first
+    occurrences in order): one per-user conditional-min aggregation then
+    a single global count — no self-joins, no window sort."""
+    ev = load_table(spark, sf, "events")
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    steps = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    v = F.col("t_view").isNotNull()
+    vc = v & (F.col("t_click") > F.col("t_view"))
+    vcp = vc & (F.col("t_purchase") > F.col("t_click"))
+    return steps.agg(
+        F.count(F.when(v, 1)).cast("long").alias("n_view"),
+        F.count(F.when(vc, 1)).cast("long").alias("n_view_click"),
+        F.count(F.when(vcp, 1)).cast("long").alias("n_view_click_purchase"),
+    )
+
+
+@query(
     "table_profile_events",
     """
     SELECT 'event_id' AS column, CAST(count(*) AS BIGINT) AS n_rows,
@@ -3495,7 +3582,7 @@ _GRADE_ORDER = [
     "curriculum_deciles", "embedding_norms_by_source",
     "temperature_mixture_docs", "embedding_covariance", "interval_join_events",
     "table_profile_events", "corpus_to_rag_chunks", "lm_quality_scores",
-    "chunk_documents_rag",
+    "chunk_documents_rag", "source_text_profile", "event_funnel",
 ]
 
 _missing = set(QUERIES) - set(_GRADE_ORDER)
