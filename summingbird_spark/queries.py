@@ -3392,6 +3392,60 @@ def q_corpus_to_rag_chunks(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "chunk_bm25_search",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id * 1000 + (s - 1) // 16 AS chunk_key,
+             t[s:s+31] AS ct
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1, 16)) AS s)
+      WHERE len(t) > 0
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(ct)) AS avgdl FROM chunks
+    ),
+    hits AS (
+      SELECT chunk_key, CAST(len(ct) AS DOUBLE) AS dl, unnest(ct) AS term
+      FROM chunks
+    ),
+    matched AS (
+      SELECT chunk_key, term, dl, CAST(count(*) AS DOUBLE) AS tf
+      FROM hits WHERE term IN ('spark', 'window') GROUP BY chunk_key, term, dl
+    ),
+    dfreq AS (
+      SELECT term, CAST(count(DISTINCT chunk_key) AS DOUBLE) AS df
+      FROM matched GROUP BY term
+    )
+    SELECT chunk_key, round(sum(
+             ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           ), 4) AS score
+    FROM matched JOIN dfreq USING (term), stats
+    GROUP BY chunk_key
+    ORDER BY score DESC, chunk_key LIMIT 25
+    """,
+)
+def q_chunk_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """The RAG read path: BM25 top-25 over the 32/16 CHUNK index (not
+    whole documents) — chunk-granular retrieval is what the generator
+    actually consumes. Chunking is zero-shuffle; scoring shuffles only
+    query-term hits keyed by chunk."""
+    from .functions.packing import chunk_documents
+    from .functions.retrieval import bm25_topk
+
+    docs = load_table(spark, sf, "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=32, stride=16)
+    keyed = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_key"),
+        F.col("chunk_text"),
+    )
+    return bm25_topk(keyed, "chunk_key", "chunk_text", ["spark", "window"], k=25)
+
+
+@query(
     "lm_quality_scores",
     """
     WITH toks AS (
@@ -3645,7 +3699,7 @@ _GRADE_ORDER = [
     "temperature_mixture_docs", "embedding_covariance", "interval_join_events",
     "table_profile_events", "corpus_to_rag_chunks", "lm_quality_scores",
     "chunk_documents_rag", "source_text_profile", "event_funnel",
-    "tpch_q7_nation_trade",
+    "tpch_q7_nation_trade", "chunk_bm25_search",
 ]
 
 _missing = set(QUERIES) - set(_GRADE_ORDER)
