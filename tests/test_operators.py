@@ -123,6 +123,37 @@ def test_simhash_candidates_find_near_dups(spark):
     assert (1, 3) not in got and (2, 3) not in got
 
 
+def test_simhash_arrow_matches_shuffle(spark):
+    """The shuffle-free Arrow vote kernel must be bit-identical to the
+    explode + wide-aggregate form, for both hash families, including
+    duplicate-token weighting and tokenless-document dropping."""
+    from summingbird_spark.functions.dedup import simhash_table
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha alpha beta"),
+            (2, "the quick brown fox jumps over the lazy dog " * 5),
+            (3, "   "),  # tokenless: dropped by both paths
+            (4, "Single"),
+            (5, "mixed CASE Mixed case MIXED"),
+        ],
+        "doc_id long, text string",
+    )
+    for portable in (True, False):
+        a = {
+            r.doc_id: r.simhash
+            for r in simhash_table(docs, "doc_id", "text", portable=portable).collect()
+        }
+        s = {
+            r.doc_id: r.simhash
+            for r in simhash_table(
+                docs, "doc_id", "text", portable=portable, arrow=False
+            ).collect()
+        }
+        assert a == s, f"portable={portable}: {a} != {s}"
+        assert 3 not in a and len(a) == 4
+
+
 def test_multimodal_feature_and_frames(spark):
     from summingbird_spark.functions.multimodal import (
         extract_features,
