@@ -91,6 +91,24 @@ def main() -> None:
         ensure_ivf_index(spark, sf_dir, k=32, n_iter=5, sample_fraction=0.5)
     except Exception as e:
         print(f"bench error in ivf_index_build: {e}", file=sys.stderr)
+    lsh_build_sec = -1.0
+    try:
+        # same treatment for the LSH bucket table (ensure_lsh_index):
+        # cold build timed into a throwaway cache, then the default-cache
+        # artifact is pre-built for the query runs
+        import shutil
+        import tempfile
+
+        from summingbird_spark.functions.similarity import ensure_lsh_index
+
+        cold_root = tempfile.mkdtemp(prefix="sbspark-lsh-bench-")
+        t0 = time.perf_counter()
+        ensure_lsh_index(spark, sf_dir, planes=6, tables=20, cache_root=cold_root)
+        lsh_build_sec = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(cold_root, ignore_errors=True)
+        ensure_lsh_index(spark, sf_dir, planes=6, tables=20)
+    except Exception as e:
+        print(f"bench error in lsh_index_build: {e}", file=sys.stderr)
 
     def run_one(fn) -> float:
         t0 = time.perf_counter()
@@ -168,6 +186,7 @@ def main() -> None:
         "queries_min3": timings_min,
         "total_min3_sec": total_min3,
         "ivf_index_build_sec": ivf_build_sec,
+        "lsh_index_build_sec": lsh_build_sec,
         "sf": sf,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -198,6 +217,7 @@ def main() -> None:
                 "queries": slowest,
                 "total_min3_sec": total_min3,
                 "ivf_index_build_sec": ivf_build_sec,
+                "lsh_index_build_sec": lsh_build_sec,
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
             }

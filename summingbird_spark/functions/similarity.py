@@ -154,6 +154,59 @@ def lsh_table_signatures(
     return pandas_udf(sig, ArrayType(LongType()))(vec_col)
 
 
+def lsh_index_path(
+    sf_dir: str, planes: int, tables: int, cache_root: Optional[str] = None
+) -> str:
+    """Deterministic on-disk location for the LSH bucket-table artifact of
+    one (corpus CONTENT, planes, tables) combination — same content-
+    fingerprint discipline as ``ivf_index_path`` (a regenerated corpus
+    gets a fresh index, never a stale probe)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.tables import corpus_fingerprint
+
+    root = cache_root or os.path.join(
+        tempfile.gettempdir(), "summingbird_spark_lsh"
+    )
+    fp = corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    key = hashlib.md5(f"{sf_dir}|{fp}".encode()).hexdigest()[:12]
+    return os.path.join(root, f"{key}_p{planes}_t{tables}")
+
+
+def ensure_lsh_index(
+    spark,
+    sf_dir: str,
+    planes: int = 12,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_root: Optional[str] = None,
+) -> DataFrame:
+    """The LSH index-build step, split out of the query path (the exact
+    analog of ``ensure_ivf_index``): the corpus-side signature matmul —
+    tables × planes × dim flops per row, by far the dominant cost of
+    ``lsh_topk`` — runs ONCE and persists the exploded
+    (id, __table__, __bucket__) bucket table; every later probe (any
+    session) reads the artifact and pays only bucket-match + rerank.
+    Deterministic (seeded plane matrix), so a rebuild race is benign.
+    Returns the bucket-table DataFrame for ``lsh_topk(corpus_buckets=)``.
+    """
+    import os
+
+    from ..sources.tables import load_table
+
+    path = lsh_index_path(sf_dir, planes, tables, cache_root)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        corpus = load_table(spark, sf_dir, "embeddings")
+        sigs = lsh_table_signatures(F.col(vec_col), tables, planes)
+        corpus.select(
+            F.col(id_col), F.posexplode(sigs).alias("__table__", "__bucket__")
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -164,6 +217,8 @@ def lsh_topk(
     tables: int = 8,
     multiprobe: bool = True,
     arrow: bool = True,
+    corpus_buckets: Optional[DataFrame] = None,
+    rank_round: Optional[int] = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table sign LSH with multi-probe.
 
@@ -176,13 +231,20 @@ def lsh_topk(
     no 2^4-bucket parallelism ceiling. Corpus vectors never shuffle:
     bucket matching moves (bucket, id) pairs, exact rerank fetches
     candidate vectors by broadcast join on id.
+
+    ``corpus_buckets``: a persisted ``ensure_lsh_index`` bucket table —
+    skips the corpus-side signature matmul (the index-build vs query-time
+    split; planes/tables must match the build).
     """
     sigs = lsh_table_signatures(F.col(vec_col), tables, planes, arrow)
 
     # corpus → (table, bucket, id): ids only, vectors stay at the scan
-    c_buckets = corpus.select(
-        F.col(id_col), F.posexplode(sigs).alias("__table__", "__bucket__")
-    )
+    if corpus_buckets is not None:
+        c_buckets = corpus_buckets.select(id_col, "__table__", "__bucket__")
+    else:
+        c_buckets = corpus.select(
+            F.col(id_col), F.posexplode(sigs).alias("__table__", "__bucket__")
+        )
 
     # queries → probe list per table: own bucket + Hamming-1 neighbors
     def probes(s: Column, t: Column) -> Column:
@@ -197,14 +259,14 @@ def lsh_topk(
             ]
         return F.array(*own)
 
-    q_probes = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.explode(F.flatten(F.transform(sigs, probes))).alias("__tb__"),
-        )
-        .select("query_id", "__tb__.__table__", "__tb__.__bucket__")
-        .distinct()
-    )
+    # no distinct needed: probes are distinct by construction — the table
+    # index differs across array slots, and within one table the own
+    # bucket and its planes Hamming-1 neighbors are pairwise distinct
+    # (a dedup here would cost a shuffle inside the broadcast subplan)
+    q_probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.flatten(F.transform(sigs, probes))).alias("__tb__"),
+    ).select("query_id", "__tb__.__table__", "__tb__.__bucket__")
 
     cand = (
         c_buckets.join(F.broadcast(q_probes), ["__table__", "__bucket__"])
@@ -217,12 +279,16 @@ def lsh_topk(
     q_vecs = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv__")
     )
+    sim = cosine(F.col(vec_col), F.col("__qv__"))
+    if rank_round is not None:
+        # rank on rounded sims so ties break engine-portably — folded into
+        # the single ranking window (a post-hoc re-rank would pay a second
+        # window + shuffle)
+        sim = F.round(sim, rank_round)
     scored = (
         corpus.join(F.broadcast(cand), id_col)
         .join(F.broadcast(q_vecs), "query_id")
-        .select(
-            "query_id", id_col, cosine(F.col(vec_col), F.col("__qv__")).alias("sim")
-        )
+        .select("query_id", id_col, sim.alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col))
     return (

@@ -947,24 +947,22 @@ def q_embedding_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     at 10^7+ rows planes scales up so bucket count ≈ n / bucket-size and
     the (table, bucket) shuffle key spreads the corpus). Graded against
     the exact brute-force SQL: recall here is deterministically 1.0, so
-    'approximate' does not mean 'ungradeable' (VERDICT r4 item 6)."""
-    from .functions.similarity import lsh_topk
+    'approximate' does not mean 'ungradeable' (VERDICT r4 item 6).
+    The corpus bucket table comes from the persisted ``ensure_lsh_index``
+    artifact (same amortization as the IVF index; build cost is reported
+    separately by bench.py as lsh_index_build_sec), so the query pays
+    only probe + bucket match + exact rerank."""
+    from .functions.similarity import ensure_lsh_index, lsh_topk
 
     emb = load_table(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 25)
-    out = lsh_topk(
-        emb, queries, "vec_id", "embedding", k=5, planes=6, tables=20
-    )
-    # re-rank on 6-decimal-rounded sims so both engines break near-ties
-    # identically (same contract as embedding_cosine_topk)
-    from pyspark.sql.window import Window
-
-    scored = out.select("query_id", "vec_id", F.round("sim", 6).alias("sim"))
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 5)
-        .select("query_id", "rank", "vec_id", "sim")
+    buckets = ensure_lsh_index(spark, sf, planes=6, tables=20)
+    # rank_round=6: ties break on 6-decimal-rounded sims so both engines
+    # rank identical values identically (same contract as
+    # embedding_cosine_topk), folded into lsh_topk's single ranking window
+    return lsh_topk(
+        emb, queries, "vec_id", "embedding", k=5, planes=6, tables=20,
+        corpus_buckets=buckets, rank_round=6,
     )
 
 
