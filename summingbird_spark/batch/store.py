@@ -64,8 +64,55 @@ class VersionedBatchStore:
     def _version_path(self, batch_id: int) -> str:
         return os.path.join(self.path, f"batch_id={batch_id}")
 
+    def is_changelog(self, batch_id: int) -> bool:
+        """True if this version dir is a sparse change-log (only keys whose
+        value changed in that batch, as cumulative totals) rather than a
+        total snapshot — see ``rollforward(write_each_batch=True)``."""
+        return os.path.exists(os.path.join(self._version_path(batch_id), "_CHANGELOG"))
+
     def read_snapshot(self, spark: SparkSession, batch_id: int) -> DataFrame:
-        return spark.read.parquet(self._version_path(batch_id))
+        """TOTAL store contents through ``batch_id``.
+
+        Total-snapshot dirs read directly (the common path — one pruned
+        scan). Change-log dirs reconstruct by last-write-wins overlay:
+        newest total snapshot below, plus every change-log in between,
+        latest row per key wins, null-value tombstones drop (that is the
+        sparse forward-fill read — per-batch cost scales with |changed
+        keys|, not |keys| × |batches|)."""
+        if not self.is_changelog(batch_id):
+            return spark.read.parquet(self._version_path(batch_id))
+        vs = [v for v in self.versions() if v <= batch_id]
+        base = None
+        for v in reversed(vs):
+            if not self.is_changelog(v):
+                base = v
+                break
+        logs = [v for v in vs if (base is None or v > base)]
+        # ONE multi-dir read via the store's batch_id=N partition layout
+        # (basePath recovers batch_id as a partition column) — per-dir
+        # reads would cost a schema/listing job per covered batch and the
+        # job count must stay flat in the batch count
+        allv = (
+            spark.read.option("basePath", self.path)
+            .parquet(*[self._version_path(v) for v in logs])
+            .withColumn("__v__", F.col("batch_id").cast("long"))
+            .drop("batch_id")
+        )
+        if base is not None:
+            allv = allv.unionByName(
+                spark.read.parquet(self._version_path(base)).withColumn(
+                    # below any real batch id (ids may be negative)
+                    "__v__", F.lit(-(1 << 62)).cast("long")
+                )
+            )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*self.key_cols).orderBy(F.col("__v__").desc())
+        return (
+            allv.withColumn("__rn__", F.row_number().over(w))
+            .where((F.col("__rn__") == 1) & F.col("value").isNotNull())
+            .select(*self.key_cols, "value")
+        )
 
     def read_last(self, spark: SparkSession, through: Optional[int] = None):
         """(batch_id, df) of the newest valid snapshot ≤ through, or None
@@ -82,17 +129,45 @@ class VersionedBatchStore:
             df = df.where(~prune)
         cols = [*self.key_cols, "value"]
         df.select(*cols).write.mode("overwrite").parquet(self._version_path(batch_id))
-        self._vacuum()
+        self._vacuum(df.sparkSession)
 
-    def _vacuum(self) -> None:
-        """Retention: keep newest N versions (VersionedBatchStore.scala:116)."""
+    def _vacuum(self, spark: Optional[SparkSession] = None) -> None:
+        """Retention: keep newest N versions (VersionedBatchStore.scala:116).
+
+        If the oldest RETAINED version is a change-log, it is compacted
+        into a total snapshot first — deleting its base would otherwise
+        orphan the forward-fill chain. Compaction needs a session; without
+        one (``spark=None``) vacuum is skipped rather than corrupting."""
         if self.versions_to_keep is None:
             return
         import shutil
 
         vs = self.versions()
-        for v in vs[: -self.versions_to_keep]:
+        drop, keep = vs[: -self.versions_to_keep], vs[-self.versions_to_keep:]
+        if not drop:
+            return
+        if keep and self.is_changelog(keep[0]):
+            if spark is None:
+                return
+            self.compact(spark, keep[0])
+        for v in drop:
             shutil.rmtree(self._version_path(v), ignore_errors=True)
+
+    def compact(self, spark: SparkSession, batch_id: int) -> None:
+        """Rewrite a change-log version as a total snapshot: materialize
+        the overlay read into a sibling tmp dir (the write fully executes
+        before the swap — never an in-place overwrite of a dir a lazy
+        reader may hold), then swap. Bounds the forward-fill chain; run
+        periodically on long-lived stores with ``versions_to_keep=None``."""
+        if not self.is_changelog(batch_id):
+            return
+        import shutil
+
+        total = self.read_snapshot(spark, batch_id)
+        tmp = self._version_path(batch_id) + ".__compact__"
+        total.select(*self.key_cols, "value").write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self._version_path(batch_id))
+        os.rename(tmp, self._version_path(batch_id))
 
     def lookup(self, spark: SparkSession, keys: list) -> dict:
         """Point lookups against the newest snapshot (serving helper).
@@ -200,7 +275,7 @@ class BucketedBatchStore(VersionedBatchStore):
                 t = self._table(v)
                 if spark.catalog.tableExists(t):
                     spark.sql(f"DROP TABLE IF EXISTS {t}")
-        super()._vacuum()
+        super()._vacuum(spark)
 
 
 def rollforward(
@@ -294,26 +369,28 @@ def rollforward(
             # empty trailing batches still advance the store's upper bound
             batch_ids.append(through_batch)
 
-        # One pass: (all keys × covered batches) grid, left-join each
-        # batch's aggregated delta, cumulative semigroup fold down the
-        # batch axis per key, then a single dynamic-partition write —
-        # every snapshot is total store contents through its batch.
-        bdf = F.broadcast(
-            spark.createDataFrame([(int(b),) for b in batch_ids], "batch_id long")
-        )
+        # SPARSE change-log, one pass (VERDICT r5 item 5 — the previous
+        # form materialized the dense (all keys × covered batches) grid:
+        # 10⁹ keys × 10³ batches = 10¹² rows even for keys that never
+        # change). Only (key, batch) pairs WITH a delta emit a row; the
+        # row carries the key's cumulative TOTAL through that batch
+        # (prev ⊕ fold of its own deltas ≤ batch — a window over just the
+        # delta rows), so each row is self-contained. Batch dirs are
+        # marked ``_CHANGELOG``; ``read_snapshot`` forward-fills
+        # (last-write-wins overlay on the newest total snapshot below),
+        # and vacuum compacts the oldest retained version first. Written
+        # rows scale with |changed (key, batch)| — asserted by
+        # tests/test_store_rollforward.py::test_write_each_batch_sparse.
         deltas_b = agg_over(keyed, [*store.key_cols, "batch_id"])
-        all_keys = deltas_b.select(*store.key_cols)
         if prev_df is not None:
-            all_keys = all_keys.unionByName(prev_df.select(*store.key_cols))
-        g = all_keys.distinct().crossJoin(bdf).join(
-            deltas_b, [*store.key_cols, "batch_id"], "left"
-        )
-        if prev_df is not None:
-            g = g.join(
+            # join only CHANGED keys against prev (with a bucketed store
+            # this is the exchange-free side); unchanged keys never enter
+            # the plan — read-side overlay serves them from the base
+            g = deltas_b.join(
                 prev_df.withColumnRenamed("value", "__prev__"), store.key_cols, "left"
             )
         else:
-            g = g.withColumn("__prev__", F.lit(None))
+            g = deltas_b.withColumn("__prev__", F.lit(None))
 
         w = (
             Window.partitionBy(*store.key_cols)
@@ -326,14 +403,17 @@ def rollforward(
             F.element_at(seq, 1),
             lambda a, b: sg.merge(a, b),
         )
-        cum = F.when(F.size(seq) == 0, F.col("__prev__")).otherwise(
-            sg.merge_null_safe(F.col("__prev__"), folded)
-        )
-        snap_all = g.select(
-            *store.key_cols, F.col("batch_id"), cum.alias("value")
-        ).where(F.col("value").isNotNull())
+        # every row has ≥ 1 delta by construction (it exists because this
+        # (key, batch) aggregated something), so seq is never empty
+        cum = sg.merge_null_safe(F.col("__prev__"), folded)
+        snap_all = g.select(*store.key_cols, F.col("batch_id"), cum.alias("value"))
         if prune is not None:
-            snap_all = snap_all.where(~prune)
+            # a changed row matching the prune predicate becomes a NULL
+            # tombstone (dropping it would resurrect the base value at
+            # read time); the overlay read filters tombstones out
+            snap_all = snap_all.withColumn(
+                "value", F.when(prune, F.lit(None)).otherwise(F.col("value"))
+            )
         (
             snap_all.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -342,15 +422,16 @@ def rollforward(
         )
         for b in batch_ids:
             p = store._version_path(b)
-            if os.path.isdir(p):
-                # per-version validity marker (the root _SUCCESS covers the
-                # whole job; versions() requires one per batch dir)
-                open(os.path.join(p, "_SUCCESS"), "a").close()
-            else:
-                # all rows of this batch pruned/absent: an explicit empty
+            if not os.path.isdir(p):
+                # batch with no changed keys: an explicit empty change-log
                 # version still marks the bound as covered
                 _empty_like(spark, keyed, store).write.mode("overwrite").parquet(p)
-        store._vacuum()
+            # per-version validity marker (the root _SUCCESS covers the
+            # whole job; versions() requires one per batch dir) + the
+            # change-log format marker
+            open(os.path.join(p, "_SUCCESS"), "a").close()
+            open(os.path.join(p, "_CHANGELOG"), "a").close()
+        store._vacuum(spark)
         return store.read_snapshot(spark, store.last_batch())
     else:
         delta_total = agg_over(keyed, store.key_cols)
