@@ -161,10 +161,14 @@ def bpe_encode(
     if id_col is not None:
         src = df
     else:
-        # synthesized row ids are position-dependent; the frame is
-        # referenced from two subtrees (token explode + final join), so
-        # pin one evaluation — prefer passing a real id_col at scale
-        src = df.withColumn("__rid__", F.monotonically_increasing_id()).cache()
+        # synthesized row ids are position-dependent and the frame is
+        # referenced from two subtrees (token explode + final join):
+        # localCheckpoint (eager) PINS one evaluation by cutting lineage —
+        # unlike cache(), a lost block fails the job instead of silently
+        # recomputing different ids and mis-joining tokens back to rows
+        # (ADVICE r5); blocks free with the DataFrame via the context
+        # cleaner. Prefer passing a real id_col at scale.
+        src = df.withColumn("__rid__", F.monotonically_increasing_id()).localCheckpoint()
     toks = src.select(
         F.col(key).alias(key),
         F.posexplode(tokenize(F.lower(F.col(text_col)))).alias("__p__", "__w__"),

@@ -39,26 +39,46 @@ def table_profile(
     cols = list(cols)
     if not cols:
         raise ValueError("table_profile needs at least one column")
+    # typed expressions throughout — no SQL-string interpolation, so
+    # column names containing quotes/backticks/dots are fine (ADVICE r5):
+    # source refs are backtick-quoted with doubled inner backticks (the
+    # one escape F.col honors), internal aliases are INDEX-keyed, and the
+    # unpivot is explode(array(struct...)) — the same single-pass plan
+    # shape as stack()
+    def _q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
     aggs = [F.count(F.lit(1)).cast("long").alias("__n__")]
-    for c in cols:
-        col = F.col(c)
+    for i, c in enumerate(cols):
+        col = F.col(_q(c))
         aggs.append(
-            F.count(F.when(col.isNull(), F.lit(1))).cast("long").alias(f"__null_{c}")
+            F.count(F.when(col.isNull(), F.lit(1))).cast("long").alias(f"__null_{i}")
         )
         nd = (
             F.approx_count_distinct(col)
             if approx
             else F.countDistinct(col)
         )
-        aggs.append(nd.cast("long").alias(f"__nd_{c}"))
-        aggs.append(F.min(col).cast("string").alias(f"__min_{c}"))
-        aggs.append(F.max(col).cast("string").alias(f"__max_{c}"))
+        aggs.append(nd.cast("long").alias(f"__nd_{i}"))
+        aggs.append(F.min(col).cast("string").alias(f"__min_{i}"))
+        aggs.append(F.max(col).cast("string").alias(f"__max_{i}"))
     wide = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', `__null_{c}`, `__nd_{c}`, `__min_{c}`, `__max_{c}`" for c in cols
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__null_{i}").alias("n_null"),
+                F.col(f"__nd_{i}").alias("n_distinct"),
+                F.col(f"__min_{i}").alias("min_value"),
+                F.col(f"__max_{i}").alias("max_value"),
+            )
+            for i, c in enumerate(cols)
+        ]
     )
-    return wide.selectExpr(
-        f"stack({len(cols)}, {stack_args}) as "
-        "(column, n_null, n_distinct, min_value, max_value)",
-        "__n__ as n_rows",
-    ).select("column", "n_rows", "n_null", "n_distinct", "min_value", "max_value")
+    return (
+        wide.select(F.col("__n__").alias("n_rows"), F.explode(entries).alias("__e__"))
+        .select(
+            "__e__.column", "n_rows", "__e__.n_null", "__e__.n_distinct",
+            "__e__.min_value", "__e__.max_value",
+        )
+    )

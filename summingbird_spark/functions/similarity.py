@@ -889,6 +889,13 @@ def gram_stats(df: DataFrame, vec_col: str = "embedding"):
     )
     vals = {r["pos"]: r["val"] for r in totals}
     size = len(vals)
+    if size == 0:
+        # all partitions empty → no partials; fail loudly instead of the
+        # opaque sqrt-of-negative below (ADVICE r5)
+        raise ValueError(
+            f"gram_stats: input has no rows (column {vec_col!r}) — "
+            "cannot estimate Gram/covariance statistics from an empty corpus"
+        )
     # size = dim² + dim + 1  =>  dim
     dim = int(round((-1 + (1 + 4 * (size - 1)) ** 0.5) / 2))
     import numpy as np

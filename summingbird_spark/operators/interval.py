@@ -49,6 +49,15 @@ def interval_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left'; got {how!r}")
     on = [on] if isinstance(on, str) else list(on)
+    # non-key column names must be disjoint: the inner path's residual
+    # predicate references them unqualified (ambiguous otherwise), and the
+    # outer path's final projection would silently drop right-side
+    # duplicates — fail loudly instead (ADVICE r5; rename upstream)
+    overlap = (set(left.columns) & set(right.columns)) - set(on)
+    if overlap:
+        raise ValueError(
+            f"interval_join: rename colliding non-key columns first: {sorted(overlap)}"
+        )
 
     c_us = F.lit(int(chunk_seconds) * 1_000_000)  # long literal, no int overflow
     l_chunk = F.floor(F.unix_micros(F.col(left_time)) / c_us)

@@ -3397,7 +3397,7 @@ def q_corpus_to_rag_chunks(spark: SparkSession, sf: str) -> DataFrame:
       FROM documents
     ),
     chunks AS (
-      SELECT doc_id * 1000 + (s - 1) // 16 AS chunk_key,
+      SELECT doc_id * 1000000000 + (s - 1) // 16 AS chunk_key,
              t[s:s+31] AS ct
       FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1, 16)) AS s)
       WHERE len(t) > 0
@@ -3437,7 +3437,11 @@ def q_chunk_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=32, stride=16)
     keyed = chunks.select(
-        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_key"),
+        # 1e9 multiplier: chunk_id is bounded by tokens/stride, and 1e9
+        # chunks/doc (16e9 tokens at stride 16) is unreachable, while the
+        # old *1000 key silently collided across docs past 1000 chunks
+        # (ADVICE r5); doc_id*1e9 stays well inside int64
+        (F.col("doc_id") * F.lit(1_000_000_000).cast("long") + F.col("chunk_id")).alias("chunk_key"),
         F.col("chunk_text"),
     )
     return bm25_topk(keyed, "chunk_key", "chunk_text", ["spark", "window"], k=25)

@@ -34,3 +34,16 @@ def test_table_profile_single_job_and_approx(spark):
     # complex columns are skipped by default
     df2 = df.selectExpr("id", "array(id) as arr")
     assert {r["column"] for r in table_profile(df2).collect()} == {"id"}
+
+
+def test_table_profile_hostile_column_names(spark):
+    """Names containing backticks/quotes/dots are legal DataFrame columns;
+    the profile must not feed them through SQL-string parsing (ADVICE r5)."""
+    df = spark.createDataFrame(
+        [(1, "x", 5), (2, None, 6)], ["a`b", "c'd", "e.f"]
+    )
+    got = {r["column"]: r for r in table_profile(df).collect()}
+    assert set(got) == {"a`b", "c'd", "e.f"}
+    assert got["a`b"]["n_distinct"] == 2
+    assert got["c'd"]["n_null"] == 1
+    assert (got["e.f"]["min_value"], got["e.f"]["max_value"]) == ("5", "6")
