@@ -407,6 +407,7 @@ def dup_clusters(
     id_col_a: str = "id_a",
     id_col_b: str = "id_b",
     max_iter: int = 30,
+    method: str = "propagate",
 ) -> DataFrame:
     """Connected components of the verified-duplicate pair graph:
     ``(id, cluster_id)`` where ``cluster_id`` is the component's min
@@ -426,24 +427,42 @@ def dup_clusters(
     needed = component diameter: near-dup clusters are dense (and the
     ``max_bucket_size`` star edges give boilerplate clusters diameter 2),
     so 2-4 rounds is typical; ``max_iter`` bounds adversarial chains.
-    For graphs with genuinely long chains swap in large-star/small-star
-    (Kiveris et al., "Connected Components in MapReduce"), which the
-    propagation loop here structurally matches.
+
+    ``method="star"`` switches to the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): O(log² n) rounds regardless of diameter — the
+    right choice for adversarial chain graphs, where min-label
+    propagation needs diameter rounds (a 200-node path: ~8 star rounds
+    vs 199 propagation rounds). Per round cost is the same shape (node-
+    keyed groupBy min + join); the default stays ``propagate`` because
+    near-dup graphs are dense/shallow and propagation converges in fewer
+    total shuffles there.
     """
+    if method not in ("propagate", "star"):
+        raise ValueError(f"method must be 'propagate' or 'star'; got {method!r}")
+    if method == "star":
+        return _dup_clusters_star(pairs, ids, id_col_a, id_col_b, max_iter)
     e = pairs.select(F.col(id_col_a).alias("a"), F.col(id_col_b).alias("b"))
     edges = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).cache()
 
+    # ``labels`` feeds the next round's plan TWICE (neighbor join +
+    # own-label union), so with lineage intact the logical plan DOUBLES
+    # per iteration — O(2^rounds) subtrees; a diameter-8 component OOM'd
+    # the driver on plan strings alone (found by the round-6 star-method
+    # differential test; cache() materializes data but never truncates
+    # lineage). Fix: localCheckpoint (eager lineage cut) each round —
+    # constant-size plans; measured no slower than cache variants (the
+    # count() materialized every round anyway), and unlike cache the
+    # blocks can't silently evict into a recompute of the whole chain.
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        .cache()
+        .localCheckpoint()
     )
-    labels.count()
-    cached = labels  # the handle cache()/unpersist() must be called on
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         # one shuffle round: neighbor labels union own label, then a
         # single groupBy computes BOTH the new min label and the old own
         # label (the row tagged __own__), so convergence detection needs
@@ -464,17 +483,93 @@ def dup_clusters(
                 F.min("label").alias("label"),
                 F.min(F.when(F.col("__own__"), F.col("label"))).alias("__old__"),
             )
-            .cache()
         )
+        agg = agg.localCheckpoint()
         changed = agg.where(F.col("label") < F.col("__old__")).count()
-        cached.unpersist()
-        cached = agg
         labels = agg.select("id", "label")
         if changed == 0:
             break
     edges.unpersist()
 
     out = labels.select("id", F.col("label").alias("cluster_id"))
+    if ids is not None:
+        (id_name,) = ids.columns
+        out = (
+            ids.select(F.col(id_name).alias("id"))
+            .join(out, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("cluster_id"), F.col("id")).alias("cluster_id"),
+            )
+        )
+    return out
+
+
+def _dup_clusters_star(
+    pairs: DataFrame,
+    ids: Optional[DataFrame],
+    id_col_a: str,
+    id_col_b: str,
+    max_iter: int,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., SoCC'14). Each round: large-star hangs every strictly-larger
+    neighbor of u onto min(Γ⁺(u)); small-star re-hangs each node's smaller
+    out-neighbors (and itself) onto their min. Both are one node-keyed
+    groupBy-min plus one join — O(log² n) rounds to a forest of stars
+    rooted at component minima, independent of graph diameter. The driver
+    sees only per-round edge counts and an emptiness probe."""
+    e0 = pairs.select(F.col(id_col_a).alias("u"), F.col(id_col_b).alias("v"))
+    nodes = (
+        e0.select("u").unionByName(e0.select(F.col("v").alias("u"))).distinct()
+    )
+    # localCheckpoint (eager) per round: the edge set is rebuilt from two
+    # joins + unions every iteration — without cutting lineage the plan
+    # tree doubles per round and the driver OOMs on plan compilation long
+    # before the data is large
+    E = e0.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    n_prev = E.count()
+
+    for _ in range(max_iter):
+        if n_prev == 0:
+            break
+        sym = E.unionByName(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: m = min over the full neighborhood ∪ self; every
+        # neighbor larger than u re-points to m
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        L = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: L's edges all point large→small, so per u the min
+        # out-neighbor is the local root; re-hang the rest (and u) on it
+        mins2 = L.groupBy("u").agg(F.min("v").alias("m"))
+        S = (
+            L.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        n = S.count()
+        converged = n == n_prev and S.subtract(E).isEmpty()
+        E, n_prev = S, n
+        if converged:
+            break
+
+    # fixpoint is a star forest: each non-root has out-edges only to its
+    # component min (groupBy-min is belt-and-braces, not a correctness
+    # crutch); roots and self-pair-only nodes label themselves
+    lab = E.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("cluster_id"))
+    out = (
+        nodes.select(F.col("u").alias("id"))
+        .join(lab, "id", "left")
+        .select("id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id"))
+    )
     if ids is not None:
         (id_name,) = ids.columns
         out = (

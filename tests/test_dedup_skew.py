@@ -213,3 +213,41 @@ def test_keep_survivors_best_per_cluster(spark):
         for r in keep_survivors(docs, clusters, "doc_id").collect()
     }
     assert got2 == {(0, 0), (10, 10), (99, 99)}
+
+
+def test_dup_clusters_star_matches_propagate(spark):
+    """method='star' (alternating large-star/small-star) must produce the
+    identical clustering as min-label propagation on random graphs, and
+    must converge on a long path WITHIN its O(log² n) round budget where
+    propagation would need diameter rounds."""
+    import random
+
+    from summingbird_spark.functions.dedup import dup_clusters
+
+    rng = random.Random(13)
+    n = 60
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(65)})
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    a = {r.id: r.cluster_id for r in dup_clusters(pairs, ids=ids).collect()}
+    b = {
+        r.id: r.cluster_id
+        for r in dup_clusters(pairs, ids=ids, method="star").collect()
+    }
+    assert a == b
+
+    # 200-node path: diameter 199. Propagation at max_iter=15 CANNOT have
+    # converged; star must fully converge within the same budget.
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    )
+    got = {
+        r.id: r.cluster_id
+        for r in dup_clusters(path, method="star", max_iter=15).collect()
+    }
+    assert got == {i: 0 for i in range(200)}
+
+    # self-pair-only nodes label themselves in both methods
+    selfp = spark.createDataFrame([(5, 5), (7, 8)], "id_a long, id_b long")
+    s = {r.id: r.cluster_id for r in dup_clusters(selfp, method="star").collect()}
+    assert s == {5: 5, 7: 7, 8: 7}
