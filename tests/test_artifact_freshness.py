@@ -82,6 +82,20 @@ def test_ivf_index_path_changes_on_corpus_rewrite(tmp_path):
     assert p1 != p2
 
 
+def test_lsh_index_path_changes_on_corpus_rewrite(tmp_path):
+    from summingbird_spark.functions.similarity import lsh_index_path
+
+    emb = str(tmp_path / "embeddings.parquet")
+    _write_events(emb, [1.0, 2.0])
+    p1 = lsh_index_path(str(tmp_path), planes=6, tables=20)
+    _write_events(emb, [3.0, 4.0])
+    _bump_mtime(emb)
+    p2 = lsh_index_path(str(tmp_path), planes=6, tables=20)
+    assert p1 != p2
+    # params are part of the key too
+    assert lsh_index_path(str(tmp_path), planes=8, tables=20) != p2
+
+
 def test_delta_artifacts_rebuild_on_corpus_rewrite(spark, tmp_path):
     """The graded delta_service_running state must track the corpus: after
     an in-place regen the snapshot totals reflect the NEW values."""
