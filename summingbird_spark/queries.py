@@ -3632,6 +3632,154 @@ def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     return bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=20)
 
 
+@query(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4-style (order priority checking): EXISTS compiles to a
+    LEFT-SEMI join — the fact side never duplicates, no post-join dedup;
+    the orders date band is a scan-level filter and the semi join's
+    lineitem side prunes to (orderkey, shipdate) columns only."""
+    o = load_table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change) — the predicate-pushdown
+    poster child: no join at all, every conjunct reaches the parquet scan
+    (date band + discount band + quantity), projection prunes to the two
+    price columns, and the single global aggregate partial-aggregates
+    map-side. At 100 TB this query's cost is the scan, nothing else."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "tpch_q13_custdist",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13_custdist(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13-style (customer distribution): LEFT OUTER join with the
+    filter INSIDE the join condition (a WHERE would silently turn it
+    inner and drop zero-order customers), then the classic double
+    aggregation — per-customer counts, then the histogram of counts. Both
+    aggregations partial-aggregate; the second one's key space is tiny."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1'  AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#7'  AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q_tpch_q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19-style (discounted revenue, disjunctive predicates): the
+    OR-of-ANDs mixes join-side columns, so it must evaluate post-join —
+    but the derivable prefilters (brand ∈ set, size ≥ 1, quantity bands'
+    union) are pushed to each scan, part broadcasts, and the residual OR
+    runs in codegen on the joined rows."""
+    p = load_table(spark, sf, "part").where(
+        F.col("p_brand").isin("Brand#1", "Brand#7", "Brand#13")
+    )
+    li = load_table(spark, sf, "lineitem").where(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 40)
+    )
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.where(band).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
 # ------------------------------------------- streaming under the external gate
 
 @query(
@@ -3812,6 +3960,9 @@ _GRADE_ORDER = [
     "table_profile_events", "corpus_to_rag_chunks", "lm_quality_scores",
     "chunk_documents_rag", "source_text_profile", "event_funnel",
     "tpch_q7_nation_trade", "chunk_bm25_search",
+    # round-6 appends (below-window per the freeze; in-repo hash-graded)
+    "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
+    "tpch_q13_custdist", "tpch_q19_disjunctive_revenue",
 ]
 
 _missing = set(QUERIES) - set(_GRADE_ORDER)
