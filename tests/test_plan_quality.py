@@ -277,3 +277,53 @@ def test_weighted_sample_is_takeordered(spark):
     plan = plan_of(spark, "weighted_sample_docs")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_buffer_join_is_not_a_cartesian(spark):
+    """The batch replay of the Buffer leftJoin must stay a key-equi join
+    with a range post-filter — never a cartesian/nested-loop product."""
+    plan = plan_of(spark, "buffer_join_clicks")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_tpch_q6_is_a_pure_pruned_scan(spark):
+    """Q6's whole cost is the scan: no join, 4-column ReadSchema, every
+    conjunct pushed as a data filter, map-side partial aggregation."""
+    plan = plan_of(spark, "tpch_q6_forecast_revenue")
+    assert "Join" not in plan
+    (scan,) = scans_of(plan)
+    assert "l_orderkey" not in scan  # pruned
+    for c in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert c in scan
+    assert plan.count("HashAggregate") == 2
+
+
+def test_tpch_q19_broadcasts_part_with_prefilters(spark):
+    plan = plan_of(spark, "tpch_q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    part_scan = [s for s in scans_of(plan) if "p_brand" in s][0]
+    # the derivable brand prefilter reaches the part scan
+    assert "PushedFilters: [" in part_scan and "p_brand" in part_scan
+
+
+def test_simhash_arrow_plan_has_no_exchange(spark):
+    """SimHash is per-document: the Arrow vote-kernel plan must contain
+    ZERO shuffles — scan → project → ArrowEvalPython, nothing else."""
+    from summingbird_spark.functions.dedup import simhash_table
+    from summingbird_spark.sources.tables import load_table
+
+    df = simhash_table(
+        load_table(spark, SF, "documents"), "doc_id", "text"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # load_table's round-robin spread of a single-file scan is allowed;
+    # what must NOT exist is a KEYED shuffle (the old groupBy form)
+    assert "hashpartitioning" not in plan.lower()
+    assert "rangepartitioning" not in plan.lower()
+    assert "HashAggregate" not in plan
+    assert "ArrowEvalPython" in plan or "Python" in plan
