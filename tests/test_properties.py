@@ -380,3 +380,45 @@ def test_combined_batcher_over_calendar_months(spark):
     ).sum_by_key("key", "value", semigroup="sum_long", batcher=b)
     got = {r.batch_id: r.delta for r in to_dataframe(spark, p).collect()}
     assert got == {py_ids[0]: 1, py_ids[1]: 1, py_ids[2]: 2, py_ids[4]: 1, py_ids[5]: 1}
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=events_strategy,
+    width=width_strategy,
+    split=st.integers(min_value=0, max_value=120),
+    keep=st.sampled_from([None, 2, 3]),
+)
+def test_rollforward_split_property_changelog(
+    spark, rows, width, split, keep, tmp_path_factory
+):
+    """The sparse change-log format (write_each_batch=True) under the same
+    k-step == one-shot property, with retention/compaction interleaved:
+    any split into two sequential multi-batch runs — each writing per-batch
+    change-log versions, optionally vacuuming down to `keep` — must read
+    back the same final totals as the plain one-shot rollforward."""
+    from pyspark.sql import functions as F
+
+    data = [(BASE + dt.timedelta(seconds=s), k, v) for s, k, v in rows]
+    df = spark.createDataFrame(data, "ts timestamp, key string, value long").withColumn(
+        sb.TIME_COL, F.col("ts")
+    )
+    batcher = sb.of_millis(width)
+    b_lo = min(batcher.batch_of(t) for t, _, _ in data)
+    b_hi = max(batcher.batch_of(t) for t, _, _ in data)
+    b_mid = min(b_lo + split, b_hi)
+
+    d = tmp_path_factory.mktemp("clprop")
+    store = sb.VersionedBatchStore(
+        str(d / "s"), ["key"], "sum_long", versions_to_keep=keep
+    )
+    sb.rollforward(spark, store, df, batcher, b_mid, write_each_batch=True)
+    snap = sb.rollforward(spark, store, df, batcher, b_hi, write_each_batch=True)
+    got = {r.key: r.value for r in snap.collect()}
+
+    want = defaultdict(int)
+    for _, k, v in data:
+        want[k] += v
+    assert got == dict(want)
+    if keep is not None:
+        assert len(store.versions()) <= keep
