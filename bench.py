@@ -109,6 +109,22 @@ def main() -> None:
         ensure_lsh_index(spark, sf_dir, planes=6, tables=20)
     except Exception as e:
         print(f"bench error in lsh_index_build: {e}", file=sys.stderr)
+    q8_build_sec = -1.0
+    try:
+        # and the int8 quantized-corpus artifact (ensure_quantized_table)
+        import shutil
+        import tempfile
+
+        from summingbird_spark.functions.similarity import ensure_quantized_table
+
+        cold_root = tempfile.mkdtemp(prefix="sbspark-q8-bench-")
+        t0 = time.perf_counter()
+        ensure_quantized_table(spark, sf_dir, cache_root=cold_root)
+        q8_build_sec = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(cold_root, ignore_errors=True)
+        ensure_quantized_table(spark, sf_dir)
+    except Exception as e:
+        print(f"bench error in q8_build: {e}", file=sys.stderr)
 
     def run_one(fn) -> float:
         t0 = time.perf_counter()
@@ -187,6 +203,7 @@ def main() -> None:
         "total_min3_sec": total_min3,
         "ivf_index_build_sec": ivf_build_sec,
         "lsh_index_build_sec": lsh_build_sec,
+        "q8_build_sec": q8_build_sec,
         "sf": sf,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -218,6 +235,7 @@ def main() -> None:
                 "total_min3_sec": total_min3,
                 "ivf_index_build_sec": ivf_build_sec,
                 "lsh_index_build_sec": lsh_build_sec,
+                "q8_build_sec": q8_build_sec,
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
             }

@@ -2495,12 +2495,17 @@ def q_embedding_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
     quantized corpus (4× less IO), keep 4k candidates per query by
     quantized cosine, rerank exactly on float vectors. Deterministic
     end-to-end (exact int dots + IEEE float64 + round-6 ranking), so the
-    oracle replays the full algorithm instead of a recall contract."""
-    from .functions.similarity import quantized_topk
+    oracle replays the full algorithm instead of a recall contract. The
+    int8 corpus reads from the persisted ensure_quantized_table artifact
+    (quantization's whole point is to be the stored form)."""
+    from .functions.similarity import ensure_quantized_table, quantized_topk
 
     emb = load_table(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    return quantized_topk(emb, queries, "vec_id", "embedding", k=5, oversample=4)
+    qc = ensure_quantized_table(spark, sf)
+    return quantized_topk(
+        emb, queries, "vec_id", "embedding", k=5, oversample=4, quantized=qc
+    )
 
 
 @query(
