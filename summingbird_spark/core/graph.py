@@ -390,3 +390,65 @@ def source(loader, time_col: Optional[str] = None, name: str = "source") -> Sour
         df = loader
         return Source(lambda spark: df, time_col, name)
     return Source(loader, time_col, name)
+
+
+# ---- structural equality (the dagon analog) -------------------------------
+
+# expression markers that must NEVER merge across distinct node instances:
+# each instance draws independently, so value-equal text is not value-equal
+# semantics (dagon's irreducibles analog)
+_NONDETERMINISTIC = (
+    "rand(", "randn(", "uuid()", "monotonically_increasing_id()", "shuffle(",
+)
+
+
+def _canon(v):
+    """Canonical, hashable stand-in for a node attribute. Columns compare
+    by their expression string (two independently-built `F.col('x') + 1`
+    canonicalize equal); opaque objects (lambdas, services, stores,
+    sinks, semigroup instances) fall back to identity — conservative:
+    they merge only when they ARE the same object."""
+    if isinstance(v, Column):
+        s = str(v)
+        if any(t in s for t in _NONDETERMINISTIC):
+            return ("colid", id(v))
+        return ("col", s)
+    if isinstance(v, (str, int, float, bool, type(None))):
+        return v
+    if isinstance(v, (tuple, list)):
+        return ("seq", tuple(_canon(x) for x in v))
+    if isinstance(v, dict):
+        return ("map", tuple(sorted((str(k), _canon(x)) for k, x in v.items())))
+    return ("obj", id(v))
+
+
+def structural_key(node: "Producer", _memo: Optional[dict] = None):
+    """Recursive value-equality key for a Producer subtree — the dagon
+    structural-hashing analog (reference DagOptimizer works on a Literal
+    graph where value-equal subtrees are ONE node). Planners key their
+    compile memo and fan-out counts on this, so a diamond built from two
+    value-equal (but not identical) chains compiles once and, under
+    ``cache_fanout``, caches once — `DiamondToFlatMap`'s effect without
+    the rewrite (DagOptimizer.scala:263-269)."""
+    if _memo is None:
+        _memo = {}
+    k = id(node)
+    if k in _memo:
+        return _memo[k]
+    attrs = tuple(
+        sorted(
+            (
+                a,
+                structural_key(v, _memo) if isinstance(v, Producer) else _canon(v),
+            )
+            for a, v in vars(node).items()
+            if a != "parents" and not a.startswith("_")
+        )
+    )
+    key = (
+        type(node).__name__,
+        attrs,
+        tuple(structural_key(p, _memo) for p in node.parents),
+    )
+    _memo[k] = key
+    return key

@@ -356,3 +356,32 @@ def test_external_lookup_service_batch_and_stream(spark, events_df, tmp_path):
     srows = spark.sql("SELECT key, svc_name FROM ext_lookup").collect()
     assert len(srows) == 96
     assert all((r.svc_name == f"name-{r.key}") == (r.key in ("k0", "k2")) for r in srows)
+
+
+def test_structural_memoization_diamond(spark):
+    """Dagon analog (DagOptimizer's Literal-graph collapsing): a diamond
+    built from two VALUE-equal but object-distinct chains compiles to one
+    DataFrame, counts as fan-out 2 (so cache_fanout caches it once), and
+    the bag-union semantics still duplicate rows. Different predicates and
+    nondeterministic expressions must never merge."""
+    from pyspark.sql import functions as F
+
+    from summingbird_spark import source
+    from summingbird_spark.batch.planner import BatchPlanner
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, 2.0)], "user_id long, value double"
+    )
+    src = source(df, name="t")
+    b1 = src.filter(F.col("value") > 0).map(v2=F.col("value") * 2)
+    b2 = src.filter(F.col("value") > 0).map(v2=F.col("value") * 2)
+    pl = BatchPlanner(spark, cache_fanout=True)
+    plan = pl.plan(b1.merge(b2))
+    d1, d2 = pl.compile(b1), pl.compile(b2)
+    assert d1 is d2          # value-equal subtrees are ONE node
+    assert d1.is_cached      # combined fan-out 2 -> cached once
+    assert plan.dataframe.count() == 4  # bag union still duplicates
+    assert pl.compile(src.filter(F.col("value") > 1)) is not d1
+    r1, r2 = src.map(r=F.rand()), src.map(r=F.rand())
+    assert pl.compile(r1) is not pl.compile(r2)  # independent draws
+    d1.unpersist()
