@@ -648,3 +648,39 @@ def test_asof_group_kernel_hot_key_throughput():
         took = time.perf_counter() - t0
         assert len(out) == (pdf["__is_left__"] == 1).sum()
         assert took < 3.0, f"hot-key group took {took:.1f}s (is_latest={is_latest})"
+
+
+def test_buffer_join_batch_replay_hot_key(spark):
+    """Buffer-join batch replay under a single hot key: every probe and
+    every buffered row shares one key, so the equi-join degenerates to a
+    per-key product bounded ONLY by the time-range residual — counts must
+    match the naive python product, and the plan must stay a real join
+    (no cartesian/nested-loop)."""
+    import datetime as dtm
+
+    from summingbird_spark.streaming.joins import stream_stream_left_join
+
+    base = dtm.datetime(2024, 1, 1)
+    probes = [(i, "hot", base + dtm.timedelta(seconds=(i * 37) % 50_000))
+              for i in range(1500)]
+    writes = [(j, "hot", base + dtm.timedelta(seconds=(j * 499) % 50_000), float(j))
+              for j in range(300)]
+    l = spark.createDataFrame(probes, "pid long, key string, t timestamp")
+    r = spark.createDataFrame(
+        writes, "wid long, key string, rt timestamp, rv double"
+    )
+    out = stream_stream_left_join(
+        l, r, "key", "t", "rt", window="15 minutes", watermark=None
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    got = out.where("wid IS NOT NULL").count()
+    want = sum(
+        1
+        for _, _, t in probes
+        for _, _, rt, _ in writes
+        if rt <= t <= rt + dtm.timedelta(minutes=15)
+    )
+    assert got == want and want > 0
