@@ -626,6 +626,9 @@ def contamination(
     text_col: str,
     shingle_n: int = 13,
     eval_id_col: Optional[str] = None,
+    method: str = "broadcast",
+    bloom_bits_per_item: int = 12,
+    bloom_k: int = 4,
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any word
     ``shingle_n``-gram with the evaluation set (the GPT-3/PaLM-style
@@ -639,7 +642,19 @@ def contamination(
     explodes its shingles once and probes the broadcast hash join, so
     the only shuffle is the final per-doc count aggregation on id. The
     16-byte digest, never the gram text, crosses the wire.
+
+    ``method="bloom"``: when even the digest table strains the broadcast
+    budget (very large eval unions), a Bloom filter of the eval digests
+    (``bloom_bits_per_item`` × n bits ≈ 1.5 bytes/gram at the defaults)
+    prefilters the corpus MAP-SIDE — bit positions derive from slices of
+    the md5 digest itself (no second hash pass), so membership can never
+    false-negative — and only the surviving sliver joins the exact
+    broadcast table to discard Bloom false positives. Result is
+    bit-identical to ``method="broadcast"`` (equality-tested); only the
+    wire/memory profile changes.
     """
+    if method not in ("broadcast", "bloom"):
+        raise ValueError(f"method must be 'broadcast' or 'bloom'; got {method!r}")
     eid = eval_id_col or id_col
 
     def grams(df, idc, alias):
@@ -652,6 +667,53 @@ def contamination(
 
     ev = grams(eval_set, eid, "eval_id").distinct()
     tr = grams(train, id_col, id_col)
+    if method == "bloom":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BooleanType
+
+        # eval-side cardinality: one bounded driver scalar (the eval set
+        # is benchmark-sized by definition)
+        n_ev = ev.select("__gd__").distinct().count()
+        m = max(64, int(bloom_bits_per_item) * max(n_ev, 1))
+
+        def positions(gd: Column) -> Column:
+            # k positions from disjoint 8-hex-char (32-bit) slices of the
+            # md5 digest — uniform and deterministic, no extra hashing;
+            # k*8 <= 32 hex chars
+            return F.array(
+                *[
+                    F.pmod(
+                        F.conv(F.substring(gd, 1 + 8 * i, 8), 16, 10).cast("long"),
+                        F.lit(m),
+                    )
+                    for i in range(int(bloom_k))
+                ]
+            )
+
+        set_bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+        rows = (
+            ev.select(F.explode(positions(F.col("__gd__"))).alias("p"))
+            .distinct()
+            .collect()
+        )
+        for r in rows:
+            p = int(r["p"])
+            set_bits[p >> 3] |= 1 << (p & 7)
+        bits_payload = set_bits.tobytes()  # ships in the UDF closure
+
+        def might_contain(pos_series):
+            bits = np.frombuffer(bits_payload, dtype=np.uint8)
+            out = np.empty(len(pos_series), dtype=bool)
+            for i, ps in enumerate(pos_series):
+                p = np.asarray(ps, dtype=np.int64)
+                out[i] = bool(np.all((bits[p >> 3] >> (p & 7)) & 1))
+            return pd.Series(out)
+
+        tr = tr.withColumn("__bp__", positions(F.col("__gd__"))).where(
+            pandas_udf(might_contain, BooleanType())(F.col("__bp__"))
+        ).drop("__bp__")
     hits = tr.join(F.broadcast(ev), "__gd__")
     return hits.groupBy(id_col).agg(
         F.countDistinct("__gd__").alias("n_matched_ngrams"),

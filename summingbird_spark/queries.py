@@ -2541,6 +2541,42 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "decontaminate_bloom",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+      FROM toks, LATERAL (SELECT unnest(range(len(t)-2)) AS i)
+    ),
+    ev AS (SELECT DISTINCT g, doc_id AS eval_id FROM grams WHERE doc_id % 97 = 0)
+    SELECT grams.doc_id,
+           CAST(count(DISTINCT g) AS BIGINT) AS n_matched_ngrams,
+           CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs_hit
+    FROM grams JOIN ev USING (g)
+    GROUP BY grams.doc_id
+    """,
+)
+def q_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-prefiltered decontamination — the very-large-eval-set path:
+    a digest-sliced Bloom filter (~1.5 bytes/gram) prefilters the corpus
+    map-side (no false negatives by construction), and only the
+    surviving sliver joins the exact broadcast table to discard Bloom
+    false positives. SAME oracle as `decontaminate`: the result is
+    bit-identical to the broadcast method — only the wire/memory profile
+    differs."""
+    from .functions.dedup import contamination
+
+    docs = load_table(spark, sf, "documents")
+    eval_set = docs.where(F.col("doc_id") % 97 == 0)
+    return contamination(
+        docs, eval_set, "doc_id", "text", shingle_n=3, method="bloom"
+    )
+
+
+@query(
     "corpus_to_shards",
     """
     WITH toks AS (
@@ -3991,6 +4027,7 @@ _GRADE_ORDER = [
     # round-6 appends (below-window per the freeze; in-repo hash-graded)
     "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
     "tpch_q13_custdist", "tpch_q19_disjunctive_revenue",
+    "decontaminate_bloom",
 ]
 
 _missing = set(QUERIES) - set(_GRADE_ORDER)

@@ -145,3 +145,37 @@ def test_remove_duplicate_spans_property(spark, corpus, n, min_df):
         for r in remove_duplicate_spans(df, "doc_id", "text", n, min_df).collect()
     }
     assert got == want
+
+
+def test_bloom_method_equals_broadcast(spark, tables):
+    """The Bloom prefilter must be invisible in the result: no false
+    negatives by construction (positions derive from the digest itself),
+    false positives removed by the exact verify join — so bloom ==
+    broadcast bit-for-bit, across shingle sizes and a tiny filter
+    (high-FP regime exercises the verify path)."""
+    from summingbird_spark.functions.dedup import contamination
+
+    docs = tables("documents")
+    ev = docs.where("doc_id % 31 = 0")
+    exact = {}
+    for n in (2, 3):
+        exact[n] = sorted(
+            tuple(r)
+            for r in contamination(docs, ev, "doc_id", "text", shingle_n=n).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in contamination(
+                docs, ev, "doc_id", "text", shingle_n=n, method="bloom"
+            ).collect()
+        )
+        assert exact[n] == b and len(b) > 0
+    # deliberately undersized filter: many FPs, still exact output
+    tiny = sorted(
+        tuple(r)
+        for r in contamination(
+            docs, ev, "doc_id", "text", shingle_n=2, method="bloom",
+            bloom_bits_per_item=2, bloom_k=2,
+        ).collect()
+    )
+    assert tiny == exact[2]
