@@ -3821,6 +3821,62 @@ def q_tpch_q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "tpch_q9_nation_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS amount_cents
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q9_nation_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9-style (product-type profit, adapted: this corpus has no
+    partsupp so amount is discounted revenue): the 5-way star — lineitem
+    fact joined to part (name-filtered), supplier, orders, and nation.
+    part/supplier/nation broadcast (the filter prunes part FIRST, so the
+    broadcast ships only matching keys); orders joins on the fact's
+    orderkey; one partial-aggregated rollup by (nation, year). Amounts
+    aggregate as exact integer CENTS (per-row portable floor(x*100+0.5)
+    then BIGINT sum) — double sums here land within one ulp of the
+    round-to-2 boundary across engines, and integer addition is
+    order-independent."""
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").where(F.col("p_name").like("%gear%")).select(
+        "p_partkey"
+    )
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("amount_cents")
+        )
+    )
+
+
 # ------------------------------------------- streaming under the external gate
 
 @query(
@@ -4027,7 +4083,7 @@ _GRADE_ORDER = [
     # round-6 appends (below-window per the freeze; in-repo hash-graded)
     "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
     "tpch_q13_custdist", "tpch_q19_disjunctive_revenue",
-    "decontaminate_bloom",
+    "decontaminate_bloom", "tpch_q9_nation_profit",
 ]
 
 _missing = set(QUERIES) - set(_GRADE_ORDER)
