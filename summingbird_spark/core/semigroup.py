@@ -310,3 +310,126 @@ class HllSemigroup(Semigroup):
 
 
 register(HllSemigroup())
+
+
+class MomentsSemigroup(Semigroup):
+    """Mergeable distribution moments — the algebird ``Moments`` monoid
+    (mean/variance/skewness/kurtosis from one mergeable value). The
+    carrier is the POWER SUMS struct (n, Σx, Σx², Σx³, Σx⁴): merge is
+    elementwise addition (trivially associative/commutative); ``present``
+    derives the central moments. Note algebird carries central moments
+    directly for numerical stability at extreme means; power sums keep
+    every engine (and the DuckDB oracle) bit-comparable and are exact to
+    double precision at the value ranges stores hold."""
+
+    name = "moments"
+
+    def agg(self, col: Column) -> Column:
+        x = col.cast("double")
+        return F.struct(
+            F.count(x).alias("n"),
+            F.sum(x).alias("s1"),
+            F.sum(x * x).alias("s2"),
+            F.sum(x * x * x).alias("s3"),
+            F.sum(x * x * x * x).alias("s4"),
+        )
+
+    def merge(self, a: Column, b: Column) -> Column:
+        return F.struct(
+            (a["n"] + b["n"]).alias("n"),
+            (a["s1"] + b["s1"]).alias("s1"),
+            (a["s2"] + b["s2"]).alias("s2"),
+            (a["s3"] + b["s3"]).alias("s3"),
+            (a["s4"] + b["s4"]).alias("s4"),
+        )
+
+    def py_merge(self, a, b):
+        return {k: a[k] + b[k] for k in ("n", "s1", "s2", "s3", "s4")}
+
+    @staticmethod
+    def present(v: Column) -> dict:
+        """Finalize: {mean, var_pop, skew, kurt_excess} Columns (population
+        forms; skew/kurt NULL when variance is 0)."""
+        n = v["n"].cast("double")
+        mean = v["s1"] / n
+        m2 = v["s2"] / n - mean * mean
+        m3 = v["s3"] / n - 3 * mean * v["s2"] / n + 2 * mean * mean * mean
+        m4 = (
+            v["s4"] / n
+            - 4 * mean * v["s3"] / n
+            + 6 * mean * mean * v["s2"] / n
+            - 3 * mean * mean * mean * mean
+        )
+        safe = F.when(m2 > 0, m2)
+        return {
+            "mean": mean,
+            "var_pop": m2,
+            "skew": m3 / F.pow(safe, 1.5),
+            "kurt_excess": m4 / (safe * safe) - 3,
+        }
+
+
+register(MomentsSemigroup())
+
+
+class CmsSemigroup(Semigroup):
+    """Mergeable Count-Min Sketch — the algebird ``CMS`` monoid. Carrier:
+    a SPARSE map<int,long> of (depth-offset flat index → counter); merge
+    = ``map_zip_with`` elementwise addition. Per-row maps fold inside the
+    aggregation (collect_list + fold — the same per-(key,batch) memory
+    bound as the ordered-fold path; the map itself is capped at
+    width×depth entries). Estimates never underestimate (min over depth
+    rows of the hashed counters), overestimate bounded by ~e/width × N
+    per the CMS guarantee. Depth hashes = xxhash64 with distinct seeds."""
+
+    def __init__(self, width: int = 64, depth: int = 4):
+        self.width = width
+        self.depth = depth
+        self.name = f"cms{width}x{depth}"
+
+    def _positions(self, col: Column) -> Column:
+        return F.array(
+            *[
+                (
+                    F.lit(i * self.width)
+                    + F.pmod(F.xxhash64(col, F.lit(i)), F.lit(self.width))
+                ).cast("int")
+                for i in range(self.depth)
+            ]
+        )
+
+    def agg(self, col: Column) -> Column:
+        row = F.map_from_arrays(
+            self._positions(col),
+            F.array_repeat(F.lit(1).cast("long"), self.depth),
+        )
+        lst = F.collect_list(row)
+        return F.aggregate(
+            F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
+            F.element_at(lst, 1),
+            lambda a, b: self.merge(a, b),
+        )
+
+    def merge(self, a: Column, b: Column) -> Column:
+        return F.map_zip_with(
+            a, b,
+            lambda _, x, y: F.coalesce(x, F.lit(0).cast("long"))
+            + F.coalesce(y, F.lit(0).cast("long")),
+        )
+
+    def py_merge(self, a, b):
+        out = dict(a)
+        for k, v in b.items():
+            out[k] = out.get(k, 0) + v
+        return out
+
+    def estimate(self, sketch: Column, item: Column) -> Column:
+        """Point-frequency estimate: min over depth rows."""
+        pos = self._positions(item)
+        counts = F.transform(
+            pos, lambda p: F.coalesce(F.element_at(sketch, p), F.lit(0).cast("long"))
+        )
+        return F.array_min(counts)
+
+
+register(CmsSemigroup())

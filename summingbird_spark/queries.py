@@ -3877,6 +3877,105 @@ def q_tpch_q9_nation_profit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "moments_by_key",
+    """
+    WITH s AS (
+      SELECT user_id,
+             CAST(count(*) AS DOUBLE) AS n,
+             sum(value) AS s1, sum(value * value) AS s2,
+             sum(value * value * value) AS s3,
+             sum(value * value * value * value) AS s4
+      FROM events GROUP BY user_id
+    ), m AS (
+      SELECT user_id, n, s1 / n AS mean,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * s2 / n + 2 * (s1 / n) ^ 3 AS m3,
+             s4 / n - 4 * (s1 / n) * s3 / n + 6 * (s1 / n) ^ 2 * s2 / n
+                    - 3 * (s1 / n) ^ 4 AS m4
+      FROM s
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n, round(mean, 4) AS mean,
+           round(m2, 4) AS var_pop,
+           round(CASE WHEN m2 > 0 THEN m3 / m2 ^ 1.5 END, 4) AS skew,
+           round(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3 END, 4) AS kurt_excess
+    FROM m
+    """,
+)
+def q_moments_by_key(spark: SparkSession, sf: str) -> DataFrame:
+    """The algebird ``Moments`` monoid as a sumByKey value (SURVEY §1.3 —
+    aggregation algebra beyond plain sums): one mergeable power-sums
+    struct per key flows through the Summer/store machinery like any
+    other semigroup value; present() derives mean/variance/skew/kurtosis.
+    Merge is elementwise addition — map-side partial aggregation and
+    store rollforward apply unchanged."""
+    from .core.semigroup import MomentsSemigroup
+
+    p = _events(sf).sum_by_key("user_id", "value", semigroup="moments").snapshot()
+    v = F.col("value")
+    pres = MomentsSemigroup.present(v)
+    return to_dataframe(spark, p).select(
+        "user_id",
+        v["n"].cast("long").alias("n"),
+        F.round(pres["mean"], 4).alias("mean"),
+        F.round(pres["var_pop"], 4).alias("var_pop"),
+        F.round(pres["skew"], 4).alias("skew"),
+        F.round(pres["kurt_excess"], 4).alias("kurt_excess"),
+    )
+
+
+@query(
+    "cms_user_counts",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           TRUE AS lower_bounded, TRUE AS overestimate_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q_cms_user_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """The algebird Count-Min Sketch monoid as a sumByKey value: one
+    mergeable sparse sketch per event_type counts per-user frequencies.
+    Graded by the CMS guarantee, falsifiably: every per-user estimate
+    must LOWER-BOUND nothing (est ≥ exact always — a broken hash layout
+    fails this deterministically), and the mean overestimate must stay
+    under 3·(e/width)·N (3× the one-row expectation; a sketch that lost
+    counters or merged wrong blows it). Oracle asserts both flags."""
+    import math
+
+    from .core.semigroup import get as get_sg
+
+    sg = get_sg("cms64x4")
+    p = (
+        _events(sf)
+        .sum_by_key(
+            "event_type", F.col("user_id").cast("string"), semigroup=sg
+        )
+        .snapshot()
+    )
+    sketches = to_dataframe(spark, p).select(
+        "event_type", F.col("value").alias("__sk__")
+    )
+    ev = load_table(spark, sf, "events")
+    exact = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    est = exact.join(F.broadcast(sketches), "event_type").withColumn(
+        "est", sg.estimate(F.col("__sk__"), F.col("user_id").cast("string"))
+    )
+    eps = math.e / sg.width
+    return (
+        est.groupBy("event_type")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_events"),
+            F.min(F.col("est") >= F.col("cnt")).alias("lower_bounded"),
+            (
+                F.avg(F.col("est") - F.col("cnt"))
+                <= F.lit(3 * eps) * F.sum("cnt")
+            ).alias("overestimate_ok"),
+        )
+    )
+
+
 # ------------------------------------------- streaming under the external gate
 
 @query(
@@ -4084,6 +4183,7 @@ _GRADE_ORDER = [
     "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
     "tpch_q13_custdist", "tpch_q19_disjunctive_revenue",
     "decontaminate_bloom", "tpch_q9_nation_profit",
+    "moments_by_key", "cms_user_counts",
 ]
 
 _missing = set(QUERIES) - set(_GRADE_ORDER)

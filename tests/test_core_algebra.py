@@ -164,3 +164,93 @@ def test_diamond_compiles_once(spark, events):
     for _, k, v, _ in rows_of(events):
         per[k] += v + v * 10
     assert got == dict(per)
+
+
+def test_moments_semigroup_merge_associative(spark):
+    """Power-sum moments: any split of the data, aggregated per part and
+    semigroup-merged, equals the one-shot aggregate (the mergeability the
+    store rollforward and streaming summer rely on)."""
+    from pyspark.sql import functions as F
+
+    from summingbird_spark.core.semigroup import MomentsSemigroup, get
+
+    sg = get("moments")
+    vals = [float(v) for v in (3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, x double"
+    )
+    whole = df.agg(sg.agg(F.col("x")).alias("m")).collect()[0]["m"]
+
+    a = df.where("i < 4").agg(sg.agg(F.col("x")).alias("m"))
+    b = df.where("i >= 4").agg(sg.agg(F.col("x")).alias("m"))
+    merged = (
+        a.crossJoin(b.withColumnRenamed("m", "m2"))
+        .select(sg.merge(F.col("m"), F.col("m2")).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert merged["n"] == whole["n"] == len(vals)
+    for k in ("s1", "s2", "s3", "s4"):
+        assert abs(merged[k] - whole[k]) < 1e-9
+    # present() sanity vs numpy
+    import numpy as np
+
+    arr = np.array(vals)
+    pres = MomentsSemigroup.present(F.col("m"))
+    got = (
+        spark.createDataFrame([(whole,)], "m struct<n:long,s1:double,s2:double,s3:double,s4:double>")
+        .select(
+            pres["mean"].alias("mean"), pres["var_pop"].alias("v"),
+            pres["skew"].alias("sk"), pres["kurt_excess"].alias("ku"),
+        )
+        .collect()[0]
+    )
+    assert abs(got["mean"] - arr.mean()) < 1e-9
+    assert abs(got["v"] - arr.var()) < 1e-9
+    m2, m3, m4 = (((arr - arr.mean()) ** p).mean() for p in (2, 3, 4))
+    assert abs(got["sk"] - m3 / m2 ** 1.5) < 1e-9
+    assert abs(got["ku"] - (m4 / m2 ** 2 - 3)) < 1e-9
+    # streaming py_merge matches the Column merge
+    pm = sg.py_merge(
+        {k: a.collect()[0]["m"][k] for k in ("n", "s1", "s2", "s3", "s4")},
+        {k: b.collect()[0]["m"][k] for k in ("n", "s1", "s2", "s3", "s4")},
+    )
+    assert pm["n"] == whole["n"] and abs(pm["s4"] - whole["s4"]) < 1e-9
+
+
+def test_cms_semigroup_bounds_and_merge(spark):
+    """CMS laws: estimates never underestimate; a merge of two part
+    sketches estimates exactly like the whole-data sketch."""
+    from pyspark.sql import functions as F
+
+    from summingbird_spark.core.semigroup import get
+
+    sg = get("cms64x4")
+    items = [f"u{i % 37}" for i in range(500)]
+    from collections import Counter
+
+    truth = Counter(items)
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(items)], "i long, x string"
+    )
+    whole = df.agg(sg.agg(F.col("x")).alias("s"))
+    probe = spark.createDataFrame([(k,) for k in truth], "x string")
+    est = {
+        r["x"]: r["e"]
+        for r in probe.crossJoin(whole).select(
+            "x", sg.estimate(F.col("s"), F.col("x")).alias("e")
+        ).collect()
+    }
+    assert all(est[k] >= v for k, v in truth.items())
+
+    a = df.where("i < 200").agg(sg.agg(F.col("x")).alias("s"))
+    b = df.where("i >= 200").agg(sg.agg(F.col("x")).alias("s"))
+    merged = a.crossJoin(b.withColumnRenamed("s", "s2")).select(
+        sg.merge(F.col("s"), F.col("s2")).alias("s")
+    )
+    est2 = {
+        r["x"]: r["e"]
+        for r in probe.crossJoin(merged).select(
+            "x", sg.estimate(F.col("s"), F.col("x")).alias("e")
+        ).collect()
+    }
+    assert est2 == est
