@@ -431,5 +431,59 @@ class CmsSemigroup(Semigroup):
         )
         return F.array_min(counts)
 
+    def sketch_table(self, df, key_cols, item_col: str, weight_col=None):
+        """Bulk sketch construction, fully relational: explode each row to
+        its depth positions, ONE codegen groupBy((keys, position), sum),
+        then assemble the ≤ width×depth-entry map per key. This is the
+        scale path for building sketches over a table — the fold-based
+        ``agg`` exists so a sketch can flow through generic Summer/store
+        machinery, but its map-merge is interpreted per row; here every
+        per-row op is whole-stage codegen and only the final per-key map
+        assembly (bounded by the sketch size) touches collect_list.
+        Returns (key_cols..., sketch)."""
+        key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        w = (
+            F.lit(1).cast("long")
+            if weight_col is None
+            else F.col(weight_col).cast("long")
+        )
+        pos = df.select(
+            *key_cols,
+            F.explode(self._positions(F.col(item_col))).alias("__p__"),
+            w.alias("__w__"),
+        )
+        per_pos = pos.groupBy(*key_cols, "__p__").agg(F.sum("__w__").alias("__c__"))
+        return per_pos.groupBy(*key_cols).agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("__p__"), F.col("__c__")))
+            ).alias("sketch")
+        )
+
+
+class CmsWeightedSemigroup(CmsSemigroup):
+    """CMS over PRE-REDUCED (item, weight) structs — the production
+    insert path: counting raw occurrences one map-fold at a time is
+    O(rows × sketch-size) interpreted work, so reduce (key, item) → count
+    relationally FIRST (codegen, map-side combinable) and insert each
+    distinct item once with its count as the weight. Identical sketch,
+    fold bounded by DISTINCT items per key."""
+
+    def __init__(self, width: int = 64, depth: int = 4):
+        super().__init__(width, depth)
+        self.name = f"cms{width}x{depth}w"
+
+    def agg(self, col: Column) -> Column:
+        row = F.map_from_arrays(
+            self._positions(col["item"]),
+            F.array_repeat(col["w"].cast("long"), self.depth),
+        )
+        lst = F.collect_list(row)
+        return F.aggregate(
+            F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
+            F.element_at(lst, 1),
+            lambda a, b: self.merge(a, b),
+        )
+
 
 register(CmsSemigroup())
+register(CmsWeightedSemigroup())

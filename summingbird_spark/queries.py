@@ -3933,27 +3933,29 @@ def q_moments_by_key(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q_cms_user_counts(spark: SparkSession, sf: str) -> DataFrame:
-    """The algebird Count-Min Sketch monoid as a sumByKey value: one
-    mergeable sparse sketch per event_type counts per-user frequencies.
-    Graded by the CMS guarantee, falsifiably: every per-user estimate
-    must LOWER-BOUND nothing (est ≥ exact always — a broken hash layout
-    fails this deterministically), and the mean overestimate must stay
-    under 3·(e/width)·N (3× the one-row expectation; a sketch that lost
-    counters or merged wrong blows it). Oracle asserts both flags."""
+    """The algebird Count-Min Sketch monoid: one mergeable sparse sketch
+    per event_type counts per-user frequencies, built by the relational
+    ``sketch_table`` path (explode-to-positions + codegen groupBy — the
+    scale path; the fold-based ``agg`` flows through Summer/store and is
+    law-tested equal). Graded by the CMS guarantee, falsifiably: every
+    per-user estimate must be ≥ the exact count (a broken hash layout
+    fails deterministically), and the mean overestimate must stay under
+    3·(e/width)·N (a sketch that lost counters or merged wrong blows
+    it). Oracle asserts both flags."""
     import math
 
     from .core.semigroup import get as get_sg
 
     sg = get_sg("cms64x4")
-    p = (
-        _events(sf)
-        .sum_by_key(
-            "event_type", F.col("user_id").cast("string"), semigroup=sg
-        )
-        .snapshot()
+    # relational sketch build (sketch_table): explode-to-positions + one
+    # codegen groupBy — the scale path; the semigroup's fold-based agg
+    # stays for generic Summer/store flows (measured here: fold 6.9 s,
+    # relational build < 1 s at sf0.1)
+    ev = load_table(spark, sf, "events").withColumn(
+        "__item__", F.col("user_id").cast("string")
     )
-    sketches = to_dataframe(spark, p).select(
-        "event_type", F.col("value").alias("__sk__")
+    sketches = sg.sketch_table(ev, "event_type", "__item__").select(
+        "event_type", F.col("sketch").alias("__sk__")
     )
     ev = load_table(spark, sf, "events")
     exact = ev.groupBy("event_type", "user_id").agg(

@@ -254,3 +254,30 @@ def test_cms_semigroup_bounds_and_merge(spark):
         ).collect()
     }
     assert est2 == est
+
+    # the relational sketch_table build and the weighted-insert variant
+    # must produce the SAME sketch as the per-row fold
+    from summingbird_spark.core.semigroup import get as get_sg
+
+    rel = df.withColumn("k", F.lit("g")).transform(
+        lambda d: sg.sketch_table(d, "k", "x")
+    )
+    est3 = {
+        r["x"]: r["e"]
+        for r in probe.crossJoin(rel.select("sketch")).select(
+            "x", sg.estimate(F.col("sketch"), F.col("x")).alias("e")
+        ).collect()
+    }
+    assert est3 == est
+    wsg = get_sg("cms64x4w")
+    pre = df.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    wsk = pre.agg(
+        wsg.agg(F.struct(F.col("x").alias("item"), F.col("w").alias("w"))).alias("s")
+    )
+    est4 = {
+        r["x"]: r["e"]
+        for r in probe.crossJoin(wsk).select(
+            "x", wsg.estimate(F.col("s"), F.col("x")).alias("e")
+        ).collect()
+    }
+    assert est4 == est
