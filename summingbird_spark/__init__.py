@@ -6,7 +6,7 @@ serving-side batch⊕realtime merge."""
 
 from .core.graph import Keyed, Producer, Source, source, TIME_COL
 from .core import semigroup
-from .core.semigroup import CmsSemigroup, MomentsSemigroup, Semigroup, TopKSemigroup
+from .core.semigroup import BloomSemigroup, CmsSemigroup, MomentsSemigroup, Semigroup, TopKSemigroup
 from .batch import batcher
 from .batch.batcher import Batcher, of_days, of_hours, of_millis, of_minutes, of_seconds, UNIT
 from .batch.planner import BatchPlanner, plan, to_dataframe
@@ -31,6 +31,7 @@ __all__ = [
     "TopKSemigroup",
     "MomentsSemigroup",
     "CmsSemigroup",
+    "BloomSemigroup",
     "batcher",
     "Batcher",
     "of_millis",

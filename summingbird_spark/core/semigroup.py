@@ -485,5 +485,89 @@ class CmsWeightedSemigroup(CmsSemigroup):
         )
 
 
+class BloomSemigroup(Semigroup):
+    """Mergeable Bloom filter — the algebird ``BF`` monoid. Carrier: a
+    fixed-length array<long> bitset (width m bits = 64 × words); merge =
+    elementwise bitwise OR; k bit positions per item from xxhash64 with
+    distinct seeds. ``might_contain`` never false-negatives; FP rate is
+    the standard (1 - e^{-kn/m})^k. ``bitset_table`` is the relational
+    scale build (codegen bit-OR aggregation per word)."""
+
+    def __init__(self, bits: int = 1024, k: int = 3):
+        assert bits % 64 == 0
+        self.bits = bits
+        self.k = k
+        self.words = bits // 64
+        self.name = f"bloom{bits}x{k}"
+
+    def _positions(self, col: Column) -> Column:
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(col, F.lit(1000 + i)), F.lit(self.bits)).cast("int")
+                for i in range(self.k)
+            ]
+        )
+
+    def _row_bitset(self, col: Column) -> Column:
+        pos = self._positions(col)
+        return F.array(
+            *[
+                F.aggregate(
+                    F.filter(pos, lambda p: (p / 64).cast("int") == F.lit(w)),
+                    F.lit(0).cast("long"),
+                    lambda acc, p: acc.bitwiseOR(
+                        # SQL shiftleft takes a Column shift; the PySpark
+                        # wrapper restricts it to int — call the builtin
+                        F.call_function(
+                            "shiftleft", F.lit(1).cast("long"), p % 64
+                        )
+                    ),
+                )
+                for w in range(self.words)
+            ]
+        )
+
+    def agg(self, col: Column) -> Column:
+        lst = F.collect_list(self._row_bitset(col))
+        return F.aggregate(
+            F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
+            F.element_at(lst, 1),
+            lambda a, b: self.merge(a, b),
+        )
+
+    def merge(self, a: Column, b: Column) -> Column:
+        return F.zip_with(a, b, lambda x, y: x.bitwiseOR(y))
+
+    def py_merge(self, a, b):
+        return [x | y for x, y in zip(a, b)]
+
+    def might_contain(self, bitset: Column, item: Column) -> Column:
+        pos = self._positions(item)
+        return F.forall(
+            pos,
+            lambda p: F.element_at(bitset, (p / 64).cast("int") + 1)
+            .bitwiseAND(
+                F.call_function("shiftleft", F.lit(1).cast("long"), p % 64)
+            )
+            != 0,
+        )
+
+    def bitset_table(self, df, key_cols, item_col: str):
+        """Relational bulk build: one codegen aggregation computing every
+        word's bit_or over the per-row bitsets (sketch-width aggregates,
+        not per-row folds). Returns (key_cols..., bitset)."""
+        key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        rows = df.select(*key_cols, self._row_bitset(F.col(item_col)).alias("__bs__"))
+        words = [
+            F.bit_or(F.element_at(F.col("__bs__"), w + 1)).alias(f"__w{w}__")
+            for w in range(self.words)
+        ]
+        return rows.groupBy(*key_cols).agg(*words).select(
+            *key_cols,
+            F.array(*[F.col(f"__w{w}__") for w in range(self.words)]).alias("bitset"),
+        )
+
+
 register(CmsSemigroup())
 register(CmsWeightedSemigroup())
+register(BloomSemigroup())

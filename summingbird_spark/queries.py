@@ -3978,6 +3978,62 @@ def q_cms_user_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "bloom_membership",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_members,
+           TRUE AS no_false_negatives, TRUE AS fp_bounded
+    FROM events WHERE value > 95
+    GROUP BY event_type
+    """,
+)
+def q_bloom_membership(spark: SparkSession, sf: str) -> DataFrame:
+    """The algebird Bloom-filter monoid (BF): per event_type, a mergeable
+    1024-bit filter of the users with a >95-value event, built by the
+    relational ``bitset_table`` (codegen bit_or per word). Graded by the
+    Bloom contract, falsifiably: every actual member must test positive
+    (no false negatives — deterministic; any bit lost to a wrong merge
+    fails it), and the false-positive rate over non-members must stay
+    under 3× the theoretical (1-e^{-kn/m})^k for the measured n."""
+    import math
+
+    from .core.semigroup import get as get_sg
+
+    sg = get_sg("bloom1024x3")
+    ev = load_table(spark, sf, "events")
+    members = (
+        ev.where(F.col("value") > 95)
+        .select("event_type", F.col("user_id").cast("string").alias("__u__"))
+        .distinct()
+    )
+    blooms = sg.bitset_table(members, "event_type", "__u__")
+    all_users = ev.select(F.col("user_id").cast("string").alias("__u__")).distinct()
+    types = members.select("event_type").distinct()
+    probes = (
+        types.crossJoin(all_users)
+        .join(members, ["event_type", "__u__"], "left_anti")
+        .withColumn("__m__", F.lit(False))
+        .unionByName(members.withColumn("__m__", F.lit(True)))
+        .join(F.broadcast(blooms), "event_type")
+        .withColumn("__hit__", sg.might_contain(F.col("bitset"), F.col("__u__")))
+    )
+    theo = F.pow(
+        F.lit(1.0)
+        - F.exp(-F.lit(float(sg.k)) * F.sum(F.when(F.col("__m__"), 1).otherwise(0))
+                / F.lit(float(sg.bits))),
+        F.lit(float(sg.k)),
+    )
+    return probes.groupBy("event_type").agg(
+        F.sum(F.when(F.col("__m__"), 1).otherwise(0)).cast("long").alias("n_members"),
+        F.min(F.when(F.col("__m__"), F.col("__hit__"))).alias("no_false_negatives"),
+        (
+            F.avg(F.when(~F.col("__m__"), F.col("__hit__").cast("double")))
+            <= F.lit(3.0) * theo + F.lit(1e-9)
+        ).alias("fp_bounded"),
+    )
+
+
 # ------------------------------------------- streaming under the external gate
 
 @query(
@@ -4185,7 +4241,7 @@ _GRADE_ORDER = [
     "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
     "tpch_q13_custdist", "tpch_q19_disjunctive_revenue",
     "decontaminate_bloom", "tpch_q9_nation_profit",
-    "moments_by_key", "cms_user_counts",
+    "moments_by_key", "cms_user_counts", "bloom_membership",
 ]
 
 _missing = set(QUERIES) - set(_GRADE_ORDER)

@@ -281,3 +281,42 @@ def test_cms_semigroup_bounds_and_merge(spark):
         ).collect()
     }
     assert est4 == est
+
+
+def test_bloom_semigroup_laws(spark):
+    """Bloom monoid: no false negatives ever; part-merge == whole; the
+    relational bitset_table build equals the fold-based agg."""
+    from pyspark.sql import functions as F
+
+    from summingbird_spark.core.semigroup import get
+
+    sg = get("bloom1024x3")
+    items = [f"item{i}" for i in range(80)]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(items)], "i long, x string"
+    )
+    whole = df.agg(sg.agg(F.col("x")).alias("b")).collect()[0]["b"]
+    rel = sg.bitset_table(df.withColumn("k", F.lit("g")), "k", "x").collect()[0][
+        "bitset"
+    ]
+    assert list(whole) == list(rel)
+
+    a = df.where("i < 40").agg(sg.agg(F.col("x")).alias("b")).collect()[0]["b"]
+    b = df.where("i >= 40").agg(sg.agg(F.col("x")).alias("b")).collect()[0]["b"]
+    assert sg.py_merge(list(a), list(b)) == list(whole)
+
+    bs = spark.createDataFrame([(list(whole),)], "bitset array<long>")
+    probe = spark.createDataFrame([(x,) for x in items], "x string")
+    hits = probe.crossJoin(bs).select(
+        sg.might_contain(F.col("bitset"), F.col("x")).alias("h")
+    )
+    assert all(r["h"] for r in hits.collect())
+    miss = spark.createDataFrame([(f"other{i}",) for i in range(300)], "x string")
+    fp = (
+        miss.crossJoin(bs)
+        .select(sg.might_contain(F.col("bitset"), F.col("x")).alias("h"))
+        .where("h").count()
+    )
+    import math
+    theo = (1 - math.exp(-sg.k * len(items) / sg.bits)) ** sg.k
+    assert fp <= max(5, 3 * theo * 300)
