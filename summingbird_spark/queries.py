@@ -4034,6 +4034,56 @@ def q_bloom_membership(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "jsonl_shard_roundtrip",
+    """
+    WITH t AS (
+      SELECT doc_id, md5(text) AS text_md5,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, text_md5, n_tokens FROM t
+    """,
+)
+def q_jsonl_shard_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-format closure for the training-shard interchange path:
+    documents → ``write_shards(fmt='json')`` (token-budget packing,
+    range-partitioned writers, one JSONL dir per shard) → read BACK via
+    the schema'd JSON reader → prove content identity (per-doc text md5 +
+    token count) against the original table. The shard write is cached
+    content-fingerprinted like the index artifacts; the read is
+    schema-explicit (no inference scan) over the shard glob."""
+    import os
+    import tempfile
+
+    from .functions.packing import write_shards
+    from .functions.text import tokenize
+    from .sources.tables import corpus_fingerprint
+
+    fp = corpus_fingerprint(os.path.join(sf, "documents.parquet"))[:12]
+    root = os.path.join(tempfile.gettempdir(), f"sbspark-jsonl-{fp}")
+    docs = load_table(spark, sf, "documents")
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        write_shards(
+            docs.withColumn(
+                "n_tokens", F.size(tokenize(F.col("text"))).cast("long")
+            ),
+            root,
+            weight_col="n_tokens",
+            budget=4096,
+            id_col="doc_id",
+            fmt="json",
+        )
+        open(os.path.join(root, "_SUCCESS"), "a").close()
+    back = spark.read.schema(
+        "doc_id long, text string, n_tokens long"
+    ).json(os.path.join(root, "shard_id=*"))
+    return back.select(
+        "doc_id", F.md5(F.col("text")).alias("text_md5"), F.col("n_tokens")
+    )
+
+
 # ------------------------------------------- streaming under the external gate
 
 @query(
@@ -4242,6 +4292,7 @@ _GRADE_ORDER = [
     "tpch_q13_custdist", "tpch_q19_disjunctive_revenue",
     "decontaminate_bloom", "tpch_q9_nation_profit",
     "moments_by_key", "cms_user_counts", "bloom_membership",
+    "jsonl_shard_roundtrip",
 ]
 
 _missing = set(QUERIES) - set(_GRADE_ORDER)
