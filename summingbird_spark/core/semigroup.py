@@ -54,13 +54,27 @@ class Semigroup:
         """
         raise NotImplementedError(f"{self.name}: no python merge")
 
+    def py_lift(self, v):
+        """Lift ONE raw input value into the semigroup carrier — identity
+        for sum-like semigroups whose carrier IS the raw type, but e.g.
+        ``set`` lifts v → [v] and ``avg`` lifts v → {s: v, n: 1}.
+        ``py_merge`` operates on CARRIER values only; folding raw values
+        directly mis-merges any lifted carrier (a string into set() would
+        explode into characters — found wiring moments into streaming)."""
+        return v
+
+    def carrier_type(self, value_spark_type: str) -> str:
+        """Spark SQL type string of the carrier given the raw value type
+        (the streaming summer's prev/delta output schema)."""
+        return value_spark_type
+
     def py_agg(self, values):
         """Python fold of raw values (in arrival order; callers pre-sort by
-        time for non-commutative semigroups)."""
+        time for non-commutative semigroups): lift each, then py_merge."""
         it = iter(values)
-        acc = next(it)
+        acc = self.py_lift(next(it))
         for v in it:
-            acc = self.py_merge(acc, v)
+            acc = self.py_merge(acc, self.py_lift(v))
         return acc
 
     def merge_null_safe(self, a: Column, b: Column) -> Column:
@@ -96,12 +110,15 @@ class Semigroup:
 class _ExprSemigroup(Semigroup):
     """Semigroup from a builtin aggregate fn + a merge expression."""
 
-    def __init__(self, name, agg_fn, merge_fn, commutative=True, py_merge_fn=None):
+    def __init__(self, name, agg_fn, merge_fn, commutative=True, py_merge_fn=None,
+                 py_lift_fn=None, carrier_type_fn=None):
         self.name = name
         self._agg = agg_fn
         self._merge = merge_fn
         self.commutative = commutative
         self._py_merge = py_merge_fn
+        self._py_lift = py_lift_fn
+        self._carrier_type = carrier_type_fn
 
     def agg(self, col: Column) -> Column:
         return self._agg(col)
@@ -113,6 +130,14 @@ class _ExprSemigroup(Semigroup):
         if self._py_merge is None:
             raise NotImplementedError(f"{self.name}: no python merge")
         return self._py_merge(a, b)
+
+    def py_lift(self, v):
+        return v if self._py_lift is None else self._py_lift(v)
+
+    def carrier_type(self, value_spark_type: str) -> str:
+        if self._carrier_type is None:
+            return value_spark_type
+        return self._carrier_type(value_spark_type)
 
 
 class TopKSemigroup(Semigroup):
@@ -138,6 +163,12 @@ class TopKSemigroup(Semigroup):
 
     def py_merge(self, a, b):
         return sorted(list(a) + list(b), reverse=self.descending)[: self.k]
+
+    def py_lift(self, v):
+        return [v]
+
+    def carrier_type(self, value_spark_type: str) -> str:
+        return f"array<{value_spark_type}>"
 
 
 class ConcatSemigroup(Semigroup):
@@ -165,6 +196,12 @@ class ListSemigroup(Semigroup):
 
     name = "list"
     commutative = False
+
+    def py_lift(self, v):
+        return [v]
+
+    def carrier_type(self, value_spark_type: str) -> str:
+        return f"array<{value_spark_type}>"
 
     def agg(self, col: Column) -> Column:
         return F.collect_list(col)
@@ -194,6 +231,12 @@ class AvgSemigroup(Semigroup):
     def py_merge(self, a, b):
         return {"s": a["s"] + b["s"], "n": a["n"] + b["n"]}
 
+    def py_lift(self, v):
+        return {"s": v, "n": 1}
+
+    def carrier_type(self, value_spark_type: str) -> str:
+        return f"struct<s:{value_spark_type},n:bigint>"
+
     @staticmethod
     def present(v: Column) -> Column:
         return v["s"] / v["n"]
@@ -219,7 +262,13 @@ def get(name_or_sg) -> Semigroup:
 
 
 register(_ExprSemigroup("sum", F.sum, lambda a, b: a + b, py_merge_fn=lambda a, b: a + b))
-register(_ExprSemigroup("count", F.count, lambda a, b: a + b, py_merge_fn=lambda a, b: a + b))
+register(_ExprSemigroup(
+    "count", F.count, lambda a, b: a + b, py_merge_fn=lambda a, b: a + b,
+    # a count's carrier is the tally, not the value: every raw value
+    # lifts to 1 (the streaming summer previously summed raw values,
+    # which only coincided with batch when the value column was lit(1))
+    py_lift_fn=lambda v: 1, carrier_type_fn=lambda vt: "bigint",
+))
 register(_ExprSemigroup("min", F.min, F.least, py_merge_fn=min))
 register(_ExprSemigroup("max", F.max, F.greatest, py_merge_fn=max))
 register(
@@ -228,6 +277,8 @@ register(
         lambda c: F.array_sort(F.collect_set(c)),
         lambda a, b: F.array_sort(F.array_union(a, b)),
         py_merge_fn=lambda a, b: sorted(set(a) | set(b)),
+        py_lift_fn=lambda v: [v],
+        carrier_type_fn=lambda vt: f"array<{vt}>",
     )
 )
 register(_ExprSemigroup("first", F.first, lambda a, b: a, py_merge_fn=lambda a, b: a))
@@ -346,6 +397,13 @@ class MomentsSemigroup(Semigroup):
     def py_merge(self, a, b):
         return {k: a[k] + b[k] for k in ("n", "s1", "s2", "s3", "s4")}
 
+    def py_lift(self, v):
+        x = float(v)
+        return {"n": 1, "s1": x, "s2": x * x, "s3": x ** 3, "s4": x ** 4}
+
+    def carrier_type(self, value_spark_type: str) -> str:
+        return "struct<n:bigint,s1:double,s2:double,s3:double,s4:double>"
+
     @staticmethod
     def present(v: Column) -> dict:
         """Finalize: {mean, var_pop, skew, kurt_excess} Columns (population
@@ -422,6 +480,13 @@ class CmsSemigroup(Semigroup):
         for k, v in b.items():
             out[k] = out.get(k, 0) + v
         return out
+
+    def py_lift(self, v):
+        raise NotImplementedError(
+            f"{self.name}: sketch positions hash JVM-side (xxhash64); build "
+            "sketches in-plan (agg/sketch_table) — py_merge still merges "
+            "prebuilt sketches"
+        )
 
     def estimate(self, sketch: Column, item: Column) -> Column:
         """Point-frequency estimate: min over depth rows."""
@@ -540,6 +605,13 @@ class BloomSemigroup(Semigroup):
 
     def py_merge(self, a, b):
         return [x | y for x, y in zip(a, b)]
+
+    def py_lift(self, v):
+        raise NotImplementedError(
+            f"{self.name}: bit positions hash JVM-side (xxhash64); build "
+            "bitsets in-plan (agg/bitset_table) — py_merge still ORs "
+            "prebuilt bitsets"
+        )
 
     def might_contain(self, bitset: Column, item: Column) -> Column:
         pos = self._positions(item)

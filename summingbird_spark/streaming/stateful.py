@@ -31,16 +31,11 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..core import semigroup as sg_mod
 from ..core.graph import TIME_COL
 
-# delta column type per semigroup (default: same as the value column)
-_DELTA_TYPE = {"count": "bigint", "sum_long": "bigint"}
-
-
 def _delta_type(sg, value_spark_type: str) -> str:
-    if sg.name in _DELTA_TYPE:
-        return _DELTA_TYPE[sg.name]
-    if sg.name == "set" or sg.name.startswith("top"):
-        return f"array<{value_spark_type}>"
-    return value_spark_type
+    """prev/delta output type = the semigroup's CARRIER type (declared by
+    the semigroup itself since r6 — count→bigint, set/top→array, avg/
+    moments→struct; identity for sum-likes)."""
+    return sg.carrier_type(value_spark_type)
 
 
 def stateful_summer(

@@ -228,7 +228,8 @@ def _asof_group(
                         for j in range(int(lo[i]), int(hi[i])):
                             v = buf[j][1][c]
                             if v is not None:
-                                run = v if run is None else sg.py_merge(run, v)
+                                lv = sg.py_lift(v)
+                                run = lv if run is None else sg.py_merge(run, lv)
                         out[i] = run
             filled[c] = out
         if n:
@@ -248,7 +249,8 @@ def _asof_group(
             for j, ri in enumerate(r_rows):  # rights only: the general-
                 v = a[ri]                    # semigroup fold is inherently
                 if v is not None:            # sequential
-                    run = v if run is None else sg.py_merge(run, v)
+                    lv = sg.py_lift(v)
+                    run = lv if run is None else sg.py_merge(run, lv)
                 acc[j] = run
             new_run[c] = run
             out = np.empty(n_left, dtype=object)
@@ -306,7 +308,8 @@ def streaming_self_loop(
         for v in pdf[delta_col]:
             seen.append(st)
             if not pd.isna(v):
-                st = v if st is None else sg.py_merge(st, v)
+                lv = sg.py_lift(v)
+                st = lv if st is None else sg.py_merge(st, lv)
         state.update((pickle.dumps(st),))
         out = pdf[cols].copy()
         out[out_col] = seen

@@ -684,3 +684,66 @@ def test_buffer_join_batch_replay_hot_key(spark):
         if rt <= t <= rt + dtm.timedelta(minutes=15)
     )
     assert got == want and want > 0
+
+
+def test_stream_lifted_carriers_match_batch(spark, stream_dir, tmp_path):
+    """Lifted-carrier semigroups (set, avg, moments — carrier ≠ raw value
+    type) through the STREAMING stateful summer must equal the batch
+    answer. Guards the py_lift contract: before r6 the streaming fold
+    applied py_merge to RAW values, which silently mis-merged every
+    lifted carrier (set() of a string exploded into characters)."""
+    import math
+
+    batch_df = spark.read.schema(SCHEMA).parquet(stream_dir)
+
+    for sg_name, finalize in (
+        ("set", lambda v: tuple(v)),
+        ("avg", lambda v: round(v["s"] / v["n"], 9)),
+        (
+            "moments",
+            lambda v: (v["n"], round(v["s1"], 6), round(v["s2"], 6)),
+        ),
+    ):
+        def pipe(src):
+            return src.sum_by_key(
+                "key", "value", semigroup=sg_name, batcher=sb.of_days(1)
+            )
+
+        sg = sb.core.semigroup.get(sg_name)
+
+        def _plain(v):
+            return v.asDict() if hasattr(v, "asDict") else v
+
+        def _final(prev, delta):
+            if prev is None:
+                return _plain(delta)
+            return sg.py_merge(_plain(prev), _plain(delta))
+
+        # comparable quantity: the PER-BATCH total. Batch emits it as
+        # `delta` directly (its prev is the CROSS-batch running value);
+        # streaming accumulates it within the batch across triggers, so
+        # the last trigger's prev ⊕ delta reconstructs it (its prev is
+        # the WITHIN-batch state — online keys are (K, BatchID)).
+        want = {}
+        for r in to_dataframe(spark, pipe(source(batch_df, time_col="ts"))).collect():
+            want[(r.key, r.batch_id)] = finalize(_plain(r.delta))
+
+        src = stream_source(stream_dir, SCHEMA, time_col="ts", max_files_per_trigger=1)
+        plan = StreamPlanner(spark).plan(pipe(src))
+        name = f"lift_{sg_name}"
+        q = plan.start_to_memory(spark, name)
+        q.awaitTermination(120)
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        # reconstruct final per (key, batch): the LAST trigger row's
+        # prev ⊕ delta (memory sink preserves trigger order)
+        from collections import defaultdict
+
+        per = defaultdict(list)
+        for r in rows:
+            per[(r.key, r.batch_id)].append((r.prev, r.delta))
+        got = {
+            kb: finalize(_final(*pairs[-1])) for kb, pairs in per.items()
+        }
+        assert set(got) == set(want)
+        for kb in want:
+            assert got[kb] == want[kb], (sg_name, kb, got[kb], want[kb])
