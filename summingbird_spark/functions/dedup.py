@@ -484,7 +484,9 @@ def dup_clusters(
                 F.min(F.when(F.col("__own__"), F.col("label"))).alias("__old__"),
             )
         )
-        agg = agg.localCheckpoint()
+        # lazy checkpoint: the changed-count action below materializes
+        # it — one action per round instead of two
+        agg = agg.localCheckpoint(eager=False)
         changed = agg.where(F.col("label") < F.col("__old__")).count()
         labels = agg.select("id", "label")
         if changed == 0:
@@ -553,7 +555,7 @@ def _dup_clusters_star(
             .unionByName(mins2.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # materialized by the count
         )
         n = S.count()
         converged = n == n_prev and S.subtract(E).isEmpty()

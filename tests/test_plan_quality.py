@@ -327,3 +327,12 @@ def test_simhash_arrow_plan_has_no_exchange(spark):
     assert "rangepartitioning" not in plan.lower()
     assert "HashAggregate" not in plan
     assert "ArrowEvalPython" in plan or "Python" in plan
+
+
+def test_moments_partial_aggregates(spark):
+    """The moments carrier is a struct of five sums — each must partial-
+    aggregate map-side like any plain sum (one exchange, two
+    HashAggregates)."""
+    plan = plan_of(spark, "moments_by_key")
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("Exchange") == 1
