@@ -79,8 +79,12 @@ def dependants(tail: g.Producer, keyfn=id) -> dict:
         for p in n.parents:
             k = keyfn(p)
             counts[k] = counts.get(k, 0) + 1
-            if id(p) not in seen:
-                seen.add(id(p))
+            # dedupe the walk by the SAME key used for counting: deduping
+            # by id(p) would walk both copies of a value-equal subtree and
+            # double-count every shared structural ancestor's fan-out,
+            # triggering spurious cache() under cache_fanout
+            if k not in seen:
+                seen.add(k)
                 walk(p)
 
     walk(tail)

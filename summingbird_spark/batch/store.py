@@ -362,8 +362,16 @@ def rollforward(
         batch_ids = sorted(
             r["batch_id"] for r in keyed.select("batch_id").distinct().collect()
         )
+        # Empty frames must carry the semigroup CARRIER value type (count →
+        # bigint, set/topk → array, avg/moments → struct), not keyed's RAW
+        # input type: read_snapshot overlays one multi-dir parquet read, and
+        # a raw-typed empty dir next to carrier-typed delta rows makes the
+        # schema merge throw or mis-type `value`. Deriving the schema from
+        # the aggregation expression itself covers every semigroup,
+        # including JVM-only carriers (CMS/Bloom) with no carrier_type().
+        empty_carrier = agg_over(keyed, list(store.key_cols)).limit(0)
         if not batch_ids and prev_df is None:
-            store.write_snapshot(_empty_like(spark, keyed, store), through_batch)
+            store.write_snapshot(empty_carrier, through_batch)
             return store.read_snapshot(spark, through_batch)
         if through_batch not in batch_ids:
             # empty trailing batches still advance the store's upper bound
@@ -390,7 +398,12 @@ def rollforward(
                 prev_df.withColumnRenamed("value", "__prev__"), store.key_cols, "left"
             )
         else:
-            g = deltas_b.withColumn("__prev__", F.lit(None))
+            # carrier-typed NULL, not a bare VOID literal: merge_null_safe
+            # for struct/array carriers (avg, moments, set, top-k)
+            # extracts fields from __prev__, which VOID can't support
+            g = deltas_b.withColumn(
+                "__prev__", F.lit(None).cast(deltas_b.schema["value"].dataType)
+            )
 
         w = (
             Window.partitionBy(*store.key_cols)
@@ -420,12 +433,28 @@ def rollforward(
             .partitionBy("batch_id")
             .parquet(store.path)
         )
-        for b in batch_ids:
+        # EVERY covered batch gets a version dir — including delta-less
+        # batches in the middle of the interval (not just the trailing
+        # bound): read_snapshot(b) must resolve for any covered b. The
+        # empty (carrier-typed!) dir is written by ONE Spark job and
+        # file-copied to the remaining delta-less batches — the job count
+        # must stay flat in the batch count (the one-pass invariant,
+        # asserted by test_write_each_batch_snapshots_are_cumulative).
+        import shutil
+
+        lo_cover = lo_batch if lo_batch is not None else batch_ids[0]
+        missing = [
+            b
+            for b in range(lo_cover, through_batch + 1)
+            if not os.path.isdir(store._version_path(b))
+        ]
+        if missing:
+            first = store._version_path(missing[0])
+            empty_carrier.write.mode("overwrite").parquet(first)
+            for b in missing[1:]:
+                shutil.copytree(first, store._version_path(b), dirs_exist_ok=True)
+        for b in range(lo_cover, through_batch + 1):
             p = store._version_path(b)
-            if not os.path.isdir(p):
-                # batch with no changed keys: an explicit empty change-log
-                # version still marks the bound as covered
-                _empty_like(spark, keyed, store).write.mode("overwrite").parquet(p)
             # per-version validity marker (the root _SUCCESS covers the
             # whole job; versions() requires one per batch dir) + the
             # change-log format marker
@@ -440,5 +469,3 @@ def rollforward(
         return store.read_snapshot(spark, through_batch)
 
 
-def _empty_like(spark, keyed: DataFrame, store: VersionedBatchStore) -> DataFrame:
-    return keyed.select(*store.key_cols, F.col("value")).limit(0)

@@ -434,7 +434,7 @@ def structural_key(node: "Producer", _memo: Optional[dict] = None):
         _memo = {}
     k = id(node)
     if k in _memo:
-        return _memo[k]
+        return _memo[k][1]
     attrs = tuple(
         sorted(
             (
@@ -450,5 +450,12 @@ def structural_key(node: "Producer", _memo: Optional[dict] = None):
         attrs,
         tuple(structural_key(p, _memo) for p in node.parents),
     )
-    _memo[k] = key
+    # store the NODE alongside the key: the memo is keyed by id(node), and
+    # planners keep one memo across plan() calls — without a strong
+    # reference, a GC'd graph frees its ids for reuse and a later plan()
+    # could silently read a stale key (and hence a stale compiled
+    # DataFrame) for a brand-new node. Pinning the node also pins its
+    # opaque attrs (lambdas, services), keeping _canon's ('obj', id(v))
+    # fallback sound.
+    _memo[k] = (node, key)
     return key

@@ -657,6 +657,14 @@ def contamination(
     """
     if method not in ("broadcast", "bloom"):
         raise ValueError(f"method must be 'broadcast' or 'bloom'; got {method!r}")
+    if method == "bloom" and not (1 <= int(bloom_k) and 8 * int(bloom_k) <= 32):
+        # positions come from disjoint 8-hex-char slices of the 32-char md5:
+        # k > 4 would slice past the digest (F.substring → '' → NULL
+        # positions → UDF crash), k < 1 is no filter at all
+        raise ValueError(
+            f"bloom_k must be in 1..4 (8 hex chars of the 32-char md5 per "
+            f"position); got {bloom_k!r}"
+        )
     eid = eval_id_col or id_col
 
     def grams(df, idc, alias):
@@ -676,9 +684,13 @@ def contamination(
         from pyspark.sql.types import BooleanType
 
         # eval-side cardinality: one bounded driver scalar (the eval set
-        # is benchmark-sized by definition)
+        # is benchmark-sized by definition). m rounds up to whole 64-bit
+        # words so the packed little-endian word array indexes bytewise as
+        # byte p>>3 / bit p&7.
         n_ev = ev.select("__gd__").distinct().count()
         m = max(64, int(bloom_bits_per_item) * max(n_ev, 1))
+        m = ((m + 63) // 64) * 64
+        n_words = m // 64
 
         def positions(gd: Column) -> Column:
             # k positions from disjoint 8-hex-char (32-bit) slices of the
@@ -694,19 +706,40 @@ def contamination(
                 ]
             )
 
-        set_bits = np.zeros((m + 7) // 8, dtype=np.uint8)
-        rows = (
+        # Distributed bitset build (the BloomSemigroup.bitset_table shape,
+        # core/semigroup.py): fold each position's bit into its 64-bit word
+        # with codegen bit_or — the shuffle carries at most one row per
+        # DISTINCT set word (≤ m/64), not the k·|eval grams| positions the
+        # naive build would collect. The driver fetches exactly the packed
+        # array it is about to broadcast — the filter itself, which must
+        # fit executor memory regardless — via one Arrow batch.
+        word_rows = (
             ev.select(F.explode(positions(F.col("__gd__"))).alias("p"))
-            .distinct()
-            .collect()
+            .select(
+                (F.col("p") / 64).cast("int").alias("w"),
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (F.col("p") % 64).cast("int")
+                ).alias("b"),
+            )
+            .groupBy("w")
+            .agg(F.bit_or("b").alias("bits"))
+            .toPandas()
         )
-        for r in rows:
-            p = int(r["p"])
-            set_bits[p >> 3] |= 1 << (p & 7)
-        bits_payload = set_bits.tobytes()  # ships in the UDF closure
+        words = np.zeros(n_words, dtype=np.int64)
+        words[word_rows["w"].to_numpy(dtype=np.int64)] = word_rows["bits"].to_numpy(
+            dtype=np.int64
+        )
+        # little-endian packing: word w bytes 8w..8w+7 ⇒ global bit p lives
+        # at byte p>>3, bit p&7 — same addressing as the probe below
+        bits_bc = train.sparkSession.sparkContext.broadcast(
+            words.astype("<i8").tobytes()
+        )
 
         def might_contain(pos_series):
-            bits = np.frombuffer(bits_payload, dtype=np.uint8)
+            # broadcast, not closure: the bitset ships to each executor
+            # ONCE via the block manager instead of re-serializing a
+            # multi-MB closure with every task batch
+            bits = np.frombuffer(bits_bc.value, dtype=np.uint8)
             out = np.empty(len(pos_series), dtype=bool)
             for i, ps in enumerate(pos_series):
                 p = np.asarray(ps, dtype=np.int64)

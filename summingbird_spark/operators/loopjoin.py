@@ -40,15 +40,19 @@ def loop_join(
     out_type: Optional[str] = None,
 ) -> DataFrame:
     """Per key, in time order: emit the running store value *before* each
-    row (NULL for the first), then fold ``transform(value, seen_state)``
-    into the store. ``transform=None`` means identity (fold the raw value).
+    row (NULL for the first), then fold the value into the store.
+    ``transform=None`` folds ``py_lift(value)`` (the carrier lift — count
+    folds 1, set folds {v}); a user ``transform(value, seen_state)`` sees
+    the carrier-typed state and must RETURN a carrier value, which is
+    merged as-is (no lift).
 
-    Returns all input columns plus ``out_col``.
+    Returns all input columns plus ``out_col`` (carrier-typed; override
+    with ``out_type`` when a transform changes the carrier).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     order_cols = [time_col] if isinstance(time_col, str) else list(time_col)
     sg = sg_mod.get(semigroup)
-    vt = out_type or df.schema[value_col].dataType.simpleString()
+    vt = out_type or sg.carrier_type(df.schema[value_col].dataType.simpleString())
     schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
         + [f"`{out_col}` {vt}"]
@@ -73,6 +77,11 @@ def loop_join(
         out = _WIN[sg.name](F.col(value_col)).over(w)
         if sg.name == "sum_long":
             out = out.cast("long")
+        if sg.name == "count":
+            # scanLeft contract: NULL before the first fold (F.count over
+            # an empty/all-null prior window yields 0, unlike sum/min/max
+            # which yield NULL)
+            out = F.when(out > 0, out)
         return df.withColumn(out_col, out)
 
     # General case: one shuffle on the key, keys sorted contiguously within
@@ -94,7 +103,16 @@ def loop_join(
                 if kt != cur_key:
                     cur_key, state = kt, None
                 joined.append(state)
-                upd = transform(v, state) if transform is not None else v
+                # identity path folds the LIFTED value (count folds 1, set
+                # folds {v}, …) — py_merge is raw-safe only when the
+                # carrier IS the raw type (the py_lift contract,
+                # core/semigroup.py). A user transform observes the carrier
+                # state and must RETURN a carrier value itself, so it is
+                # merged unlifted.
+                if transform is not None:
+                    upd = transform(v, state)
+                else:
+                    upd = sg.py_lift(v) if v is not None else None
                 if upd is not None:
                     state = upd if state is None else sg.py_merge(state, upd)
             pdf = pdf.copy()

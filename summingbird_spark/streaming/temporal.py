@@ -293,7 +293,7 @@ def streaming_self_loop(
     on = [on] if isinstance(on, str) else list(on)
     order_by = list(order_by) if order_by else []
     sg = sg_mod.get(semigroup)
-    out_type = df.schema[delta_col].dataType.simpleString()
+    out_type = sg.carrier_type(df.schema[delta_col].dataType.simpleString())
     out_schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
         + [f"`{out_col}` {out_type}"]

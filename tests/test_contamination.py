@@ -179,3 +179,16 @@ def test_bloom_method_equals_broadcast(spark, tables):
         ).collect()
     )
     assert tiny == exact[2]
+
+
+def test_contamination_bloom_k_validated(spark):
+    """bloom_k slices 8 hex chars of the 32-char md5 per position — k > 4
+    runs past the digest (NULL positions, UDF crash); k < 1 is no filter.
+    Both must fail fast with a clear message (ADVICE r6)."""
+    import pytest
+
+    docs = _df(spark, [(1, "a b c")])
+    for bad in (0, 5, -1):
+        with pytest.raises(ValueError, match="bloom_k"):
+            contamination(docs, docs, "doc_id", "text",
+                          method="bloom", bloom_k=bad)

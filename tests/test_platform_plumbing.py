@@ -385,3 +385,58 @@ def test_structural_memoization_diamond(spark):
     r1, r2 = src.map(r=F.rand()), src.map(r=F.rand())
     assert pl.compile(r1) is not pl.compile(r2)  # independent draws
     d1.unpersist()
+
+
+def test_fanout_not_double_counted_by_value_equal_copies(spark):
+    """Dedupe the dependants walk by STRUCTURAL key (ADVICE r6): two
+    value-equal chains collapse to one node, so their shared interior
+    (the filter below the map) has exactly ONE consumer — deduping the
+    walk by id() used to walk both copies and double-count it, causing
+    spurious cache() under cache_fanout."""
+    from summingbird_spark import source
+    from summingbird_spark.batch.planner import BatchPlanner, dependants
+
+    df = spark.createDataFrame([(1, 5.0), (2, -1.0)], "user_id long, value double")
+    src = source(df, name="t")
+
+    def chain():
+        return src.filter(F.col("value") > 0).map(v2=F.col("value") * 2)
+
+    b1, b2 = chain(), chain()
+    pl = BatchPlanner(spark, cache_fanout=True)
+    plan = pl.plan(b1.merge(b2))
+    skey = pl._skey
+    counts = dependants(b1.merge(b2), keyfn=skey)
+    # collapsed graph: merge consumes the map twice; the map consumes the
+    # filter ONCE; the filter consumes the source once
+    assert counts[skey(b1)] == 2
+    assert counts[skey(b1.parents[0])] == 1
+    assert counts[skey(src)] == 1
+    assert pl.compile(b1).is_cached            # genuine fan-out 2
+    assert not pl.compile(b1.parents[0]).is_cached  # no spurious cache
+    assert plan.dataframe.count() == 2
+    pl.compile(b1).unpersist()
+
+
+def test_structural_memo_pins_nodes(spark):
+    """The planner's structural-key memo holds a strong reference to each
+    node it keyed (ADVICE r6): without it, a GC'd graph frees its ids for
+    CPython reuse and a later plan() could read a stale key — and hence a
+    stale compiled DataFrame — for a brand-new node."""
+    import gc
+
+    from summingbird_spark import source
+    from summingbird_spark.batch.planner import BatchPlanner
+
+    df = spark.createDataFrame([(1, 5.0)], "user_id long, value double")
+    pl = BatchPlanner(spark)
+    node = source(df, name="t").filter(F.col("value") > 0)
+    pl.plan(node)
+    assert all(ent[0] is not None for ent in pl._skmemo.values())
+    pinned = {id(ent[0]) for ent in pl._skmemo.values()}
+    assert id(node) in pinned
+    node_ref = node
+    del node
+    gc.collect()
+    # the memoized nodes survive the caller dropping its references
+    assert any(ent[0] is node_ref for ent in pl._skmemo.values())

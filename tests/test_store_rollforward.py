@@ -408,3 +408,58 @@ def test_incremental_dedup_rejects_cross_batch_duplicates(spark, tmp_path):
     rollforward(spark, store, deltas, batcher, 1)   # docs 15, 16 merge in
     final = {r["digest"]: r["value"] for r in store.read_last(spark)[1].collect()}
     assert sorted(final.values()) == [0, 1, 16]     # 15 lost to 0 (same digest)
+
+
+def test_write_each_batch_lifted_carrier_empty_trailing_batch(spark, tmp_path):
+    """Empty change-log version dirs must carry the semigroup CARRIER
+    schema, not the raw input type (ADVICE r6, high): an 'avg' store's
+    change-log rows are struct<s,n> while the raw value is long — an
+    empty trailing batch (through_batch past the last event) used to
+    write a long-typed empty dir, and the overlay's multi-dir parquet
+    read then failed or mis-typed `value` depending on schema sampling."""
+    rows = [(ts(i), f"k{i % 2}", i + 1) for i in range(4)]  # batches b0, b0+1
+    df = (
+        spark.createDataFrame(rows, "ts timestamp, key string, value long")
+        .withColumn(TIME_COL, F.col("ts"))
+    )
+    batcher = sb.of_hours(2)
+    b0 = batcher.batch_of(ts(0))
+    store = VersionedBatchStore(str(tmp_path / "avg"), ["key"], "avg")
+    # through b0+3: batch b0+2 and the trailing b0+3 both have no events
+    snap = rollforward(spark, store, df, batcher, b0 + 3, write_each_batch=True)
+    vt = dict(snap.dtypes)["value"]
+    assert vt.startswith("struct"), vt
+    got = {r.key: (r.value.s, r.value.n) for r in snap.collect()}
+    assert got == {"k0": (1 + 3, 2), "k1": (2 + 4, 2)}
+    # the intermediate empty batch reads back with the carrier schema too
+    mid = store.read_snapshot(spark, b0 + 2)
+    assert dict(mid.dtypes)["value"] == vt
+    assert {r.key: (r.value.s, r.value.n) for r in mid.collect()} == got
+    # and every on-disk version dir (incl. the two empty ones) agrees
+    for b in range(4):
+        vdt = dict(spark.read.parquet(store._version_path(b0 + b)).dtypes)["value"]
+        assert vdt == vt, f"batch {b}: {vdt}"
+
+
+def test_write_each_batch_set_carrier_empty_store_bootstrap(spark, tmp_path):
+    """First-run rollforward over an interval with ZERO events writes a
+    carrier-typed (array, for 'set') empty snapshot a later roll can
+    overlay without schema conflict."""
+    batcher = sb.of_hours(2)
+    b0 = batcher.batch_of(ts(0))
+    empty = (
+        spark.createDataFrame([], "ts timestamp, key string, value string")
+        .withColumn(TIME_COL, F.col("ts"))
+    )
+    store = VersionedBatchStore(str(tmp_path / "set"), ["key"], "set")
+    snap0 = rollforward(spark, store, empty, batcher, b0, write_each_batch=True)
+    assert dict(snap0.dtypes)["value"].startswith("array"), snap0.dtypes
+    assert snap0.count() == 0
+    rows = [(ts(3), "k", "x"), (ts(3), "k", "y")]
+    df = (
+        spark.createDataFrame(rows, "ts timestamp, key string, value string")
+        .withColumn(TIME_COL, F.col("ts"))
+    )
+    snap = rollforward(spark, store, df, batcher, b0 + 1, write_each_batch=True)
+    got = {r.key: sorted(r.value) for r in snap.collect()}
+    assert got == {"k": ["x", "y"]}
