@@ -90,14 +90,17 @@ def client_view(
         # None): an empty batch layer must not expose online batches > N
         if through_batch is not None:
             online = online.where(F.col("batch_id") <= F.lit(through_batch))
+    # store deltas are CARRIER values (the online summer already lifted
+    # them) — fold with agg_carrier/agg_carrier_ordered, never the
+    # raw-contract agg (count tallies would re-count as rows)
     if sg.commutative:
         online_total = online.groupBy(*key_cols).agg(
-            sg.agg(F.col(value_col)).alias(value_col)
+            sg.agg_carrier(F.col(value_col)).alias(value_col)
         )
     else:
         order = F.col("batch_id") if "batch_id" in online.columns else F.col(value_col)
         online_total = online.groupBy(*key_cols).agg(
-            sg.agg_ordered(order, F.col(value_col)).alias(value_col)
+            sg.agg_carrier_ordered(order, F.col(value_col)).alias(value_col)
         )
     return merge_keyed(
         [offline_snapshot.select(*key_cols, value_col), online_total],

@@ -97,10 +97,12 @@ class ClientMergeable:
             vis = d.join(o, self.key_cols, "inner").where(
                 F.col("__ob__") <= F.col("batch_id")
             )
+            # online rows hold CARRIER values — carrier fold, not the
+            # raw-contract agg/agg_ordered
             if sg.commutative:
-                agg = sg.agg(F.col("__ov__"))
+                agg = sg.agg_carrier(F.col("__ov__"))
             else:
-                agg = sg.agg_ordered(F.col("__ob__"), F.col("__ov__"))
+                agg = sg.agg_carrier_ordered(F.col("__ob__"), F.col("__ov__"))
             on_tot = vis.groupBy(*self.key_cols, "batch_id").agg(agg.alias("__on__"))
             pre_on = d.join(on_tot, [*self.key_cols, "batch_id"], "left")
         else:

@@ -89,6 +89,35 @@ class Semigroup:
             .otherwise(self.merge(a, b))
         )
 
+    def agg_carrier(self, col: Column) -> Column:
+        """Aggregate a column of CARRIER values (already-lifted: a summer's
+        prev/delta, a store's persisted values) — a merge() fold, NOT
+        ``agg``, which expects RAW inputs and re-lifts (``agg`` over count
+        tallies would count the rows; over moments structs it would
+        power-sum structs). Identity-lift expression semigroups override
+        this with their codegen ``agg``."""
+        lst = F.collect_list(col)
+        return F.aggregate(
+            F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
+            F.element_at(lst, 1),
+            lambda a, b: self.merge(a, b),
+        )
+
+    def agg_carrier_ordered(self, time_col: Column, col: Column) -> Column:
+        """Ordered merge() fold of CARRIER values (e.g. the client-side
+        merge of per-batch online-store deltas). Unlike ``agg_ordered``
+        (raw-input contract, overridden per semigroup to lift), this is
+        always the plain sorted carrier fold and is never overridden."""
+        pairs = F.array_sort(
+            F.collect_list(F.struct(time_col.alias("t"), col.alias("v")))
+        )
+        vals = F.transform(pairs, lambda p: p["v"])
+        return F.aggregate(
+            F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+            F.element_at(vals, 1),
+            lambda acc, x: self.merge(acc, x),
+        )
+
     # Ordered (non-commutative) semigroups aggregate (time, value) pairs.
     def agg_ordered(self, time_col: Column, col: Column) -> Column:
         """Time-ordered fold; default = sort collected pairs then reduce.
@@ -138,6 +167,14 @@ class _ExprSemigroup(Semigroup):
         if self._carrier_type is None:
             return value_spark_type
         return self._carrier_type(value_spark_type)
+
+    def agg_carrier(self, col: Column) -> Column:
+        # identity lift ⇒ carrier == raw ⇒ the codegen aggregate IS the
+        # carrier fold (sum of sums, min of mins); lifted carriers (count
+        # tallies, set arrays) take the generic merge() fold
+        if self._py_lift is None:
+            return self.agg(col)
+        return super().agg_carrier(col)
 
 
 class TopKSemigroup(Semigroup):

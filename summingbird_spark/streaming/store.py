@@ -91,9 +91,12 @@ class OnlineStore:
         spark = delta_df.sparkSession
         sg = self.semigroup
         # deltas within one micro-batch frame are already per-(key, batch)
-        # singletons from the stateful summer; fold defensively anyway
+        # singletons from the stateful summer; fold defensively anyway.
+        # CARRIER fold (agg_carrier), not agg: the summer emits lifted
+        # values — agg over a count tally would re-count rows (delta 5 →
+        # 1), over moments structs it would power-sum structs
         delta = delta_df.groupBy(*self.key_cols).agg(
-            sg.agg(F.col(value_col)).alias("__d__")
+            sg.agg_carrier(F.col(value_col)).alias("__d__")
         )
         cur = self.read(spark)
         if cur is None:

@@ -203,3 +203,51 @@ def test_presenting_store_debounce_batches_fires(spark, lambda_stores, tmp_path)
     got2 = {r.key: r.presented for r in target.read(spark).collect()}
     assert got2["k0"] == (off["k0"] + 1000 + 7 + 5 + 2) * 10
     assert got2["k1"] == got["k1"]
+
+
+def test_online_store_lifted_carrier_multi_merge(spark, tmp_path):
+    """multi_merge folds CARRIER deltas with agg_carrier, not the
+    raw-contract agg: a 'count' tally of 5 must add 5 (agg would re-count
+    the row as 1); an 'avg' struct must struct-add, not crash."""
+    cnt = OnlineStore(str(tmp_path / "cnt"), ["key"], "count")
+    cnt.multi_merge(spark.createDataFrame(
+        [("k", 0, 5), ("k", 1, 2)], "key string, batch_id long, delta long"))
+    cnt.multi_merge(spark.createDataFrame(
+        [("k", 0, 3)], "key string, batch_id long, delta long"))
+    got = {(r.key, r.batch_id): r.value for r in cnt.read(spark).collect()}
+    assert got == {("k", 0): 8, ("k", 1): 2}
+
+    avg = OnlineStore(str(tmp_path / "avg"), ["key"], "avg")
+    d = spark.createDataFrame(
+        [("k", 0, (10.0, 2)), ("k", 0, (5.0, 1))],
+        "key string, batch_id long, delta struct<s double, n long>")
+    avg.multi_merge(d)
+    [r] = avg.read(spark).collect()
+    assert (r.value.s, r.value.n) == (15.0, 3)
+
+
+def test_client_merge_lifted_carrier_online_totals(spark, tmp_path):
+    """client_view over a 'count' lambda architecture: the online layer's
+    per-batch tallies must SUM across batches (agg_carrier), not count
+    the delta rows."""
+    batcher = sb.of_days(1)
+    rows = [(ts(i), f"k{i % 2}", i) for i in range(24)]  # day 0: 12 per key
+    df = spark.createDataFrame(rows, "ts timestamp, key string, value long")
+    ev = df.withColumn(TIME_COL, F.col("ts"))
+    b0 = batcher.batch_of(ts(0))
+    offline = sb.VersionedBatchStore(str(tmp_path / "off"), ["key"], "count")
+    sb.rollforward(spark, offline, ev, batcher, b0)
+
+    online = OnlineStore(str(tmp_path / "on"), ["key"], "count")
+    online.multi_merge(spark.createDataFrame(
+        [("k0", b0 + 1, 5), ("k0", b0 + 2, 7), ("k1", b0 + 1, 1)],
+        "key string, batch_id long, delta long",
+    ))
+    got = {
+        r.key: r.value
+        for r in client_view(
+            offline.read_last(spark)[1], online.read(spark), ["key"], "count",
+            offline_batch=b0,
+        ).collect()
+    }
+    assert got == {"k0": 12 + 5 + 7, "k1": 12 + 1}
