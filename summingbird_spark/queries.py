@@ -4008,7 +4008,17 @@ def q_bloom_membership(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     blooms = sg.bitset_table(members, "event_type", "__u__")
-    all_users = ev.select(F.col("user_id").cast("string").alias("__u__")).distinct()
+    # FP-rate probe set: a deterministic hash-sample of the user universe
+    # (VERDICT r6 item 5) — the estimate needs a sample, not all of
+    # types × users (unbounded at scale). orderBy(hash).limit compiles to
+    # TakeOrdered (per-partition top-K, no full sort); at small SF every
+    # user survives, so the measured rate is unchanged there.
+    all_users = (
+        ev.select(F.col("user_id").cast("string").alias("__u__"))
+        .distinct()
+        .orderBy(F.xxhash64(F.col("__u__"), F.lit(7)).asc(), F.col("__u__").asc())
+        .limit(4096)
+    )
     types = members.select("event_type").distinct()
     probes = (
         types.crossJoin(all_users)

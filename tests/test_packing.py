@@ -202,3 +202,33 @@ def test_write_shards_jsonl(spark, tmp_path):
         with open(f) as fh:
             rows += [json.loads(line) for line in fh if line.strip()]
     assert sorted(r["doc_id"] for r in rows) == list(range(20))
+
+
+def test_write_shards_compression_and_file_cap(spark, tmp_path):
+    """JSONL shards with gzip compression and a per-file byte cap: files
+    carry the .gz suffix, read back identically, and no shard file
+    exceeds the cap's derived record budget (VERDICT r6 item 7)."""
+    import glob
+
+    from summingbird_spark.functions.packing import write_shards
+
+    rows = [(i, "x" * 200, 10) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, w long")
+    out = str(tmp_path / "shards")
+    write_shards(
+        df, out, weight_col="w", budget=100, id_col="doc_id",
+        fmt="json", compression="gzip", max_file_bytes=2000,
+    )
+    files = glob.glob(f"{out}/shard_id=*/part-*")
+    assert files and all(f.endswith(".json.gz") for f in files)
+    back = spark.read.schema("doc_id long, text string, w long").json(
+        f"{out}/shard_id=*"
+    )
+    assert back.count() == 60
+    assert sorted(r.doc_id for r in back.collect()) == list(range(60))
+    # cap: ~230B/record uncompressed, 2000B cap => <= ~8 records per file
+    import gzip
+
+    for f in files:
+        with gzip.open(f, "rt") as fh:
+            assert len(fh.readlines()) <= 10
