@@ -336,3 +336,48 @@ def test_moments_partial_aggregates(spark):
     plan = plan_of(spark, "moments_by_key")
     assert plan.count("HashAggregate") == 2
     assert plan.count("Exchange") == 1
+
+
+def test_tpch_q8_broadcasts_every_dimension(spark):
+    """Q8's 7-way star: the only shuffle joins are the fact chain
+    (lineitem-orders-customer); part/supplier/nation x2/region all
+    broadcast, and the ratio aggregates partially map-side."""
+    plan = plan_of(spark, "tpch_q8_market_share")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    # the date filter reaches the orders scan
+    o_scan = [s for s in scans_of(plan) if "o_orderdate" in s][0]
+    assert "PushedFilters: [" in o_scan and "IsNotNull" in o_scan
+
+
+def test_tpch_q15_scalar_max_is_broadcast_not_rescan(spark):
+    """The Q15 scalar subquery (max revenue) must come from the SAME
+    per-supplier aggregate, broadcast back — exactly one lineitem scan
+    feeding two HashAggregate chains, no window over the whole table."""
+    plan = plan_of(spark, "tpch_q15_top_supplier")
+    li_scans = [s for s in scans_of(plan) if "l_suppkey" in s]
+    # ReusedExchange/Subquery reuse may still print one scan per branch;
+    # what must NOT happen is a SortMergeJoin or a global Window
+    assert len(li_scans) <= 2
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q17_threshold_join_no_cartesian(spark):
+    plan = plan_of(spark, "tpch_q17_small_quantity_revenue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # part prefilter pushed to its scan
+    p_scan = [s for s in scans_of(plan) if "p_brand" in s][0]
+    assert "PushedFilters: [" in p_scan and "p_brand" in p_scan
+
+
+def test_tpch_q22_anti_join_and_scalar_broadcast(spark):
+    plan = plan_of(spark, "tpch_q22_dormant_customers")
+    assert "LeftAnti" in plan
+    # the one-row scalar rides a broadcast nested loop (1 row x N is
+    # fine); the data joins must not
+    assert "CartesianProduct" not in plan
+    # date prune reaches the orders scan
+    o_scan = [s for s in scans_of(plan) if "o_orderdate" in s][0]
+    assert "PushedFilters: [" in o_scan
