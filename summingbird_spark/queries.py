@@ -4346,16 +4346,25 @@ def q_stream_buffer_join(spark: SparkSession, sf: str) -> DataFrame:
         left, right, "user_id", "ts", "rts",
         window="1 day", watermark="3650 days", how="inner",
     )
-    q = (
-        joined.select("event_id", "rts", "rv")
-        .writeStream.format("parquet")
-        .option("path", f"{work}/hits")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # state-store sizing, same rationale as stream_sum_by_key: the join's
+    # state partition count pins to shuffle partitions at checkpoint
+    # creation; 8 fits this corpus's key cardinality, 32+ just multiplies
+    # per-trigger task overhead across both buffered sides
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.select("event_id", "rts", "rv")
+            .writeStream.format("parquet")
+            .option("path", f"{work}/hits")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     hits = spark.read.schema("event_id long, rts timestamp, rv double").parquet(
         f"{work}/hits"
     )

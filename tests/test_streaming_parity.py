@@ -747,3 +747,83 @@ def test_stream_lifted_carriers_match_batch(spark, stream_dir, tmp_path):
         assert set(got) == set(want)
         for kb in want:
             assert got[kb] == want[kb], (sg_name, kb, got[kb], want[kb])
+
+
+def test_stream_stream_outer_emission_and_eviction(spark, tmp_path):
+    """The watermark machinery of the stream-stream buffer join, observed
+    directly (documents stream_buffer_join's scope notes): (1) an
+    unmatched LEFT row outer-emits null-extended once the watermark
+    passes it; (2) a late right row arriving after the left row's state
+    was EVICTED finds nothing to match — the join's completeness bound
+    is state eviction, not an input filter (a late row landing one batch
+    earlier, while the left row is still buffered, DOES still match:
+    verified while building this test); (3) end-of-stream unmatched
+    rows never flush under availableNow (why the graded query completes
+    the outer side batch-side)."""
+    import os
+    import time
+
+    from summingbird_spark.streaming.joins import stream_stream_left_join
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    ldir.mkdir(), rdir.mkdir()
+    now = time.time()
+
+    def write_chunk(d, name, rows, schema, mtime):
+        import glob, shutil
+
+        tmp = d / f"__{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmp))
+        [f] = glob.glob(str(tmp / "*.parquet"))
+        dst = str(d / f"{name}.parquet")
+        shutil.move(f, dst)
+        shutil.rmtree(str(tmp))
+        os.utime(dst, (mtime, mtime))
+
+    LS = "lts timestamp, key string"
+    RS = "rts timestamp, key string, rv long"
+    # batch 1: k1 matches; k2 stays buffered unmatched
+    write_chunk(ldir, "l1", [(m(0), "k1"), (m(5), "k2")], LS, now - 400)
+    write_chunk(rdir, "r1", [(m(-1), "k1", 1)], RS, now - 400)
+    # batch 2: 4 hours ahead — after it, the watermark passes k2, whose
+    # state evicts (and outer-emits null)
+    write_chunk(ldir, "l2", [(m(240), "k3")], LS, now - 300)
+    write_chunk(rdir, "r2", [(m(240), "k9", 9)], RS, now - 300)
+    # batch 3: padding so k2's eviction is strictly before the late row
+    write_chunk(ldir, "l3", [(m(480), "k4")], LS, now - 200)
+    write_chunk(rdir, "r3", [(m(480), "k8", 8)], RS, now - 200)
+    # batch 4: the LATE right row for k2 (in-window: 10:04 <= 10:05 <=
+    # 10:34) arrives two batches after k2's eviction — no match
+    write_chunk(ldir, "l4", [(m(720), "k5")], LS, now - 100)
+    write_chunk(rdir, "r4", [(m(4), "k2", 7), (m(720), "k10", 10)], RS, now - 100)
+
+    def rd(d, schema):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+
+    joined = stream_stream_left_join(
+        rd(ldir, LS), rd(rdir, RS), "key", "lts", "rts",
+        window="30 minutes", watermark="10 minutes", how="leftOuter",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT key, rv FROM ssj_wm").collect()
+    got = {(r.key, r.rv) for r in rows}
+    assert ("k1", 1) in got          # in-window match emits
+    assert ("k2", None) in got       # outer emission after watermark passed
+    assert ("k2", 7) not in got      # evicted state cannot match late data
+    assert ("k5", None) not in got   # end-of-stream unmatched never flushes
