@@ -320,3 +320,49 @@ def test_bloom_semigroup_laws(spark):
     import math
     theo = (1 - math.exp(-sg.k * len(items) / sg.bits)) ** sg.k
     assert fp <= max(5, 3 * theo * 300)
+
+
+def test_agg_carrier_equals_python_fold_per_semigroup(spark):
+    """agg_carrier law (the carrier-fold contract behind multi_merge /
+    client_view): for every semigroup with a Python carrier model,
+    aggregating a column of ALREADY-LIFTED values must equal the Python
+    py_lift+py_merge fold of the raw inputs — i.e. lifting exactly once.
+    The raw-contract `agg` over carriers violates this for every
+    non-identity lift (count tallies re-counted as rows)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from summingbird_spark.core import semigroup as sg_mod
+
+    raws = [3, 1, 4, 1, 5, 9, 2, 6]
+    cases = {
+        # name -> (raw python values, carrier spark type, normalizer)
+        "sum": (raws, "bigint", lambda v: v),
+        "sum_long": (raws, "bigint", lambda v: v),
+        "count": (raws, "bigint", lambda v: v),
+        "min": (raws, "bigint", lambda v: v),
+        "max": (raws, "bigint", lambda v: v),
+        "set": ([str(v) for v in raws], "array<string>", lambda v: sorted(v)),
+        "avg": (
+            [float(v) for v in raws],
+            "struct<s double, n bigint>",
+            lambda v: (v["s"], v["n"]) if isinstance(v, dict) else (v.s, v.n),
+        ),
+        "moments": (
+            [float(v) for v in raws],
+            "struct<n bigint, s1 double, s2 double, s3 double, s4 double>",
+            lambda v: tuple(
+                round(v[k] if isinstance(v, dict) else getattr(v, k), 6)
+                for k in ("n", "s1", "s2", "s3", "s4")
+            ),
+        ),
+    }
+    for name, (vals, ctype, norm) in cases.items():
+        sg = sg_mod.get(name)
+        carriers = [sg.py_lift(v) for v in vals]
+        want = norm(sg.py_agg(vals))
+        df = spark.createDataFrame([(c,) for c in carriers], f"c {ctype}")
+        [row] = df.agg(sg.agg_carrier(F.col("c")).alias("out")).collect()
+        got = norm(row.out)
+        assert got == want, (name, got, want)

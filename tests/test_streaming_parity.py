@@ -827,3 +827,74 @@ def test_stream_stream_outer_emission_and_eviction(spark, tmp_path):
     assert ("k2", None) in got       # outer emission after watermark passed
     assert ("k2", 7) not in got      # evicted state cannot match late data
     assert ("k5", None) not in got   # end-of-stream unmatched never flushes
+
+
+def test_streaming_session_window_equals_batch(spark, stream_dir, tmp_path):
+    """Session windows under Structured Streaming (watermark + append)
+    equal the batch session_window aggregation over the same data — the
+    native-Spark capability the reference lacks (SURVEY §2.5), proven on
+    the streaming engine itself. The final sessions close only when the
+    watermark passes them, so the stream appends a sentinel far-future
+    chunk; the comparison excludes sentinel sessions."""
+    import glob, os, shutil, time
+
+    gap, horizon = "47 minutes", ts(400)
+    batch_df = spark.read.schema(SCHEMA).parquet(stream_dir)
+
+    def sessions(df):
+        return (
+            df.groupBy("key", F.session_window("ts", gap))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tot"))
+            .select(
+                "key",
+                F.unix_millis(F.col("session_window.start")).alias("start_ms"),
+                "n",
+                "tot",
+            )
+        )
+
+    want = {
+        (r.key, r.start_ms): (r.n, r.tot)
+        for r in sessions(batch_df).collect()
+        if r.start_ms < int(horizon.timestamp() * 1000)
+    }
+    assert len(want) > 5  # non-degenerate: real session structure exists
+
+    # copy the 3 chunks, append a far-future flush chunk per key (its own
+    # sessions are excluded; it only advances the watermark so every real
+    # session closes and APPEND emits it)
+    d = tmp_path / "src"
+    d.mkdir()
+    now = time.time()
+    for i, f in enumerate(sorted(glob.glob(os.path.join(stream_dir, "*.parquet")))):
+        shutil.copy(f, str(d / os.path.basename(f)))
+        os.utime(str(d / os.path.basename(f)), (now - 400 + i, now - 400 + i))
+    flush = [(ts(500 + i), f"k{i}", 0) for i in range(5)]
+    tmpd = d / "__flush"
+    spark.createDataFrame(flush, SCHEMA).coalesce(1).write.parquet(str(tmpd))
+    [pf] = glob.glob(str(tmpd / "*.parquet"))
+    shutil.move(pf, str(d / "zflush.parquet"))
+    shutil.rmtree(str(tmpd))
+    os.utime(str(d / "zflush.parquet"), (now, now))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withWatermark("ts", "1 minute")
+    )
+    q = (
+        sessions(stream)
+        .writeStream.format("memory")
+        .queryName("sess_s")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.key, r.start_ms): (r.n, r.tot)
+        for r in spark.sql("SELECT * FROM sess_s").collect()
+        if r.start_ms < int(horizon.timestamp() * 1000)
+    }
+    assert got == want
