@@ -422,3 +422,71 @@ def test_rollforward_split_property_changelog(
     assert got == dict(want)
     if keep is not None:
         assert len(store.versions()) <= keep
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=events_strategy,
+    width=width_strategy,
+    split=st.integers(min_value=0, max_value=120),
+    sg_name=st.sampled_from(["count", "avg", "set", "moments"]),
+)
+def test_rollforward_split_property_lifted_carriers(
+    spark, rows, width, split, sg_name, tmp_path_factory
+):
+    """The k-step == one-shot rollforward property for LIFTED-carrier
+    semigroups through the change-log store format — the combination the
+    round-7 carrier-schema fixes enable (empty version dirs and __prev__
+    must be carrier-typed; values merge as carriers). Oracle is the
+    Python py_lift/py_merge fold; integer inputs keep double sums exact,
+    so equality is bitwise."""
+    from pyspark.sql import functions as F
+
+    from summingbird_spark.core import semigroup as sg_mod
+
+    data = [(BASE + dt.timedelta(seconds=s), k, v) for s, k, v in rows]
+    sg = sg_mod.get(sg_name)
+    if sg_name == "set":
+        data = [(t, k, str(v)) for t, k, v in data]
+        schema = "ts timestamp, key string, value string"
+    else:
+        schema = "ts timestamp, key string, value long"
+    df = spark.createDataFrame(data, schema).withColumn(sb.TIME_COL, F.col("ts"))
+    batcher = sb.of_millis(width)
+    b_lo = min(batcher.batch_of(t) for t, _, _ in data)
+    b_hi = max(batcher.batch_of(t) for t, _, _ in data)
+    b_mid = min(b_lo + split, b_hi)
+
+    d = tmp_path_factory.mktemp("liftprop")
+    store = sb.VersionedBatchStore(str(d / "s"), ["key"], sg_name)
+    sb.rollforward(spark, store, df, batcher, b_mid, write_each_batch=True)
+    # an empty covered tail past the last event exercises the
+    # carrier-typed empty change-log dirs
+    snap = sb.rollforward(spark, store, df, batcher, b_hi + 2, write_each_batch=True)
+
+    def norm(v):
+        if sg_name == "set":
+            return tuple(v)
+        if sg_name == "count":
+            return v
+        d_ = v.asDict() if hasattr(v, "asDict") else v
+        return tuple(sorted(d_.items()))
+
+    got = {r.key: norm(r.value) for r in snap.collect()}
+
+    per = defaultdict(list)
+    for _, k, v in data:
+        per[k].append(v)
+    want = {k: norm_py(sg, vs, sg_name) for k, vs in per.items()}
+    assert got == want
+
+
+def norm_py(sg, vs, sg_name):
+    acc = sg.py_agg(vs)
+    if sg_name == "set":
+        return tuple(acc)
+    if sg_name == "count":
+        return acc
+    if sg_name == "avg":
+        return tuple(sorted({"s": float(acc["s"]), "n": acc["n"]}.items()))
+    return tuple(sorted({k: float(x) if k != "n" else x for k, x in acc.items()}.items()))
