@@ -33,7 +33,10 @@ from . import batcher as b_mod
 _WINDOW_MERGE = {
     "sum": lambda c, w: F.sum(c).over(w),
     "sum_long": lambda c, w: F.sum(c).over(w).cast("long"),
-    "count": lambda c, w: F.sum(c).over(w),  # merging counts = summing them
+    # count folds the LIFT (1 per non-null prior row), NULL before the
+    # first fold — matching the streaming fold's py_lift semantics and
+    # loop_join's count fast path (F.count over an empty window is 0)
+    "count": lambda c, w: F.when(F.count(c).over(w) > 0, F.count(c).over(w)),
     "min": lambda c, w: F.min(c).over(w),
     "max": lambda c, w: F.max(c).over(w),
 }
@@ -388,7 +391,13 @@ class BatchPlanner:
         if sg.name in _WINDOW_MERGE:
             running = _WINDOW_MERGE[sg.name](delta, w)
         else:
-            vals = F.collect_list(delta).over(w)
+            # fold LIFTED deltas (set folds [v], moments folds power
+            # sums): the store this join observes accumulates lifted
+            # values through the summer, and the streaming compile of the
+            # same DAG (streaming_self_loop) folds py_lift(v) — raw-merge
+            # here would silently diverge batch from stream for every
+            # non-identity carrier
+            vals = F.collect_list(sg.lift(delta)).over(w)
             running = F.when(F.size(vals) == 0, F.lit(None)).otherwise(
                 F.aggregate(
                     F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),

@@ -78,9 +78,23 @@ class VersionedBatchStore:
         newest total snapshot below, plus every change-log in between,
         latest row per key wins, null-value tombstones drop (that is the
         sparse forward-fill read — per-batch cost scales with |changed
-        keys|, not |keys| × |batches|)."""
+        keys|, not |keys| × |batches|). A batch with NO version dir (no
+        key changed in it — write_each_batch only materializes dirs for
+        batches with deltas plus the covering bound) serves the overlay
+        of versions ≤ it; version dirs stay O(changed batches), never
+        O(batch-id range)."""
         if not self.is_changelog(batch_id):
-            return spark.read.parquet(self._version_path(batch_id))
+            p = self._version_path(batch_id)
+            if os.path.isdir(p):
+                return spark.read.parquet(p)
+            vs_le = [v for v in self.versions() if v <= batch_id]
+            if not vs_le:
+                # no coverage at or below this batch: surface the normal
+                # missing-path error
+                return spark.read.parquet(p)
+            if not self.is_changelog(vs_le[-1]):
+                return spark.read.parquet(self._version_path(vs_le[-1]))
+            # else: gap above a change-log chain — overlay below
         vs = [v for v in self.versions() if v <= batch_id]
         base = None
         for v in reversed(vs):
@@ -433,27 +447,26 @@ def rollforward(
             .partitionBy("batch_id")
             .parquet(store.path)
         )
-        # EVERY covered batch gets a version dir — including delta-less
-        # batches in the middle of the interval (not just the trailing
-        # bound): read_snapshot(b) must resolve for any covered b. The
-        # empty (carrier-typed!) dir is written by ONE Spark job and
-        # file-copied to the remaining delta-less batches — the job count
-        # must stay flat in the batch count (the one-pass invariant,
-        # asserted by test_write_each_batch_snapshots_are_cumulative).
+        # Version dirs stay SPARSE: only batches with deltas plus the
+        # covering bound get one (O(changed batches), never O(id range) —
+        # a fine-grained batcher with sparse events would otherwise write
+        # millions of empty dirs per roll). Delta-less batches INSIDE the
+        # range have no dir; read_snapshot serves them from the overlay
+        # of versions below. The empty (carrier-typed!) bound dir is one
+        # Spark job, file-copied if several bound dirs are ever missing —
+        # the job count stays flat in the batch count (asserted by
+        # test_write_each_batch_snapshots_are_cumulative).
         import shutil
 
-        lo_cover = lo_batch if lo_batch is not None else batch_ids[0]
         missing = [
-            b
-            for b in range(lo_cover, through_batch + 1)
-            if not os.path.isdir(store._version_path(b))
+            b for b in batch_ids if not os.path.isdir(store._version_path(b))
         ]
         if missing:
             first = store._version_path(missing[0])
             empty_carrier.write.mode("overwrite").parquet(first)
             for b in missing[1:]:
                 shutil.copytree(first, store._version_path(b), dirs_exist_ok=True)
-        for b in range(lo_cover, through_batch + 1):
+        for b in batch_ids:
             p = store._version_path(b)
             # per-version validity marker (the root _SUCCESS covers the
             # whole job; versions() requires one per batch dir) + the

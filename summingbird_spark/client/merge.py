@@ -75,10 +75,13 @@ def client_view(
 ) -> DataFrame:
     """The serving view: offline snapshot ⊕ online deltas per key.
 
-    ``online_deltas`` carries raw or per-batch values with a ``batch_id``
-    column; batches ≤ offline_batch are dropped (the batch layer already
-    owns them — MergeOperations.dropBatches:55), the rest merge in batch
-    order.
+    ``online_deltas`` carries CARRIER values (what an OnlineStore holds —
+    already lifted by the streaming summer: count tallies, avg structs;
+    for identity-lift semigroups like sum the carrier IS the raw value)
+    with a ``batch_id`` column; batches ≤ offline_batch are dropped (the
+    batch layer already owns them — MergeOperations.dropBatches:55), the
+    rest merge in batch order. Raw per-event rows must be aggregated by a
+    summer first — folding them here would mis-merge any lifted carrier.
     """
     sg = sg_mod.get(semigroup)
     key_cols = list(key_cols)

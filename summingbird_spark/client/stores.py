@@ -84,6 +84,13 @@ class ClientMergeable:
         # pin the CURRENT online version before writing (multi_merge swaps
         # in a new version dir; this plan keeps reading the old one)
         online = self.online.read(spark)
+        # carrier-typed NULLs for absent store sides: merge_null_safe's
+        # otherwise-branch ANALYZES merge(a, b) even when a value is null,
+        # and struct/array carriers (avg, moments, set, top-k) extract
+        # fields — a bare VOID literal throws on the bootstrap path (fresh
+        # online store / no offline store). The delta column carries the
+        # same carrier type by the multi_merge contract.
+        null_carrier = F.lit(None).cast(delta_df.schema[value_col].dataType)
 
         d = delta_df.select(*self.key_cols, "batch_id").distinct()
         if online is not None:
@@ -106,7 +113,7 @@ class ClientMergeable:
             on_tot = vis.groupBy(*self.key_cols, "batch_id").agg(agg.alias("__on__"))
             pre_on = d.join(on_tot, [*self.key_cols, "batch_id"], "left")
         else:
-            pre_on = d.withColumn("__on__", F.lit(None))
+            pre_on = d.withColumn("__on__", null_carrier)
 
         if off_df is not None:
             pre = pre_on.join(
@@ -114,7 +121,7 @@ class ClientMergeable:
                 self.key_cols, "left",
             )
         else:
-            pre = pre_on.withColumn("__off__", F.lit(None))
+            pre = pre_on.withColumn("__off__", null_carrier)
         out = pre.select(
             *self.key_cols, "batch_id",
             sg.merge_null_safe(F.col("__off__"), F.col("__on__")).alias("value"),

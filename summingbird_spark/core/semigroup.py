@@ -68,6 +68,22 @@ class Semigroup:
         (the streaming summer's prev/delta output schema)."""
         return value_spark_type
 
+    def lift(self, col: Column) -> Column:
+        """Column-level py_lift: ONE raw value → carrier (count → 1, set
+        → [v]), NULL staying NULL so fold paths can skip it. Identity by
+        default; a semigroup that overrides py_lift without overriding
+        this would silently raw-merge in JVM fold paths (the batch loop
+        join), so that combination raises instead."""
+        if (
+            type(self).py_lift is not Semigroup.py_lift
+            and type(self).lift is Semigroup.lift
+        ):
+            raise NotImplementedError(
+                f"{self.name}: declares a non-identity py_lift but no "
+                "Column-level lift"
+            )
+        return col
+
     def py_agg(self, values):
         """Python fold of raw values (in arrival order; callers pre-sort by
         time for non-commutative semigroups): lift each, then py_merge."""
@@ -94,8 +110,17 @@ class Semigroup:
         prev/delta, a store's persisted values) — a merge() fold, NOT
         ``agg``, which expects RAW inputs and re-lifts (``agg`` over count
         tallies would count the rows; over moments structs it would
-        power-sum structs). Identity-lift expression semigroups override
-        this with their codegen ``agg``."""
+        power-sum structs). When a class overrides NEITHER py_lift NOR
+        carrier_type, carrier == raw and the codegen ``agg`` IS the
+        carrier fold (sum of sums) — that fast path keeps identity-lift
+        class semigroups (decayed_sum, concat) whole-stage-codegen. A
+        sketch class whose carrier differs from raw (hll: binary) must
+        override carrier_type, which routes it to the merge() fold."""
+        if (
+            type(self).py_lift is Semigroup.py_lift
+            and type(self).carrier_type is Semigroup.carrier_type
+        ):
+            return self.agg(col)
         lst = F.collect_list(col)
         return F.aggregate(
             F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
@@ -140,7 +165,7 @@ class _ExprSemigroup(Semigroup):
     """Semigroup from a builtin aggregate fn + a merge expression."""
 
     def __init__(self, name, agg_fn, merge_fn, commutative=True, py_merge_fn=None,
-                 py_lift_fn=None, carrier_type_fn=None):
+                 py_lift_fn=None, carrier_type_fn=None, lift_col_fn=None):
         self.name = name
         self._agg = agg_fn
         self._merge = merge_fn
@@ -148,6 +173,7 @@ class _ExprSemigroup(Semigroup):
         self._py_merge = py_merge_fn
         self._py_lift = py_lift_fn
         self._carrier_type = carrier_type_fn
+        self._lift_col = lift_col_fn
 
     def agg(self, col: Column) -> Column:
         return self._agg(col)
@@ -174,7 +200,22 @@ class _ExprSemigroup(Semigroup):
         # tallies, set arrays) take the generic merge() fold
         if self._py_lift is None:
             return self.agg(col)
-        return super().agg_carrier(col)
+        lst = F.collect_list(col)
+        return F.aggregate(
+            F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
+            F.element_at(lst, 1),
+            lambda a, b: self.merge(a, b),
+        )
+
+    def lift(self, col: Column) -> Column:
+        if self._py_lift is None:
+            return col
+        if self._lift_col is None:
+            raise NotImplementedError(
+                f"{self.name}: declares a non-identity py_lift but no "
+                "Column-level lift"
+            )
+        return self._lift_col(col)
 
 
 class TopKSemigroup(Semigroup):
@@ -206,6 +247,9 @@ class TopKSemigroup(Semigroup):
 
     def carrier_type(self, value_spark_type: str) -> str:
         return f"array<{value_spark_type}>"
+
+    def lift(self, col: Column) -> Column:
+        return F.when(col.isNotNull(), F.array(col))
 
 
 class ConcatSemigroup(Semigroup):
@@ -239,6 +283,9 @@ class ListSemigroup(Semigroup):
 
     def carrier_type(self, value_spark_type: str) -> str:
         return f"array<{value_spark_type}>"
+
+    def lift(self, col: Column) -> Column:
+        return F.when(col.isNotNull(), F.array(col))
 
     def agg(self, col: Column) -> Column:
         return F.collect_list(col)
@@ -274,6 +321,12 @@ class AvgSemigroup(Semigroup):
     def carrier_type(self, value_spark_type: str) -> str:
         return f"struct<s:{value_spark_type},n:bigint>"
 
+    def lift(self, col: Column) -> Column:
+        return F.when(
+            col.isNotNull(),
+            F.struct(col.alias("s"), F.lit(1).cast("bigint").alias("n")),
+        )
+
     @staticmethod
     def present(v: Column) -> Column:
         return v["s"] / v["n"]
@@ -305,6 +358,7 @@ register(_ExprSemigroup(
     # lifts to 1 (the streaming summer previously summed raw values,
     # which only coincided with batch when the value column was lit(1))
     py_lift_fn=lambda v: 1, carrier_type_fn=lambda vt: "bigint",
+    lift_col_fn=lambda c: F.when(c.isNotNull(), F.lit(1).cast("bigint")),
 ))
 register(_ExprSemigroup("min", F.min, F.least, py_merge_fn=min))
 register(_ExprSemigroup("max", F.max, F.greatest, py_merge_fn=max))
@@ -316,6 +370,7 @@ register(
         py_merge_fn=lambda a, b: sorted(set(a) | set(b)),
         py_lift_fn=lambda v: [v],
         carrier_type_fn=lambda vt: f"array<{vt}>",
+        lift_col_fn=lambda c: F.when(c.isNotNull(), F.array(c)),
     )
 )
 register(_ExprSemigroup("first", F.first, lambda a, b: a, py_merge_fn=lambda a, b: a))
@@ -392,6 +447,19 @@ class HllSemigroup(Semigroup):
     def merge(self, a: Column, b: Column) -> Column:
         return F.hll_union(a, b)
 
+    def carrier_type(self, value_spark_type: str) -> str:
+        # the carrier is the serialized sketch, NEVER the raw type —
+        # declaring this honestly also keeps agg_carrier's identity-lift
+        # fast path from mistaking hll for a sum-like semigroup (it would
+        # sketch the sketches)
+        return "binary"
+
+    def py_lift(self, v):
+        raise NotImplementedError(
+            "hll: sketches build JVM-side (hll_sketch_agg); merge prebuilt "
+            "sketch carriers in-plan (agg_carrier / merge)"
+        )
+
     @staticmethod
     def estimate(sketch: Column) -> Column:
         return F.hll_sketch_estimate(sketch)
@@ -440,6 +508,19 @@ class MomentsSemigroup(Semigroup):
 
     def carrier_type(self, value_spark_type: str) -> str:
         return "struct<n:bigint,s1:double,s2:double,s3:double,s4:double>"
+
+    def lift(self, col: Column) -> Column:
+        x = col.cast("double")
+        return F.when(
+            col.isNotNull(),
+            F.struct(
+                F.lit(1).cast("bigint").alias("n"),
+                x.alias("s1"),
+                (x * x).alias("s2"),
+                (x * x * x).alias("s3"),
+                (x * x * x * x).alias("s4"),
+            ),
+        )
 
     @staticmethod
     def present(v: Column) -> dict:

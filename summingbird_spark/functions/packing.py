@@ -237,9 +237,11 @@ def write_shards(
             raise ValueError(f"max_file_bytes must be positive; got {max_file_bytes}")
         # derive a record cap from the UNCOMPRESSED average record size of
         # a deterministic sample (first bucket's rows) — one bounded job;
-        # conservative for compressed output (files come out smaller)
+        # conservative for compressed output (files come out smaller).
+        # octet_length, not length: the cap is BYTES and multi-byte UTF-8
+        # text would otherwise blow it by the bytes-per-char ratio
         sample = packed.limit(1024).select(
-            F.avg(F.length(F.to_json(F.struct("*")))).alias("b")
+            F.avg(F.octet_length(F.to_json(F.struct("*")))).alias("b")
         ).collect()[0]["b"]
         avg = max(float(sample or 1.0), 1.0)
         writer = writer.option(

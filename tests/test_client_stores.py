@@ -251,3 +251,53 @@ def test_client_merge_lifted_carrier_online_totals(spark, tmp_path):
         ).collect()
     }
     assert got == {"k0": 12 + 5 + 7, "k1": 12 + 1}
+
+
+def test_client_mergeable_lifted_carrier_bootstrap(spark, tmp_path):
+    """ClientMergeable.merge on a FRESH store (no offline, empty online)
+    with a struct-carrier semigroup: the absent sides must be
+    carrier-typed NULLs, not VOID literals — merge_null_safe analyzes
+    field extraction on both branches (review r7 finding, confirmed by
+    repro: VOID __off__/__on__ threw INVALID_EXTRACT_BASE_FIELD_TYPE)."""
+    online = OnlineStore(str(tmp_path / "on"), ["key"], "avg")
+    cm = ClientMergeable(None, online, ["key"], "avg")
+    d1 = spark.createDataFrame(
+        [("k", 0, (10.0, 2))],
+        "key string, batch_id long, delta struct<s double, n bigint>",
+    )
+    pre1 = {r.key: r.value for r in cm.merge(d1).collect()}
+    assert pre1 == {"k": None}  # nothing before the first merge
+    d2 = spark.createDataFrame(
+        [("k", 0, (5.0, 1))],
+        "key string, batch_id long, delta struct<s double, n bigint>",
+    )
+    [r] = cm.merge(d2).collect()
+    assert (r.value.s, r.value.n) == (10.0, 2)  # pre-state pins before write
+    [s] = online.read(spark).collect()
+    assert (s.value.s, s.value.n) == (15.0, 3)
+
+
+def test_online_store_hll_sketch_carrier_merge(spark, tmp_path):
+    """hll carriers (binary sketches) through multi_merge: agg_carrier
+    must hll_union the sketches, never re-sketch them (the identity-lift
+    fast path would feed sketch bytes back into hll_sketch_agg)."""
+    from summingbird_spark.core.semigroup import HllSemigroup
+
+    sg = HllSemigroup()
+    store = OnlineStore(str(tmp_path / "hll"), ["key"], sg)
+    half1 = spark.createDataFrame(
+        [("k", i) for i in range(500)], "key string, v long"
+    ).groupBy("key").agg(sg.agg(F.col("v")).alias("delta")).withColumn(
+        "batch_id", F.lit(0)
+    )
+    half2 = spark.createDataFrame(
+        [("k", i) for i in range(250, 750)], "key string, v long"
+    ).groupBy("key").agg(sg.agg(F.col("v")).alias("delta")).withColumn(
+        "batch_id", F.lit(0)
+    )
+    store.multi_merge(half1)
+    store.multi_merge(half2)
+    [r] = store.read(spark).select(
+        sg.estimate(F.col("value")).alias("est")
+    ).collect()
+    assert abs(r.est - 750) / 750 < 0.05  # union of overlapping halves

@@ -643,3 +643,28 @@ def test_loop_join_count_semigroup_matches_window_fast_path(spark):
     got = {(r.key, r.t.minute): r.n for r in fast.collect()}
     want = {(f"k{i % 2}", i): (i // 2 if i >= 2 else None) for i in range(8)}
     assert got == want
+
+
+def test_dsl_loop_join_lifted_carriers_match_streaming_fold(spark):
+    """The batch compile of left_join(StoreService) must fold LIFTED
+    deltas, like the streaming compile (streaming_self_loop's py_lift) —
+    raw-merging diverged batch from stream for every non-identity
+    carrier (review r7 finding). 'set' takes the generic collect+fold
+    window; 'count' takes the _WINDOW_MERGE fast path (NULL before the
+    first fold, then prior-row tallies)."""
+    import summingbird_spark as sb
+    from summingbird_spark import source, to_dataframe
+
+    rows = [(ts(i), "k", w, i) for i, w in enumerate(["ab", "cd", "ab", "ef"])]
+    df = spark.createDataFrame(rows, "ts timestamp, key string, value string, eid long")
+    svc = sb.StoreService(value="value", out_col="seen", semigroup="set",
+                          order_by=["eid"])
+    p = source(df, time_col="ts").left_join(svc, on="key")
+    got = {r.eid: r.seen for r in to_dataframe(spark, p).collect()}
+    assert got == {0: None, 1: ["ab"], 2: ["ab", "cd"], 3: ["ab", "cd"]}
+
+    svc_n = sb.StoreService(value="value", out_col="n", semigroup="count",
+                            order_by=["eid"])
+    pn = source(df, time_col="ts").left_join(svc_n, on="key")
+    got_n = {r.eid: r.n for r in to_dataframe(spark, pn).collect()}
+    assert got_n == {0: None, 1: 1, 2: 2, 3: 3}

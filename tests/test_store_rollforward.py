@@ -431,12 +431,18 @@ def test_write_each_batch_lifted_carrier_empty_trailing_batch(spark, tmp_path):
     assert vt.startswith("struct"), vt
     got = {r.key: (r.value.s, r.value.n) for r in snap.collect()}
     assert got == {"k0": (1 + 3, 2), "k1": (2 + 4, 2)}
-    # the intermediate empty batch reads back with the carrier schema too
+    # the intermediate empty batch has NO dir (dirs stay sparse —
+    # O(changed batches)) but still reads back via the overlay, with the
+    # carrier schema
+    import os
+
+    assert not os.path.isdir(store._version_path(b0 + 2))
     mid = store.read_snapshot(spark, b0 + 2)
     assert dict(mid.dtypes)["value"] == vt
     assert {r.key: (r.value.s, r.value.n) for r in mid.collect()} == got
-    # and every on-disk version dir (incl. the two empty ones) agrees
-    for b in range(4):
+    # the dirs that DO exist (delta batches + the covering bound) agree
+    # on the carrier schema — including the empty bound dir
+    for b in (0, 1, 3):
         vdt = dict(spark.read.parquet(store._version_path(b0 + b)).dtypes)["value"]
         assert vdt == vt, f"batch {b}: {vdt}"
 
