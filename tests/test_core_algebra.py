@@ -366,3 +366,49 @@ def test_agg_carrier_equals_python_fold_per_semigroup(spark):
         [row] = df.agg(sg.agg_carrier(F.col("c")).alias("out")).collect()
         got = norm(row.out)
         assert got == want, (name, got, want)
+
+
+def test_lift_law_agg_equals_carrier_fold_of_lifts(spark):
+    """The JVM lift law tying the three Column-level pieces together: for
+    every semigroup with a Column lift, aggregating RAW values (`agg`,
+    which lifts internally) must equal the carrier fold (`agg_carrier`)
+    of the individually LIFTED values — i.e. lift distributes over the
+    fold. Guards batch loop join / multi_merge / client_view agreeing
+    with summer aggregation for every carrier."""
+    from pyspark.sql import functions as F
+
+    from summingbird_spark.core import semigroup as sg_mod
+
+    raws = [3, 1, 4, 1, 5]
+    for name, vals, vtype in [
+        ("sum", raws, "bigint"),
+        ("count", raws, "bigint"),
+        ("min", raws, "bigint"),
+        ("set", [str(v) for v in raws], "string"),
+        ("avg", [float(v) for v in raws], "double"),
+        ("moments", [float(v) for v in raws], "double"),
+        ("list", raws, "bigint"),
+        ("top10", raws, "bigint"),
+    ]:
+        sg = sg_mod.get(name)
+        df = spark.createDataFrame([(v,) for v in vals], f"v {vtype}")
+        [a] = df.agg(sg.agg(F.col("v")).alias("out")).collect()
+        [b] = (
+            df.select(sg.lift(F.col("v")).alias("c"))
+            .agg(sg.agg_carrier(F.col("c")).alias("out"))
+            .collect()
+        )
+        norm = (lambda x: sorted(x)) if name in ("set", "list", "top10") else (
+            lambda x: x
+        )
+        assert norm(a.out) == norm(b.out), (name, a.out, b.out)
+        # NULL raws lift to NULL and vanish from the fold
+        df_n = spark.createDataFrame(
+            [(v,) for v in vals] + [(None,)], f"v {vtype}"
+        )
+        [c] = (
+            df_n.select(sg.lift(F.col("v")).alias("c"))
+            .agg(sg.agg_carrier(F.col("c")).alias("out"))
+            .collect()
+        )
+        assert norm(c.out) == norm(a.out), (name, "null handling", c.out)

@@ -490,3 +490,52 @@ def norm_py(sg, vs, sg_name):
     if sg_name == "avg":
         return tuple(sorted({"s": float(acc["s"]), "n": acc["n"]}.items()))
     return tuple(sorted({k: float(x) if k != "n" else x for k, x in acc.items()}.items()))
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=events_strategy,
+    sg_name=st.sampled_from(["sum", "count", "set", "avg"]),
+)
+def test_loop_join_batch_equals_streaming_fold(spark, rows, sg_name):
+    """Batch loop-join compile (left_join(StoreService)) equals the
+    streaming self-loop (streaming_self_loop's per-key py_lift fold) on
+    the same data for identity AND lifted carriers — the divergence
+    class fixed in round 7 (batch raw-merged, streaming lifted)."""
+    import summingbird_spark as sb
+    from pyspark.sql import functions as F
+    from summingbird_spark import source, to_dataframe
+    from summingbird_spark.core import semigroup as sg_mod
+
+    data = [
+        (BASE + dt.timedelta(seconds=s), k, str(v) if sg_name == "set" else v, i)
+        for i, (s, k, v) in enumerate(rows)
+    ]
+    vt = "string" if sg_name == "set" else "long"
+    df = spark.createDataFrame(data, f"ts timestamp, key string, value {vt}, eid long")
+
+    svc = sb.StoreService(value="value", out_col="seen", semigroup=sg_name,
+                          order_by=["eid"])
+    p = source(df, time_col="ts").left_join(svc, on="key")
+    got = {r.eid: r.seen for r in to_dataframe(spark, p).collect()}
+
+    # python oracle: per-key time-ordered scanLeft of py_lift folds
+    sg = sg_mod.get(sg_name)
+    by_key = defaultdict(list)
+    for t, k, v, eid in sorted(data, key=lambda r: (r[0], r[3])):
+        by_key[k].append((eid, v))
+    want = {}
+    for k, evs in by_key.items():
+        st_ = None
+        for eid, v in evs:
+            want[eid] = st_
+            lv = sg.py_lift(v)
+            st_ = lv if st_ is None else sg.py_merge(st_, lv)
+    norm = (lambda x: None if x is None else list(x)) if sg_name == "set" else (
+        (lambda x: None if x is None else (x["s"] if isinstance(x, dict) else x.s,
+                                           x["n"] if isinstance(x, dict) else x.n))
+        if sg_name == "avg" else (lambda x: x)
+    )
+    assert {e: norm(v) for e, v in got.items()} == {
+        e: norm(v) for e, v in want.items()
+    }
