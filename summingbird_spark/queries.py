@@ -4385,6 +4385,111 @@ def q_stream_buffer_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "lambda_avg_by_user",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 10.0
+                      / count(*) + 0.5) AS BIGINT) AS avg_tenth_cents
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def q_lambda_avg_by_user(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's whole value proposition as ONE graded row
+    (ClientStore.scala:123-174 offline ⊕ online): history (events before
+    the corpus's 70%-time cutoff) rolls forward through the BATCH store;
+    the tail replays through the STREAMING summer into the online store
+    (availableNow micro-batches); the serving view client-merges both —
+    and the result must hash-match the one-shot SQL over the full
+    history. The semigroup is the lifted-carrier ``avg`` (struct s,n), so
+    the carrier discipline is exercised through every layer at once:
+    rollforward aggregation, carrier-typed snapshots, the stateful
+    summer's py_lift, multiMerge's agg_carrier, and the client merge.
+    Values aggregate as integer CENTS (the Q9 discipline): the lambda
+    split re-associates the double sums (offline s ⊕ online s), which
+    lands within an ulp of the round-4 boundary — integer addition is
+    order-independent, so the split is bit-invisible. The presented mean
+    is an integer too (tenth-cents via floor(x + 0.5)): decimal round()
+    of a double differs between engines at exact .xxxx5 ties (Spark
+    HALF_UPs the shortest decimal repr; DuckDB rounds the binary value),
+    while floor on the identical double is engine-invariant."""
+    import tempfile
+
+    from . import VersionedBatchStore, rollforward
+    from .core.graph import TIME_COL
+    from .streaming.planner import StreamPlanner, stream_source
+    from .streaming.store import OnlineStore, run_summer_to_store
+
+    import datetime as _dt
+
+    src_dir, schema = _chunked_events_src(spark, sf)
+    work = tempfile.mkdtemp(prefix="sbspark-lambda-")
+    batcher = of_days(1)
+
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    ev = (
+        load_table(spark, sf, "events")
+        .where("event_type = 'purchase'")
+        .withColumn("value", cents)
+    )
+    lo_ms, hi_ms = ev.agg(
+        F.min(F.unix_millis("ts")), F.max(F.unix_millis("ts"))
+    ).collect()[0]
+    cut_ms = lo_ms + int(0.7 * (hi_ms - lo_ms))
+    cut_batch = batcher.batch_of(
+        _dt.datetime.fromtimestamp(cut_ms / 1000.0, _dt.timezone.utc)
+    )
+
+    # batch layer: history through cut_batch (inclusive). rollforward
+    # itself interval-filters to batches <= cut_batch.
+    store = VersionedBatchStore(f"{work}/off", ["user_id"], "avg")
+    offline = rollforward(
+        spark,
+        store,
+        ev.withColumn(TIME_COL, F.col("ts")),
+        batcher,
+        cut_batch,
+        value_col="value",
+    )
+
+    # speed layer: the FULL replay through the streaming summer — no
+    # time filter needed, because the client merge's dropBatches bound
+    # (offline_batch=cut_batch) discards every online batch the batch
+    # layer already owns (MergeOperations.dropBatches semantics, which
+    # this row therefore also grades)
+    p = (
+        stream_source(src_dir, schema, time_col="ts", max_files_per_trigger=1)
+        .filter("event_type = 'purchase'")
+        .sum_by_key("user_id", cents, semigroup="avg", batcher=batcher)
+    )
+    plan = StreamPlanner(spark).plan(p)
+    online = OnlineStore(f"{work}/on", ["user_id"], "avg")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = run_summer_to_store(plan.dataframe, online, f"{work}/ckpt")
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    online_df = online.read(spark)
+    if online_df is None:
+        raise RuntimeError("speed layer produced an empty online store")
+    merged = client_view(
+        offline, online_df, ["user_id"], "avg", offline_batch=cut_batch
+    )
+    v = F.col("value")
+    return merged.select(
+        "user_id",
+        v["n"].cast("long").alias("n"),
+        F.floor(v["s"] * F.lit(10.0) / v["n"] + F.lit(0.5))
+        .cast("long")
+        .alias("avg_tenth_cents"),
+    )
+
+
+@query(
     "tpch_q8_market_share",
     """
     SELECT o_year,
@@ -4711,6 +4816,10 @@ _GRADE_ORDER = [
     # testdata carries
     "tpch_q8_market_share", "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue", "tpch_q22_dormant_customers",
+    # the end-to-end lambda capstone (batch rollforward ⊕ streaming summer
+    # ⊕ client merge, lifted 'avg' carrier through every layer) — prime
+    # candidate for the round-8 window if a swap is mandated
+    "lambda_avg_by_user",
 ]
 
 _missing = set(QUERIES) - set(_GRADE_ORDER)
