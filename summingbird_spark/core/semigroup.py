@@ -862,7 +862,124 @@ class QuantileSketchSemigroup(Semigroup):
         )
 
 
+class MisraGriesSemigroup(Semigroup):
+    """Mergeable heavy-hitters summary — the algebird ``SpaceSaver`` /
+    ``SketchMap`` use-case via the Misra-Gries summary, in the MERGEABLE
+    form of Agarwal et al. 2012 ("Mergeable Summaries"): carrier is a
+    map<item, count> with at most k entries; merge = pointwise addition,
+    then subtract the (k+1)-largest count from every entry and drop the
+    non-positive. Guarantees (preserved by merge): every reported count
+    UNDERestimates its true count by at most n/(k+1), and any item with
+    true count > n/(k+1) is present. ``summary_table`` is the relational
+    scale build: only the top-(k+1) exact counts per key leave the
+    codegen aggregation (window head, bounded), then one truncation —
+    an exact histogram truncated this way is itself a valid summary."""
+
+    def __init__(self, k: int = 8, name: str | None = None):
+        assert k >= 1
+        self.k = int(k)
+        self.name = name or f"mg{k}"
+
+    # deterministic order: count desc, item asc (ties must break the same
+    # way everywhere or merge results differ between partitions)
+    @staticmethod
+    def _cmp(x, y):
+        return (
+            F.when(x["value"] < y["value"], F.lit(1))
+            .when(x["value"] > y["value"], F.lit(-1))
+            .when(x["key"] > y["key"], F.lit(1))
+            .when(x["key"] < y["key"], F.lit(-1))
+            .otherwise(F.lit(0))
+        )
+
+    def _truncate(self, entries: Column) -> Column:
+        """entries sorted (count desc): subtract the (k+1)-th count, keep
+        the positive head (≤ k entries)."""
+        thr = F.when(
+            F.size(entries) > self.k,
+            F.element_at(entries, self.k + 1)["value"],
+        ).otherwise(F.lit(0).cast("long"))
+        kept = F.filter(
+            F.transform(
+                F.slice(entries, 1, self.k),
+                lambda e: F.struct(
+                    e["key"].alias("key"), (e["value"] - thr).alias("value")
+                ),
+            ),
+            lambda e: e["value"] > 0,
+        )
+        return F.map_from_entries(kept)
+
+    def merge(self, a: Column, b: Column) -> Column:
+        u = F.map_zip_with(
+            a,
+            b,
+            lambda k, x, y: F.coalesce(x, F.lit(0).cast("long"))
+            + F.coalesce(y, F.lit(0).cast("long")),
+        )
+        return self._truncate(F.array_sort(F.map_entries(u), self._cmp))
+
+    def agg(self, col: Column) -> Column:
+        lst = F.collect_list(
+            F.create_map(col.cast("string"), F.lit(1).cast("long"))
+        )
+        return F.aggregate(
+            F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
+            F.element_at(lst, 1),
+            lambda a, b: self.merge(a, b),
+        )
+
+    def lift(self, col: Column) -> Column:
+        return F.when(
+            col.isNotNull(),
+            F.create_map(col.cast("string"), F.lit(1).cast("long")),
+        )
+
+    def py_lift(self, v):
+        return {str(v): 1}
+
+    def py_merge(self, a, b):
+        u = dict(a)
+        for key, c in b.items():
+            u[key] = u.get(key, 0) + c
+        order = sorted(u.items(), key=lambda e: (-e[1], e[0]))
+        thr = order[self.k][1] if len(order) > self.k else 0
+        return {key: c - thr for key, c in order[: self.k] if c - thr > 0}
+
+    def carrier_type(self, value_spark_type: str) -> str:
+        return "map<string,bigint>"
+
+    def summary_table(self, df, key_cols, item_col: str):
+        """Relational bulk build: codegen exact counts per (key, item),
+        ONE window keeps only the top-(k+1) rows per key (count desc,
+        item asc), then the bounded truncation. Returns (key_cols...,
+        summary)."""
+        from pyspark.sql.window import Window
+
+        key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        counts = (
+            df.select(*key_cols, F.col(item_col).cast("string").alias("__i__"))
+            .groupBy(*key_cols, "__i__")
+            .agg(F.count(F.lit(1)).alias("__c__"))
+        )
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col("__c__").desc(), F.col("__i__").asc()
+        )
+        head = counts.withColumn("__r__", F.row_number().over(w)).where(
+            F.col("__r__") <= self.k + 1
+        )
+        entries = F.array_sort(
+            F.collect_list(F.struct(F.col("__i__").alias("key"),
+                                    F.col("__c__").alias("value"))),
+            self._cmp,
+        )
+        return head.groupBy(*key_cols).agg(
+            self._truncate(entries).alias("summary")
+        )
+
+
 register(QuantileSketchSemigroup())
+register(MisraGriesSemigroup())
 register(CmsSemigroup())
 register(CmsWeightedSemigroup())
 register(BloomSemigroup())

@@ -4433,6 +4433,76 @@ def q_quantile_sketch_values(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "heavy_hitters_value_buckets",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           TRUE AS heavy_covered, TRUE AS underestimates, TRUE AS error_bounded
+    FROM events GROUP BY event_type
+    """,
+)
+def q_heavy_hitters_value_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable heavy hitters (Misra-Gries in the Agarwal et al. 2012
+    mergeable form — the algebird SpaceSaver use-case): per event_type,
+    a k=16 summary of value-magnitude buckets (floor(sqrt(value)): bucket
+    i covers [i², (i+1)²), so bucket mass grows linearly — a deterministic
+    heavy tail this corpus's flat user/token distributions lack). The
+    summaries build RELATIONALLY per (event_type, month) — only the
+    top-(k+1) exact counts leave the codegen aggregation — then merge
+    across months through agg_carrier, exercising the mergeable-summary
+    path a store rollforward would take. Graded by the MG contract,
+    falsifiably: every bucket with true count > n/(k+1) must be present
+    (coverage), every reported count must UNDERestimate its true count
+    (a wrong merge that inflates fails), and reported counts must sit
+    within n/(k+1) of truth (a merge that over-subtracts fails)."""
+    from .core.semigroup import MisraGriesSemigroup
+
+    sg = MisraGriesSemigroup(16)
+    item = F.floor(F.sqrt(F.col("value"))).cast("int")
+    ev = load_table(spark, sf, "events").select(
+        "event_type", F.col("ts"), item.alias("__item__")
+    )
+    monthly = sg.summary_table(
+        ev.withColumn("__m__", F.date_trunc("month", "ts")),
+        ["event_type", "__m__"],
+        "__item__",
+    )
+    final = monthly.groupBy("event_type").agg(
+        sg.agg_carrier(F.col("summary")).alias("summary")
+    )
+    ents = final.select(
+        "event_type", F.explode(F.map_entries("summary")).alias("e")
+    ).select(
+        "event_type",
+        F.col("e.key").alias("item"),
+        F.col("e.value").alias("est"),
+    )
+    exact = (
+        ev.select("event_type", F.col("__item__").cast("string").alias("item"))
+        .groupBy("event_type", "item")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = exact.groupBy("event_type").agg(F.sum("c").alias("n"))
+    bound = F.col("n") / F.lit(sg.k + 1)
+    j = (
+        exact.join(tot, "event_type")
+        .join(ents, ["event_type", "item"], "left")
+    )
+    return j.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(
+            (~(F.col("c") > bound)) | F.col("est").isNotNull()
+        ).alias("heavy_covered"),
+        F.min(
+            F.col("est").isNull() | (F.col("est") <= F.col("c"))
+        ).alias("underestimates"),
+        F.min(
+            F.col("est").isNull()
+            | (F.col("est") + bound + F.lit(1e-9) >= F.col("c"))
+        ).alias("error_bounded"),
+    )
+
+
+@query(
     "lambda_avg_by_user",
     """
     SELECT user_id,
@@ -4868,8 +4938,9 @@ _GRADE_ORDER = [
     # ⊕ client merge, lifted 'avg' carrier through every layer) — prime
     # candidate for the round-8 window if a swap is mandated
     "lambda_avg_by_user",
-    # the last algebird sketch-family member: mergeable quantiles (QTree)
-    "quantile_sketch_values",
+    # the last algebird sketch-family members: mergeable quantiles (QTree)
+    # and mergeable heavy hitters (SpaceSaver use-case via Misra-Gries)
+    "quantile_sketch_values", "heavy_hitters_value_buckets",
 ]
 
 _missing = set(QUERIES) - set(_GRADE_ORDER)

@@ -456,3 +456,51 @@ def test_quantile_sketch_semigroup_laws(spark):
         [r] = sdf.select(sg.quantile(F.col("s"), q).alias("e")).collect()
         exact = svals[math.ceil(q * len(svals)) - 1]
         assert exact < r.e <= exact + sg.width + 1e-9, (q, r.e, exact)
+
+
+def test_misra_gries_semigroup_guarantees(spark):
+    """Mergeable Misra-Gries (Agarwal et al. 2012): the summary is
+    guarantee-associative, not value-associative — so the laws tested are
+    the GUARANTEES, under adversarial merge orders: size <= k, every
+    reported count underestimates truth by at most n/(k+1), and every
+    item with true count > n/(k+1) survives any merge tree."""
+    import random
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from summingbird_spark.core.semigroup import MisraGriesSemigroup
+
+    sg = MisraGriesSemigroup(6)
+    rnd = random.Random(11)
+    # heavy tail: item i drawn with weight ~ 1/(i+1)
+    items = [str(min(int(1 / max(rnd.random(), 1e-9)) - 1, 30)) for _ in range(3000)]
+    true = Counter(items)
+    n = len(items)
+    bound = n / (sg.k + 1)
+
+    for n_parts, order in [(1, [0]), (4, [0, 1, 2, 3]), (4, [3, 1, 0, 2])]:
+        chunks = [items[i::n_parts] for i in range(n_parts)]
+        summaries = []
+        for ch in chunks:
+            d = spark.createDataFrame([(v,) for v in ch], "v string")
+            [r] = d.agg(sg.agg(F.col("v")).alias("s")).collect()
+            summaries.append(dict(r.s))
+        acc = summaries[order[0]]
+        for i in order[1:]:
+            acc = sg.py_merge(acc, summaries[i])
+        assert len(acc) <= sg.k
+        for item, est in acc.items():
+            assert est <= true[item], (item, est, true[item])
+            assert est + bound + 1e-9 >= true[item], (item, est, true[item])
+        for item, c in true.items():
+            if c > bound:
+                assert item in acc, (item, c, bound, acc)
+
+    # JVM merge == python merge on the same two summaries
+    a, b = summaries[0], summaries[1]
+    df = spark.createDataFrame(
+        [(a, b)], "a map<string,bigint>, b map<string,bigint>"
+    )
+    [r] = df.select(sg.merge(F.col("a"), F.col("b")).alias("m")).collect()
+    assert dict(r.m) == sg.py_merge(a, b)
