@@ -381,3 +381,21 @@ def test_tpch_q22_anti_join_and_scalar_broadcast(spark):
     # date prune reaches the orders scan
     o_scan = [s for s in scans_of(plan) if "o_orderdate" in s][0]
     assert "PushedFilters: [" in o_scan
+
+
+def test_quantile_sketch_build_is_one_codegen_groupby(spark):
+    """histogram_table: the scale path is a codegen (key, bin) count —
+    two HashAggregate pairs (bin counts, map assembly), no cartesian,
+    no Python eval."""
+    plan = plan_of(spark, "quantile_sketch_values")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_heavy_hitters_bounded_by_window_head(spark):
+    """summary_table: only top-(k+1) rows per key survive the window —
+    the plan must show the rank filter and no cartesian/Python."""
+    plan = plan_of(spark, "heavy_hitters_value_buckets")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "Window" in plan and "row_number" in plan
