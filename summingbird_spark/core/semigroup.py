@@ -121,12 +121,7 @@ class Semigroup:
             and type(self).carrier_type is Semigroup.carrier_type
         ):
             return self.agg(col)
-        lst = F.collect_list(col)
-        return F.aggregate(
-            F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
-            F.element_at(lst, 1),
-            lambda a, b: self.merge(a, b),
-        )
+        return fold_merge(F.collect_list(col), lambda a, b: self.merge(a, b))
 
     def agg_carrier_ordered(self, time_col: Column, col: Column) -> Column:
         """Ordered merge() fold of CARRIER values (e.g. the client-side
@@ -137,11 +132,7 @@ class Semigroup:
             F.collect_list(F.struct(time_col.alias("t"), col.alias("v")))
         )
         vals = F.transform(pairs, lambda p: p["v"])
-        return F.aggregate(
-            F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
-            F.element_at(vals, 1),
-            lambda acc, x: self.merge(acc, x),
-        )
+        return fold_merge(vals, lambda acc, x: self.merge(acc, x))
 
     # Ordered (non-commutative) semigroups aggregate (time, value) pairs.
     def agg_ordered(self, time_col: Column, col: Column) -> Column:
@@ -154,11 +145,30 @@ class Semigroup:
         """
         pairs = F.array_sort(F.collect_list(F.struct(time_col.alias("t"), col.alias("v"))))
         vals = F.transform(pairs, lambda p: p["v"])
-        return F.aggregate(
-            F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
-            F.element_at(vals, 1),
-            lambda acc, x: self.merge(acc, x),
-        )
+        return fold_merge(vals, lambda acc, x: self.merge(acc, x))
+
+
+def fold_merge(lst: Column, merge) -> Column:
+    """Fold a collected array with a merge fn: first element as init,
+    rest via F.aggregate. NULL on empty input. The one implementation of
+    the slice/element_at fold every sketch agg and carrier fold shares."""
+    return F.aggregate(
+        F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
+        F.element_at(lst, 1),
+        merge,
+    )
+
+
+def map_add(a: Column, b: Column) -> Column:
+    """Pointwise long addition over the key union of two maps — the
+    additive sparse-map merge CMS, the quantile sketch, and Misra-Gries
+    (pre-truncation) share."""
+    return F.map_zip_with(
+        a,
+        b,
+        lambda k, x, y: F.coalesce(x, F.lit(0).cast("long"))
+        + F.coalesce(y, F.lit(0).cast("long")),
+    )
 
 
 class _ExprSemigroup(Semigroup):
@@ -200,12 +210,7 @@ class _ExprSemigroup(Semigroup):
         # tallies, set arrays) take the generic merge() fold
         if self._py_lift is None:
             return self.agg(col)
-        lst = F.collect_list(col)
-        return F.aggregate(
-            F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
-            F.element_at(lst, 1),
-            lambda a, b: self.merge(a, b),
-        )
+        return fold_merge(F.collect_list(col), lambda a, b: self.merge(a, b))
 
     def lift(self, col: Column) -> Column:
         if self._py_lift is None:
@@ -579,19 +584,10 @@ class CmsSemigroup(Semigroup):
             self._positions(col),
             F.array_repeat(F.lit(1).cast("long"), self.depth),
         )
-        lst = F.collect_list(row)
-        return F.aggregate(
-            F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
-            F.element_at(lst, 1),
-            lambda a, b: self.merge(a, b),
-        )
+        return fold_merge(F.collect_list(row), lambda a, b: self.merge(a, b))
 
     def merge(self, a: Column, b: Column) -> Column:
-        return F.map_zip_with(
-            a, b,
-            lambda _, x, y: F.coalesce(x, F.lit(0).cast("long"))
-            + F.coalesce(y, F.lit(0).cast("long")),
-        )
+        return map_add(a, b)
 
     def py_merge(self, a, b):
         out = dict(a)
@@ -660,12 +656,7 @@ class CmsWeightedSemigroup(CmsSemigroup):
             self._positions(col["item"]),
             F.array_repeat(col["w"].cast("long"), self.depth),
         )
-        lst = F.collect_list(row)
-        return F.aggregate(
-            F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
-            F.element_at(lst, 1),
-            lambda a, b: self.merge(a, b),
-        )
+        return fold_merge(F.collect_list(row), lambda a, b: self.merge(a, b))
 
 
 class BloomSemigroup(Semigroup):
@@ -711,11 +702,8 @@ class BloomSemigroup(Semigroup):
         )
 
     def agg(self, col: Column) -> Column:
-        lst = F.collect_list(self._row_bitset(col))
-        return F.aggregate(
-            F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
-            F.element_at(lst, 1),
-            lambda a, b: self.merge(a, b),
+        return fold_merge(
+            F.collect_list(self._row_bitset(col)), lambda a, b: self.merge(a, b)
         )
 
     def merge(self, a: Column, b: Column) -> Column:
@@ -780,26 +768,24 @@ class QuantileSketchSemigroup(Semigroup):
         self.name = name
 
     def _bin(self, col: Column) -> Column:
+        # clamp on the LONG before the int cast (a huge value would
+        # CAST_OVERFLOW under ANSI mode otherwise); NULL propagates as
+        # NULL (greatest/least would otherwise skip it into an edge bin)
         raw = F.floor((col.cast("double") - F.lit(self.lo)) / F.lit(self.width))
-        return F.greatest(
-            F.lit(0), F.least(F.lit(self.bins - 1), raw.cast("int"))
-        ).cast("int")
+        clamped = F.greatest(
+            F.lit(0).cast("long"), F.least(F.lit(self.bins - 1).cast("long"), raw)
+        )
+        return F.when(col.isNotNull(), clamped.cast("int"))
 
     def agg(self, col: Column) -> Column:
-        lst = F.collect_list(F.create_map(self._bin(col), F.lit(1).cast("long")))
-        return F.aggregate(
-            F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
-            F.element_at(lst, 1),
-            lambda a, b: self.merge(a, b),
-        )
+        # lift() is NULL for NULL inputs and collect_list drops NULLs, so
+        # NULL values vanish from the sketch — matching py_agg and any
+        # exact baseline that ignores NULLs
+        lst = F.collect_list(self.lift(col))
+        return fold_merge(lst, lambda a, b: self.merge(a, b))
 
     def merge(self, a: Column, b: Column) -> Column:
-        return F.map_zip_with(
-            a,
-            b,
-            lambda k, x, y: F.coalesce(x, F.lit(0).cast("long"))
-            + F.coalesce(y, F.lit(0).cast("long")),
-        )
+        return map_add(a, b)
 
     def py_lift(self, v):
         b = int((float(v) - self.lo) / self.width)
@@ -851,7 +837,8 @@ class QuantileSketchSemigroup(Semigroup):
         sketch)."""
         key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
         per_bin = (
-            df.select(*key_cols, self._bin(F.col(value_col)).alias("__b__"))
+            df.where(F.col(value_col).isNotNull())
+            .select(*key_cols, self._bin(F.col(value_col)).alias("__b__"))
             .groupBy(*key_cols, "__b__")
             .agg(F.count(F.lit(1)).alias("__c__"))
         )
@@ -911,23 +898,14 @@ class MisraGriesSemigroup(Semigroup):
         return F.map_from_entries(kept)
 
     def merge(self, a: Column, b: Column) -> Column:
-        u = F.map_zip_with(
-            a,
-            b,
-            lambda k, x, y: F.coalesce(x, F.lit(0).cast("long"))
-            + F.coalesce(y, F.lit(0).cast("long")),
-        )
+        u = map_add(a, b)
         return self._truncate(F.array_sort(F.map_entries(u), self._cmp))
 
     def agg(self, col: Column) -> Column:
-        lst = F.collect_list(
-            F.create_map(col.cast("string"), F.lit(1).cast("long"))
-        )
-        return F.aggregate(
-            F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
-            F.element_at(lst, 1),
-            lambda a, b: self.merge(a, b),
-        )
+        # lift() NULL-guards (create_map with a NULL key throws
+        # NULL_MAP_KEY); collect_list then drops the NULLs
+        lst = F.collect_list(self.lift(col))
+        return fold_merge(lst, lambda a, b: self.merge(a, b))
 
     def lift(self, col: Column) -> Column:
         return F.when(
@@ -958,7 +936,8 @@ class MisraGriesSemigroup(Semigroup):
 
         key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
         counts = (
-            df.select(*key_cols, F.col(item_col).cast("string").alias("__i__"))
+            df.where(F.col(item_col).isNotNull())
+            .select(*key_cols, F.col(item_col).cast("string").alias("__i__"))
             .groupBy(*key_cols, "__i__")
             .agg(F.count(F.lit(1)).alias("__c__"))
         )

@@ -4166,7 +4166,9 @@ def q_stream_sum_by_key(spark: SparkSession, sf: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = run_summer_to_store(plan.dataframe, store, f"{work}/ckpt")
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming summer did not finish within 300s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     out = store.read(spark)
@@ -4273,7 +4275,9 @@ def q_stream_moments_by_key(spark: SparkSession, sf: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = run_summer_to_store(plan.dataframe, store, f"{work}/ckpt")
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming summer did not finish within 300s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     out = store.read(spark)
@@ -4362,7 +4366,9 @@ def q_stream_buffer_join(spark: SparkSession, sf: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream-stream join did not finish within 300s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     hits = spark.read.schema("event_id long, rts timestamp, rv double").parquet(
@@ -4407,8 +4413,15 @@ def q_quantile_sketch_values(spark: SparkSession, sf: str) -> DataFrame:
     sg = QuantileSketchSemigroup(0.0, 1024.0, 1024)
     ev = load_table(spark, sf, "events")
     sk = sg.histogram_table(ev, "event_type", "value")
+    # the exact side CLAMPS into the sketch domain exactly as the binning
+    # does — the error sandwich is a statement about the clamped
+    # distribution, and holds for ANY input range (values past hi land in
+    # the top bin on both sides instead of silently breaking the flags)
+    clamped = F.greatest(
+        F.lit(sg.lo), F.least(F.col("value").cast("double"), F.lit(sg.hi - 1e-9))
+    )
     exact = ev.groupBy("event_type").agg(
-        F.sort_array(F.collect_list(F.col("value").cast("double"))).alias("__vs__")
+        F.sort_array(F.collect_list(clamped)).alias("__vs__")
     )
     j = sk.join(exact, "event_type")
     n = F.size("__vs__").cast("long")
@@ -4587,7 +4600,9 @@ def q_lambda_avg_by_user(spark: SparkSession, sf: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = run_summer_to_store(plan.dataframe, online, f"{work}/ckpt")
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming summer did not finish within 300s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 

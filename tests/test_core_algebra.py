@@ -389,6 +389,8 @@ def test_lift_law_agg_equals_carrier_fold_of_lifts(spark):
         ("moments", [float(v) for v in raws], "double"),
         ("list", raws, "bigint"),
         ("top10", raws, "bigint"),
+        ("qsketch", [float(v) for v in raws], "double"),
+        ("mg8", [str(v) for v in raws], "string"),
     ]:
         sg = sg_mod.get(name)
         df = spark.createDataFrame([(v,) for v in vals], f"v {vtype}")
@@ -398,9 +400,12 @@ def test_lift_law_agg_equals_carrier_fold_of_lifts(spark):
             .agg(sg.agg_carrier(F.col("c")).alias("out"))
             .collect()
         )
-        norm = (lambda x: sorted(x)) if name in ("set", "list", "top10") else (
-            lambda x: x
-        )
+        if name in ("set", "list", "top10"):
+            norm = lambda x: sorted(x)  # noqa: E731
+        elif name in ("qsketch", "mg8"):
+            norm = lambda x: sorted(dict(x).items())  # noqa: E731
+        else:
+            norm = lambda x: x  # noqa: E731
         assert norm(a.out) == norm(b.out), (name, a.out, b.out)
         # NULL raws lift to NULL and vanish from the fold
         df_n = spark.createDataFrame(
