@@ -703,6 +703,9 @@ def test_stream_lifted_carriers_match_batch(spark, stream_dir, tmp_path):
             "moments",
             lambda v: (v["n"], round(v["s1"], 6), round(v["s2"], 6)),
         ),
+        # the round-7 quantile sketch (map<int,bigint> carrier) — the
+        # newest lifted carrier goes through the same streaming gate
+        ("qsketch", lambda v: tuple(sorted(dict(v).items()))),
     ):
         def pipe(src):
             return src.sum_by_key(
