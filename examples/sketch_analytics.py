@@ -106,6 +106,48 @@ def main(sf_dir: str) -> None:
         "event_type", HllSemigroup.estimate(F.col("value")).alias("approx_users")
     ).orderBy("event_type").show()
 
+    # 5. mergeable quantiles (QTree idiom): p50/p95 of value per type
+    from summingbird_spark.core.semigroup import QuantileSketchSemigroup
+
+    qs = QuantileSketchSemigroup(0.0, 1024.0, 1024)
+    qsk = qs.histogram_table(ev, "event_type", "value")
+    print("-- quantile sketch: p50 / p95 of value per type (±1.0) --")
+    qsk.select(
+        "event_type",
+        F.round(qs.quantile(F.col("sketch"), 0.5), 1).alias("p50"),
+        F.round(qs.quantile(F.col("sketch"), 0.95), 1).alias("p95"),
+    ).orderBy("event_type").show()
+
+    # 6. mergeable heavy hitters (Misra-Gries): dominant value-magnitude
+    # buckets per type, built per month and MERGED like a store would
+    from summingbird_spark.core.semigroup import MisraGriesSemigroup
+
+    mg = MisraGriesSemigroup(8)
+    monthly = mg.summary_table(
+        ev.withColumn("__m__", F.date_trunc("month", "ts")).withColumn(
+            "__b__", F.floor(F.sqrt(F.col("value"))).cast("int")
+        ),
+        ["event_type", "__m__"],
+        "__b__",
+    )
+    merged = monthly.groupBy("event_type").agg(
+        mg.agg_carrier(F.col("summary")).alias("summary")
+    )
+    print("-- heavy value buckets per type (bucket i = value in [i², (i+1)²)) --")
+    merged.select(
+        "event_type",
+        F.slice(
+            F.array_sort(
+                F.map_entries("summary"),
+                lambda x, y: F.when(x["value"] < y["value"], 1)
+                .when(x["value"] > y["value"], -1)
+                .otherwise(0),
+            ),
+            1,
+            3,
+        ).alias("top3_buckets"),
+    ).orderBy("event_type").show(truncate=False)
+
     spark.stop()
 
 
