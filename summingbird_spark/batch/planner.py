@@ -27,16 +27,34 @@ from ..core import semigroup as sg_mod
 from ..core.graph import TIME_COL
 from . import batcher as b_mod
 
-# Semigroups whose cross-batch merge is itself a builtin window aggregate —
+# Semigroups whose window fold is itself a builtin window aggregate —
 # keeps the prev/delta computation in whole-stage codegen (no arrays).
-# Each entry: (col, window) -> Column.
-_WINDOW_MERGE = {
+# Each entry: (col, window) -> Column.  TWO tables because the two call
+# sites fold DIFFERENT inputs (the r7 single-table version silently
+# corrupted the summer's prev for semigroup='count'):
+#
+# _WINDOW_MERGE_RAW — loop-join site (`_compile_loop_join`): the window
+# rows are RAW prior events, so the fold is merge(lift(event)...).  For
+# count, lift(v)=1 per non-null event ⇒ F.count of the window, NULL
+# before the first fold (F.count over an empty window is 0).
+_WINDOW_MERGE_RAW = {
     "sum": lambda c, w: F.sum(c).over(w),
     "sum_long": lambda c, w: F.sum(c).over(w).cast("long"),
-    # count folds the LIFT (1 per non-null prior row), NULL before the
-    # first fold — matching the streaming fold's py_lift semantics and
-    # loop_join's count fast path (F.count over an empty window is 0)
     "count": lambda c, w: F.when(F.count(c).over(w) > 0, F.count(c).over(w)),
+    "min": lambda c, w: F.min(c).over(w),
+    "max": lambda c, w: F.max(c).over(w),
+}
+# _WINDOW_MERGE_CARRIER — summer site (`_compile_summer`): the window
+# rows are per-batch CARRIER aggregates already produced by sg.agg (for
+# count, a tally per batch), so the fold is merge(carrier...).  Count's
+# carrier merge is +, i.e. F.sum of the prior tallies — F.count here
+# would re-count each prior batch as 1 (prev None,1,2,3 instead of
+# None,30,60,90 for 30-event batches).  F.sum over an empty window is
+# already NULL, the wanted "no previous" sentinel.
+_WINDOW_MERGE_CARRIER = {
+    "sum": lambda c, w: F.sum(c).over(w),
+    "sum_long": lambda c, w: F.sum(c).over(w).cast("long"),
+    "count": lambda c, w: F.sum(c).over(w).cast("long"),
     "min": lambda c, w: F.min(c).over(w),
     "max": lambda c, w: F.max(c).over(w),
 }
@@ -388,8 +406,8 @@ class BatchPlanner:
             .orderBy(F.col(TIME_COL), *[F.col(c) for c in svc.order_by])
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        if sg.name in _WINDOW_MERGE:
-            running = _WINDOW_MERGE[sg.name](delta, w)
+        if sg.name in _WINDOW_MERGE_RAW:
+            running = _WINDOW_MERGE_RAW[sg.name](delta, w)
         else:
             # fold LIFTED deltas (set folds [v], moments folds power
             # sums): the store this join observes accumulates lifted
@@ -543,7 +561,7 @@ class BatchPlanner:
             .orderBy("batch_id")
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        merge_fn = _WINDOW_MERGE.get(getattr(sg, "name", None))
+        merge_fn = _WINDOW_MERGE_CARRIER.get(getattr(sg, "name", None))
         if merge_fn is not None:
             prev = merge_fn(F.col("delta"), w)
         else:

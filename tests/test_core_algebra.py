@@ -103,6 +103,24 @@ def test_sum_by_key_prev_delta(spark, events):
     assert len(rows) == sum(len(v) for v in per.values())
 
 
+def test_sum_by_key_count_prev_sums_prior_tallies(spark):
+    """semigroup='count' prev/delta: delta is a per-batch CARRIER tally,
+    so prev must SUM prior tallies (carrier merge '+'), not re-count
+    prior batch rows as 1 each.  Regression for the r7 single-table
+    _WINDOW_MERGE bug: 4 batches of 30/30/30/10 events → prev must be
+    None,30,60,90 (the broken fold gave None,1,2,3)."""
+    rows = [(ts(i // 3), "k", f"v{i}") for i in range(100)]  # 3/min → 30 per 10-min batch
+    df = spark.createDataFrame(rows, "ts timestamp, key string, value string")
+    p = source(df, time_col="ts").sum_by_key(
+        "key", "value", semigroup="count", batcher=sb.of_minutes(10)
+    )
+    got = {r.batch_id: (r.prev, r.delta) for r in to_dataframe(spark, p).collect()}
+    b0 = min(got)
+    assert [got[b0 + i] for i in range(4)] == [
+        (None, 30), (30, 30), (60, 30), (90, 10)
+    ]
+
+
 def test_sum_by_key_noncommutative_concat(spark):
     """Non-commutative semigroup: time-ordered fold
     (BatchedStore.scala:199-203). Insert rows shuffled; result must be
