@@ -206,12 +206,13 @@ def write_shards(
     ``compression`` passes through to the writer (json: ``gzip``/
     ``bzip2``/``zstd``/``none`` — gzip JSONL is the de-facto
     text-shard interchange; parquet: ``snappy``/``zstd``/…).
-    ``max_file_bytes`` caps each output file (``spark.sql.files.
-    maxRecordsPerFile`` is record-count-based, so the cap is applied as
-    bytes via the writer's ``maxRecordsPerFile`` derived from a sampled
-    average record size) — loaders that memory-map or HTTP-range-fetch
-    shards need bounded files even when one shard_id's rows exceed the
-    target.
+    ``max_file_bytes`` bounds each output file BEST-EFFORT
+    (``spark.sql.files.maxRecordsPerFile`` is record-count-based, so the
+    byte bound is applied as ``maxRecordsPerFile`` = max_file_bytes /
+    p90-record-size over a deterministic ~1% hash sample of ALL shards;
+    a run of records all far above the sampled p90 can still exceed the
+    target) — loaders that memory-map or HTTP-range-fetch shards need
+    bounded files even when one shard_id's rows exceed the target.
 
     ``repartitionByRange(shard_id, id)`` hands each writer task a
     contiguous run of shards (so a shard's rows land in one or few
@@ -235,17 +236,32 @@ def write_shards(
     if max_file_bytes is not None:
         if max_file_bytes <= 0:
             raise ValueError(f"max_file_bytes must be positive; got {max_file_bytes}")
-        # derive a record cap from the UNCOMPRESSED average record size of
-        # a deterministic sample (first bucket's rows) — one bounded job;
-        # conservative for compressed output (files come out smaller).
+        # derive a record cap from the UNCOMPRESSED p90 record size of a
+        # deterministic ~1% hash sample spread over ALL shards (limit()
+        # sampled only the first partition — smallest shard ids — so
+        # size-skewed shards blew the cap); p90, not avg, so a heavy
+        # tail within the sample still lands under the target.
+        # Conservative for compressed output (files come out smaller).
         # octet_length, not length: the cap is BYTES and multi-byte UTF-8
         # text would otherwise blow it by the bytes-per-char ratio
-        sample = packed.limit(1024).select(
-            F.avg(F.octet_length(F.to_json(F.struct("*")))).alias("b")
-        ).collect()[0]["b"]
-        avg = max(float(sample or 1.0), 1.0)
+        sample = (
+            packed.filter(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(97)) == 7)
+            .select(
+                F.percentile_approx(
+                    F.octet_length(F.to_json(F.struct("*"))), 0.9
+                ).alias("b")
+            )
+            .collect()[0]["b"]
+        )
+        if sample is None:  # sample stratum empty (tiny input): scan all rows
+            sample = packed.select(
+                F.percentile_approx(
+                    F.octet_length(F.to_json(F.struct("*"))), 0.9
+                ).alias("b")
+            ).collect()[0]["b"]
+        p90 = max(float(sample or 1.0), 1.0)
         writer = writer.option(
-            "maxRecordsPerFile", max(int(max_file_bytes / avg), 1)
+            "maxRecordsPerFile", max(int(max_file_bytes / p90), 1)
         )
     writer.save(path)
 

@@ -4237,8 +4237,9 @@ def q_buffer_join_clicks(spark: SparkSession, sf: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT user_id, batch_id, CAST(n AS BIGINT) AS n,
-           round(s1 / n, 4) AS mean,
-           round(s2 / n - (s1 / n) * (s1 / n), 4) AS var_pop
+           CAST(floor((s1 / n) * 10000 + 0.5) AS BIGINT) AS mean_e4,
+           CAST(floor((s2 / n - (s1 / n) * (s1 / n)) * 10000 + 0.5) AS BIGINT)
+             AS var_pop_e4
     FROM s
     """,
 )
@@ -4285,12 +4286,16 @@ def q_stream_moments_by_key(spark: SparkSession, sf: str) -> DataFrame:
         raise RuntimeError("stream produced an empty online store")
     v = F.col("value")
     pres = MomentsSemigroup.present(v)
+    # integer-scaled floor presentation (not round(x, 4)): streaming fold
+    # order vs the oracle's summation order, plus Spark-vs-DuckDB double
+    # rounding at .xxxx5 ties, can flip a 4th decimal — the exact flake
+    # class the repo's integer-cents discipline exists for (ADVICE r7)
     return out.select(
         "user_id",
         F.col("batch_id").cast("long").alias("batch_id"),
         v["n"].cast("long").alias("n"),
-        F.round(pres["mean"], 4).alias("mean"),
-        F.round(pres["var_pop"], 4).alias("var_pop"),
+        F.floor(pres["mean"] * 10000 + 0.5).cast("long").alias("mean_e4"),
+        F.floor(pres["var_pop"] * 10000 + 0.5).cast("long").alias("var_pop_e4"),
     )
 
 

@@ -232,3 +232,36 @@ def test_write_shards_compression_and_file_cap(spark, tmp_path):
     for f in files:
         with gzip.open(f, "rt") as fh:
             assert len(fh.readlines()) <= 10
+
+
+def test_write_shards_cap_survives_size_skewed_shards(spark, tmp_path):
+    """The byte cap must hold when record sizes vary ACROSS shards: the
+    r7 derivation sampled packed.limit(1024) — the first partition,
+    i.e. the smallest shard ids — so a corpus whose large records sit
+    in high ids derived a cap from the small ones and blew the target
+    by the size ratio. The hash-sampled p90 sees every shard (ADVICE
+    r7)."""
+    import glob
+
+    from summingbird_spark.functions.packing import write_shards
+
+    # 20% large records, all in the HIGH ids (the partitions limit() skipped)
+    rows = [(i, "x" * (1000 if i >= 1600 else 10), 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, w long")
+    out = str(tmp_path / "skewshards")
+    cap = 8000
+    write_shards(
+        df, out, weight_col="w", budget=100, id_col="doc_id",
+        fmt="json", max_file_bytes=cap,
+    )
+    files = glob.glob(f"{out}/shard_id=*/part-*")
+    assert files
+    import os
+
+    worst = max(os.path.getsize(f) for f in files)
+    # best-effort bound: JSONL file bytes ~ records * record size; allow
+    # 50% slack for the p90-vs-max tail. The broken derivation produced
+    # ~25x the cap here.
+    assert worst <= cap * 1.5, f"worst file {worst}B vs cap {cap}B"
+    back = spark.read.schema("doc_id long, text string, w long").json(f"{out}/shard_id=*")
+    assert back.count() == 2000
