@@ -4425,18 +4425,48 @@ def q_quantile_sketch_values(spark: SparkSession, sf: str) -> DataFrame:
     clamped = F.greatest(
         F.lit(sg.lo), F.least(F.col("value").cast("double"), F.lit(sg.hi - 1e-9))
     )
-    exact = ev.groupBy("event_type").agg(
-        F.sort_array(F.collect_list(clamped)).alias("__vs__")
+    # exact rank values, DISTRIBUTIVELY (VERDICT r7 finding 1): the r7
+    # sandwich collected every value per group into one sorted array —
+    # the exact collect_list OOM SURVEY §7(b) warns about. Same rank
+    # semantics without the array: the ceil(q*n)-th smallest value is
+    # the smallest DISTINCT value whose cumulative count >= rank, so
+    # aggregate to (event_type, value, count), cumulate with a window
+    # over the (already-aggregated, spillable) distinct values, and
+    # min-select per quantile. No row ever holds the group's values.
+    from pyspark.sql.window import Window as _W
+
+    cnts = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type", clamped.alias("__v__"))
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    cum = cnts.withColumn(
+        "__cum__",
+        F.sum("__c__").over(_W.partitionBy("event_type").orderBy("__v__")),
+    ).withColumn(
+        "__n__", F.sum("__c__").over(_W.partitionBy("event_type"))
+    )
+    qs = ((0.5, "p50_ok"), (0.9, "p90_ok"), (0.99, "p99_ok"))
+    exact = cum.groupBy("event_type").agg(
+        F.max("__n__").cast("long").alias("__n__"),
+        *[
+            F.min(
+                F.when(
+                    F.col("__cum__") >= F.ceil(F.lit(q) * F.col("__n__")),
+                    F.col("__v__"),
+                )
+            ).alias(f"__ex_{nm}__")
+            for q, nm in qs
+        ],
     )
     j = sk.join(exact, "event_type")
-    n = F.size("__vs__").cast("long")
+    n = F.col("__n__")
 
     def flags():
         out = []
-        for q, nm in ((0.5, "p50_ok"), (0.9, "p90_ok"), (0.99, "p99_ok")):
+        for q, nm in qs:
             est = sg.quantile(F.col("sketch"), q)
-            rank = F.ceil(F.lit(q) * n).cast("int")
-            ex = F.element_at(F.col("__vs__"), rank)
+            ex = F.col(f"__ex_{nm}__")
             out.append(
                 ((est > ex) & (est - ex <= F.lit(sg.width + 1e-9))).alias(nm)
             )

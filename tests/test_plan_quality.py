@@ -390,6 +390,13 @@ def test_quantile_sketch_build_is_one_codegen_groupby(spark):
     plan = plan_of(spark, "quantile_sketch_values")
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+    # the exact-rank sandwich must be the cumulative-histogram rank
+    # select, never a per-group sorted array of every raw value (the
+    # r7 exact side collected the full value list into one row —
+    # SURVEY §7(b)'s OOM). The only collect_list allowed is the
+    # bounded (<= bins entries) sketch-map assembly.
+    assert "sort_array(collect_list" not in plan
+    assert plan.count("collect_list") <= 1
 
 
 def test_heavy_hitters_bounded_by_window_head(spark):
