@@ -126,6 +126,39 @@ def main() -> None:
     except Exception as e:
         print(f"bench error in q8_build: {e}", file=sys.stderr)
 
+    stream_warmup_sec = -1.0
+    try:
+        # streaming warmup (VERDICT r7 item 5): the FIRST StreamingQuery
+        # of a JVM pays one-time init (state-store provider classes,
+        # streaming-specific codegen, checkpoint IO paths) that the
+        # per-query timings otherwise charge to whichever streaming row
+        # runs first. Pay it here on a two-row file stream through a
+        # stateful aggregate + real checkpoint, and report the cost as
+        # its own field so the three lifecycle rows show steady state.
+        import shutil
+        import tempfile
+
+        warm_root = tempfile.mkdtemp(prefix="sbspark-stream-warm-")
+        src = f"{warm_root}/src"
+        spark.createDataFrame(
+            [("k", 1.0)], "key string, value double"
+        ).coalesce(1).write.parquet(src)
+        t0 = time.perf_counter()
+        wq = (
+            spark.readStream.schema("key string, value double").parquet(src)
+            .groupBy("key").count()
+            .writeStream.format("noop")
+            .option("checkpointLocation", f"{warm_root}/ckpt")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        wq.awaitTermination(120)
+        stream_warmup_sec = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(warm_root, ignore_errors=True)
+    except Exception as e:
+        print(f"bench error in stream_warmup: {e}", file=sys.stderr)
+
     def run_one(fn) -> float:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -230,6 +263,7 @@ def main() -> None:
         "ivf_index_build_sec": ivf_build_sec,
         "lsh_index_build_sec": lsh_build_sec,
         "q8_build_sec": q8_build_sec,
+        "stream_warmup_sec": stream_warmup_sec,
         # named split fields (VERDICT r6 item 6) duplicating the two
         # attribution rows above for direct lookup
         "embedding_ivf_topk_probe_sec": timings.get("embedding_ivf_topk_probe", -1.0),
@@ -268,6 +302,7 @@ def main() -> None:
                 "ivf_index_build_sec": ivf_build_sec,
                 "lsh_index_build_sec": lsh_build_sec,
                 "q8_build_sec": q8_build_sec,
+                "stream_warmup_sec": stream_warmup_sec,
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
             }
