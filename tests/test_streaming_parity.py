@@ -1018,3 +1018,82 @@ def test_stream_stream_join_hot_key_state_bounded(spark, tmp_path):
         f"(input {total_input})"
     )
     assert final_state >= N  # sanity: the live tail IS buffered
+
+
+def test_streaming_summer_misra_gries_carrier(spark, stream_dir, tmp_path):
+    """The LAST sketch×streaming parity cell (VERDICT r7 item 7): the
+    Misra-Gries heavy-hitters carrier (map<string,bigint>, k-entry,
+    add-then-subtract merge) through the streaming summer. MG is only
+    guarantee-associative — merge ORDER can change the map, never the
+    guarantees — so parity is graded in two regimes:
+
+    * k=16 > the 11 distinct values per key: no merge ever truncates,
+      pointwise-add is commutative, and the streamed final summary must
+      EQUAL the batch one exactly;
+    * k=2 (truncating): the streamed summary must satisfy the MG
+      contract against exact per-(key,batch) counts — coverage (true
+      count > n/(k+1) present), underestimate, and error <= n/(k+1).
+    """
+    from summingbird_spark.core.semigroup import MisraGriesSemigroup, register
+
+    register(MisraGriesSemigroup(16))
+    register(MisraGriesSemigroup(2))
+
+    def run_stream(sg_name):
+        src = stream_source(stream_dir, SCHEMA, time_col="ts",
+                            max_files_per_trigger=1)
+        p = src.sum_by_key("key", "value", semigroup=sg_name,
+                           batcher=sb.of_days(1))
+        plan = StreamPlanner(spark).plan(p)
+        name = f"mg_stream_{sg_name}"
+        q = plan.start_to_memory(spark, name)
+        q.awaitTermination(120)
+        per = defaultdict(list)
+        for r in spark.sql(f"SELECT * FROM {name}").collect():
+            per[(r.key, r.batch_id)].append((r.prev, r.delta))
+        sg = sb.core.semigroup.get(sg_name)
+
+        def fin(prev, delta):
+            d = dict(delta)
+            return d if prev is None else sg.py_merge(dict(prev), d)
+
+        return {kb: fin(*pairs[-1]) for kb, pairs in per.items()}
+
+    # exact per-(key,batch) value-string counts (the MG input universe)
+    exact = defaultdict(lambda: defaultdict(int))
+    for t, k, v in ROWS:
+        bid = int(t.timestamp() * 1000) // 86_400_000
+        exact[(k, bid)][str(v)] += 1
+
+    # regime 1: k=16, no truncation anywhere -> exact equality with batch
+    got16 = run_stream("mg16")
+    df = spark.read.schema(SCHEMA).parquet(stream_dir)
+    p = source(df, time_col="ts").sum_by_key(
+        "key", "value", semigroup="mg16", batcher=sb.of_days(1)
+    )
+    # comparable quantity is the PER-BATCH total: batch emits it as
+    # `delta` directly (batch `prev` is the CROSS-batch running value);
+    # the streamed side reconstructs it from the last trigger's
+    # within-batch prev ⊕ delta
+    want16 = {
+        (r.key, r.batch_id): dict(r.delta)
+        for r in to_dataframe(spark, p).collect()
+    }
+    assert set(got16) == set(exact)
+    for kb in want16:
+        assert got16[kb] == want16[kb], kb
+        assert got16[kb] == dict(exact[kb]), kb  # k>distinct: full histogram
+
+    # regime 2: k=2, truncating merges -> MG guarantees vs exact counts
+    got2 = run_stream("mg2")
+    assert set(got2) == set(exact)
+    for kb, summary in got2.items():
+        truth = exact[kb]
+        n = sum(truth.values())
+        bound = n / 3  # n/(k+1)
+        for item, c in summary.items():
+            assert c <= truth.get(item, 0), (kb, item)       # underestimate
+            assert truth[item] - c <= bound + 1e-9, (kb, item)  # error bound
+        for item, tc in truth.items():
+            if tc > bound:
+                assert item in summary, (kb, item)           # coverage
