@@ -4334,13 +4334,16 @@ def q_stream_buffer_join(spark: SparkSession, sf: str) -> DataFrame:
     state on its own (proven by test_streaming_parity's
     outer-emission/eviction pin: outer rows only emit once the GLOBAL
     watermark passes them, and watermark updates only take effect one
-    micro-batch later), so after the replay two far-future SENTINEL
-    batches are appended to a per-call copy of the source and the query
-    restarts on the same checkpoint: sentinel #1 advances both sides'
-    max event time (watermark recomputes after its batch), sentinel #2
-    runs WITH the advanced watermark — state evicts and every unmatched
-    purchase emits (event_id, NULL, NULL). Sentinel rows carry
-    event_id=-1/user_id=-1 and are filtered from the result."""
+    micro-batch later), so two far-future SENTINEL files are PRE-STAGED
+    in a per-call copy of the source with mtimes strictly after the
+    real chunks — the file source replays in mtime order, so they form
+    the final two micro-batches of the SAME availableNow run (no second
+    StreamingQuery startup — a restart spelling cost ~2x the lifecycle):
+    sentinel #1 advances both sides' max event time (watermark
+    recomputes after its batch), sentinel #2 runs WITH the advanced
+    watermark — state evicts and every unmatched purchase emits
+    (event_id, NULL, NULL). Sentinel rows carry event_id=-1/user_id=-1
+    and are filtered from the result."""
     import os
     import tempfile
 
@@ -4355,6 +4358,31 @@ def q_stream_buffer_join(spark: SparkSession, sf: str) -> DataFrame:
     for p in os.listdir(cached_src):
         if p.endswith(".parquet"):
             os.link(os.path.join(cached_src, p), os.path.join(src_dir, p))
+
+    # the final-drain sentinels, staged up front: ts far enough past
+    # max(real ts) that watermark (= sentinel ts - 3650d delay) lands
+    # ABOVE every real event. Both event types in each file so BOTH
+    # sides' (global min) watermark advances.
+    import datetime as _dt
+    import time as _time
+
+    max_ts = spark.read.parquet(src_dir).agg(F.max("ts").alias("m")).first()["m"]
+    now = _time.time()
+    for i, fname in enumerate(["zz_sentinel_a", "zz_sentinel_b"]):
+        s_ts = max_ts + _dt.timedelta(days=3700 + i)
+        sdf = spark.createDataFrame(
+            [(s_ts, -1, -1, "purchase", 0.0), (s_ts, -1, -1, "click", 0.0)],
+            schema,
+        ).coalesce(1)
+        sdir = f"{work}/{fname}"
+        sdf.write.mode("overwrite").parquet(sdir)
+        part = [p for p in os.listdir(sdir) if p.endswith(".parquet")][0]
+        dst = os.path.join(src_dir, f"{fname}.parquet")
+        os.link(os.path.join(sdir, part), dst)
+        # mtime-ordered replay: b strictly after a, both strictly after
+        # the real chunks, so the sentinels are the LAST two
+        # micro-batches of the single availableNow run
+        os.utime(dst, times=(now + 5 + 5 * i, now + 5 + 5 * i))
 
     def rd():
         return (
@@ -4394,34 +4422,7 @@ def q_stream_buffer_join(spark: SparkSession, sf: str) -> DataFrame:
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        run_pass()  # the replay: all real rows buffered/matched
-        # the final-drain sentinels: ts far enough past max(real ts) that
-        # watermark (= sentinel ts - 3650d delay) lands ABOVE every real
-        # event. Both event types in each file so BOTH sides' (global
-        # min) watermark advances.
-        max_ts = (
-            spark.read.parquet(src_dir).agg(F.max("ts").alias("m")).first()["m"]
-        )
-        import datetime as _dt
-        import time as _time
-
-        now = _time.time()
-        for i, fname in enumerate(["zz_sentinel_a", "zz_sentinel_b"]):
-            s_ts = max_ts + _dt.timedelta(days=3700 + i)
-            sdf = spark.createDataFrame(
-                [(s_ts, -1, -1, "purchase", 0.0), (s_ts, -1, -1, "click", 0.0)],
-                schema,
-            ).coalesce(1)
-            sdir = f"{work}/{fname}"
-            sdf.write.mode("overwrite").parquet(sdir)
-            part = [p for p in os.listdir(sdir) if p.endswith(".parquet")][0]
-            dst = os.path.join(src_dir, f"{fname}.parquet")
-            os.link(os.path.join(sdir, part), dst)
-            # mtime-ordered replay: b strictly after a, both NEWER than
-            # the real chunks (FileStreamSource ignores files older than
-            # maxFileAge relative to the newest seen file)
-            os.utime(dst, times=(now + 5 + 5 * i, now + 5 + 5 * i))
-        run_pass()  # sentinel #1 advances watermark; #2 applies it → drain
+        run_pass()  # replay + sentinel #1 (watermark advance) + #2 (drain)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     hits = (
