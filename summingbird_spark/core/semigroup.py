@@ -175,7 +175,8 @@ class _ExprSemigroup(Semigroup):
     """Semigroup from a builtin aggregate fn + a merge expression."""
 
     def __init__(self, name, agg_fn, merge_fn, commutative=True, py_merge_fn=None,
-                 py_lift_fn=None, carrier_type_fn=None, lift_col_fn=None):
+                 py_lift_fn=None, carrier_type_fn=None, lift_col_fn=None,
+                 agg_carrier_fn=None):
         self.name = name
         self._agg = agg_fn
         self._merge = merge_fn
@@ -184,6 +185,7 @@ class _ExprSemigroup(Semigroup):
         self._py_lift = py_lift_fn
         self._carrier_type = carrier_type_fn
         self._lift_col = lift_col_fn
+        self._agg_carrier = agg_carrier_fn
 
     def agg(self, col: Column) -> Column:
         return self._agg(col)
@@ -206,10 +208,14 @@ class _ExprSemigroup(Semigroup):
 
     def agg_carrier(self, col: Column) -> Column:
         # identity lift ⇒ carrier == raw ⇒ the codegen aggregate IS the
-        # carrier fold (sum of sums, min of mins); lifted carriers (count
-        # tallies, set arrays) take the generic merge() fold
+        # carrier fold (sum of sums, min of mins); lifted carriers take
+        # an explicit codegen carrier aggregate when one exists (count:
+        # the tally merge is +, so F.sum of tallies — NULL on empty, same
+        # as the fold), else the generic merge() fold
         if self._py_lift is None:
             return self.agg(col)
+        if self._agg_carrier is not None:
+            return self._agg_carrier(col)
         return fold_merge(F.collect_list(col), lambda a, b: self.merge(a, b))
 
     def lift(self, col: Column) -> Column:
@@ -364,6 +370,8 @@ register(_ExprSemigroup(
     # which only coincided with batch when the value column was lit(1))
     py_lift_fn=lambda v: 1, carrier_type_fn=lambda vt: "bigint",
     lift_col_fn=lambda c: F.when(c.isNotNull(), F.lit(1).cast("bigint")),
+    # carrier merge is +: fold tallies in codegen, not a collect_list fold
+    agg_carrier_fn=lambda c: F.sum(c).cast("long"),
 ))
 register(_ExprSemigroup("min", F.min, F.least, py_merge_fn=min))
 register(_ExprSemigroup("max", F.max, F.greatest, py_merge_fn=max))

@@ -539,3 +539,50 @@ def test_loop_join_batch_equals_streaming_fold(spark, rows, sg_name):
     assert {e: norm(v) for e, v in got.items()} == {
         e: norm(v) for e, v in want.items()
     }
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.floats(min_value=0.0, max_value=1023.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    q=st.sampled_from([0.5, 0.9, 0.99]),
+)
+def test_distributed_rank_select_equals_sorted_list(spark, vals, q):
+    """The cumulative-histogram rank select used by the graded quantile
+    sandwich (r8 de-OOM): per key, the smallest DISTINCT value whose
+    cumulative count reaches ceil(q*n) must equal the ceil(q*n)-th
+    element of the fully sorted value list — including duplicate-heavy
+    multisets, where the distinct-value cumulation is the part that can
+    go wrong."""
+    import math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(vals, "key string, v double")
+    cnts = df.groupBy("key", "v").agg(F.count(F.lit(1)).alias("c"))
+    cum = cnts.withColumn(
+        "cum", F.sum("c").over(Window.partitionBy("key").orderBy("v"))
+    ).withColumn("n", F.sum("c").over(Window.partitionBy("key")))
+    got = {
+        r.key: r.ex
+        for r in cum.groupBy("key")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("v"))
+            ).alias("ex")
+        )
+        .collect()
+    }
+    per = defaultdict(list)
+    for k, v in vals:
+        per[k].append(v)
+    for k, vs in per.items():
+        rank = math.ceil(q * len(vs))
+        assert got[k] == sorted(vs)[rank - 1], (k, q, sorted(vs))
