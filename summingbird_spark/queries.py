@@ -4355,30 +4355,50 @@ def q_stream_buffer_join(spark: SparkSession, sf: str) -> DataFrame:
     # shared and must never be mutated by the sentinel append)
     src_dir = f"{work}/src"
     os.makedirs(src_dir)
+
+    def _link(a, b):
+        try:
+            os.link(a, b)
+        except OSError:  # cross-device tempdirs: fall back to a copy
+            import shutil
+
+            shutil.copy(a, b)
+
     for p in os.listdir(cached_src):
         if p.endswith(".parquet"):
-            os.link(os.path.join(cached_src, p), os.path.join(src_dir, p))
+            _link(os.path.join(cached_src, p), os.path.join(src_dir, p))
 
     # the final-drain sentinels, staged up front: ts far enough past
     # max(real ts) that watermark (= sentinel ts - 3650d delay) lands
     # ABOVE every real event. Both event types in each file so BOTH
-    # sides' (global min) watermark advances.
+    # sides' (global min) watermark advances. Written with pyarrow
+    # DIRECTLY — a 2-row `spark.createDataFrame(...).write` costs ~4 s
+    # PER ACTION under a non-Arrow session (the local list becomes a
+    # 32-slice parallelized RDD whose every action re-spins Python
+    # workers); the two sentinel writes alone were ~8.6 s of this row's
+    # 14 s bench cost. pyarrow writes the same TIMESTAMP_MICROS parquet
+    # in milliseconds with zero Spark jobs.
     import datetime as _dt
     import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     max_ts = spark.read.parquet(src_dir).agg(F.max("ts").alias("m")).first()["m"]
     now = _time.time()
     for i, fname in enumerate(["zz_sentinel_a", "zz_sentinel_b"]):
         s_ts = max_ts + _dt.timedelta(days=3700 + i)
-        sdf = spark.createDataFrame(
-            [(s_ts, -1, -1, "purchase", 0.0), (s_ts, -1, -1, "click", 0.0)],
-            schema,
-        ).coalesce(1)
-        sdir = f"{work}/{fname}"
-        sdf.write.mode("overwrite").parquet(sdir)
-        part = [p for p in os.listdir(sdir) if p.endswith(".parquet")][0]
+        tbl = pa.table(
+            {
+                "ts": pa.array([s_ts, s_ts], type=pa.timestamp("us", tz="UTC")),
+                "user_id": pa.array([-1, -1], type=pa.int64()),
+                "event_id": pa.array([-1, -1], type=pa.int64()),
+                "event_type": pa.array(["purchase", "click"], type=pa.string()),
+                "value": pa.array([0.0, 0.0], type=pa.float64()),
+            }
+        )
         dst = os.path.join(src_dir, f"{fname}.parquet")
-        os.link(os.path.join(sdir, part), dst)
+        pq.write_table(tbl, dst)
         # mtime-ordered replay: b strictly after a, both strictly after
         # the real chunks, so the sentinels are the LAST two
         # micro-batches of the single availableNow run
