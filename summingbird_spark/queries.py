@@ -4334,16 +4334,18 @@ def q_stream_buffer_join(spark: SparkSession, sf: str) -> DataFrame:
     state on its own (proven by test_streaming_parity's
     outer-emission/eviction pin: outer rows only emit once the GLOBAL
     watermark passes them, and watermark updates only take effect one
-    micro-batch later), so two far-future SENTINEL files are PRE-STAGED
-    in a per-call copy of the source with mtimes strictly after the
-    real chunks — the file source replays in mtime order, so they form
-    the final two micro-batches of the SAME availableNow run (no second
-    StreamingQuery startup — a restart spelling cost ~2x the lifecycle):
-    sentinel #1 advances both sides' max event time (watermark
-    recomputes after its batch), sentinel #2 runs WITH the advanced
+    micro-batch later), so ONE far-future SENTINEL file is PRE-STAGED
+    in a per-call copy of the source with an mtime strictly after the
+    real chunks — the file source replays in mtime order, so it forms
+    the final data micro-batch of the SAME availableNow run (no second
+    StreamingQuery startup — a restart spelling cost ~2x the lifecycle).
+    The sentinel's batch advances both sides' max event time; the
+    engine's trailing NO-DATA micro-batch then applies the recomputed
     watermark — state evicts and every unmatched purchase emits
-    (event_id, NULL, NULL). Sentinel rows carry event_id=-1/user_id=-1
-    and are filtered from the result."""
+    (event_id, NULL, NULL) there (pinned by the hot-key state-bound
+    test, whose batch-3 evictions flush in exactly that trailing
+    batch). Sentinel rows carry event_id=-1/user_id=-1 and are filtered
+    from the result."""
     import os
     import tempfile
 
@@ -4386,23 +4388,27 @@ def q_stream_buffer_join(spark: SparkSession, sf: str) -> DataFrame:
 
     max_ts = spark.read.parquet(src_dir).agg(F.max("ts").alias("m")).first()["m"]
     now = _time.time()
-    for i, fname in enumerate(["zz_sentinel_a", "zz_sentinel_b"]):
-        s_ts = max_ts + _dt.timedelta(days=3700 + i)
-        tbl = pa.table(
-            {
-                "ts": pa.array([s_ts, s_ts], type=pa.timestamp("us", tz="UTC")),
-                "user_id": pa.array([-1, -1], type=pa.int64()),
-                "event_id": pa.array([-1, -1], type=pa.int64()),
-                "event_type": pa.array(["purchase", "click"], type=pa.string()),
-                "value": pa.array([0.0, 0.0], type=pa.float64()),
-            }
-        )
-        dst = os.path.join(src_dir, f"{fname}.parquet")
-        pq.write_table(tbl, dst)
-        # mtime-ordered replay: b strictly after a, both strictly after
-        # the real chunks, so the sentinels are the LAST two
-        # micro-batches of the single availableNow run
-        os.utime(dst, times=(now + 5 + 5 * i, now + 5 + 5 * i))
+    s_ts = max_ts + _dt.timedelta(days=3700)
+    tbl = pa.table(
+        {
+            "ts": pa.array([s_ts, s_ts], type=pa.timestamp("us", tz="UTC")),
+            "user_id": pa.array([-1, -1], type=pa.int64()),
+            "event_id": pa.array([-1, -1], type=pa.int64()),
+            "event_type": pa.array(["purchase", "click"], type=pa.string()),
+            "value": pa.array([0.0, 0.0], type=pa.float64()),
+        }
+    )
+    dst = os.path.join(src_dir, "zz_sentinel.parquet")
+    pq.write_table(tbl, dst)
+    # mtime-ordered replay: strictly after the real chunks, so the
+    # sentinel is the LAST data micro-batch of the single availableNow
+    # run. ONE sentinel suffices: its batch advances max event time, and
+    # the engine's trailing NO-DATA micro-batch (noDataMicroBatches,
+    # default on) applies the recomputed watermark — state evicts and
+    # every unmatched purchase outer-emits there (semantics pinned by
+    # test_stream_stream_join_hot_key_state_bounded, where batch-3
+    # evictions flush in exactly that trailing batch).
+    os.utime(dst, times=(now + 5, now + 5))
 
     def rd():
         return (
