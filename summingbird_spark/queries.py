@@ -4985,6 +4985,18 @@ def q_tpch_q22_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
 # enters the window; `loop_join_dsl` (externally green since r5,
 # implementation-unchanged; the loop-join family stays in-window via
 # `loop_join_running` + `loop_join_compound`) moves below it.
+# Round-9 change (VERDICT r8 item 1, same swap-budget discipline):
+# `quantile_sketch_values` and `heavy_hitters_value_buckets` — the last
+# §1.3 algebra members (mergeable QTree-idiom quantiles + Misra-Gries
+# heavy hitters, algebird QTree/SpaceSaver as sumByKey values,
+# Producer.scala:331-334) whose falsifiable error-bound contracts the
+# external gate has never hash-checked — enter the window;
+# `ngram_jaccard` (dedup family keeps 8 in-window rows; the Jaccard
+# verify stage stays externally exercised inside `dedup_minhash_lsh`'s
+# candidate pipeline) and `asof_windowed_sum` (as-of family keeps
+# `asof_latest_order` + `delta_service_running` in-window) — both
+# externally green and implementation-unchanged since they shipped —
+# move below it.
 
 _GRADE_ORDER = [
     # §2.1 DSL operator coverage
@@ -4995,7 +5007,7 @@ _GRADE_ORDER = [
     "merge_streams", "either_counts", "map_values",
     # §2.2 batch physical: as-of services, loop join, client merge
     "asof_latest_order",
-    "asof_windowed_sum", "delta_service_running", "loop_join_running",
+    "delta_service_running", "loop_join_running",
     "loop_join_compound",
     "client_merge",
     # the end-to-end lambda capstone: batch rollforward ⊕ streaming summer
@@ -5010,13 +5022,17 @@ _GRADE_ORDER = [
     "stream_moments_by_key", "stream_buffer_join",
     # analytics
     "tpch_q1_pricing",
+    # §1.3 sketch family, externally graded at last (r9; VERDICT r8
+    # item 1): mergeable quantiles (QTree idiom) and Misra-Gries heavy
+    # hitters, each graded by its falsifiable error-bound contract
+    "quantile_sketch_values", "heavy_hitters_value_buckets",
     # LLM pipeline: text analysis
     "text_stats", "lang_id", "quality_scores", "doc_fingerprint",
     "bpe_tokens",
     # LLM pipeline: dedup, end to end (incl. the span-removal TRANSFORM;
     # clean_corpus_pipeline moved below — its composition role is covered
     # in-window by the fuller corpus_to_shards capstone)
-    "dedup_exact", "dedup_minhash_lsh", "ngram_jaccard",
+    "dedup_exact", "dedup_minhash_lsh",
     "simhash_fingerprint",
     "dedup_clusters", "dedup_survivors", "decontaminate",
     "incremental_dedup", "remove_duplicate_spans",
@@ -5063,9 +5079,9 @@ _GRADE_ORDER = [
     # testdata carries
     "tpch_q8_market_share", "tpch_q15_top_supplier",
     "tpch_q17_small_quantity_revenue", "tpch_q22_dormant_customers",
-    # the last algebird sketch-family members: mergeable quantiles (QTree)
-    # and mergeable heavy hitters (SpaceSaver use-case via Misra-Gries)
-    "quantile_sketch_values", "heavy_hitters_value_buckets",
+    # round-9 below-window moves (swap budget for the sketch family;
+    # both externally green + implementation-unchanged since shipping)
+    "ngram_jaccard", "asof_windowed_sum",
 ]
 
 _missing = set(QUERIES) - set(_GRADE_ORDER)
