@@ -4098,25 +4098,52 @@ def q_jsonl_shard_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _chunked_events_src(spark: SparkSession, sf: str):
-    """3-chunk parquet copy of events for file-stream replay
-    (maxFilesPerTrigger=1 ⇒ three micro-batches). A pure function of the
-    source corpus, so it caches content-fingerprinted (same discipline as
-    the IVF/LSH index artifacts); per-query stream state (store,
-    checkpoint) stays fresh per call — never reused."""
+    """3-chunk TIME-ORDERED parquet copy of events for file-stream replay
+    (maxFilesPerTrigger=1 ⇒ three micro-batches, oldest chunk first).
+    Chunks are contiguous ts ranges (``repartitionByRange`` on ts) and
+    the files' mtimes are forced into that same order — the file source
+    processes files in mtime order, so event time advances monotonically
+    ACROSS micro-batches (within a batch order is free: watermarks only
+    update between batches). That zero-cross-batch-lateness property is
+    what lets the graded stream-stream join run a TIGHT watermark with
+    state evicting DURING the run (VERDICT r8 item 2) — the shape a
+    100 TB deployment replays (a time-ordered event log), where r8's
+    un-ordered ``repartition(3)`` forced an effectively-infinite
+    watermark that buffered the whole corpus in the state store.
+    A pure function of the source corpus, so it caches
+    content-fingerprinted (same discipline as the IVF/LSH index
+    artifacts); per-query stream state (store, checkpoint) stays fresh
+    per call — never reused."""
     import os
     import tempfile
+    import time as _time
 
     from .sources.tables import corpus_fingerprint
 
     fp = corpus_fingerprint(os.path.join(sf, "events.parquet"))[:12]
-    # "src2": the copy's column set grew (event_id for the buffer join) —
-    # a new cache key, so a stale pre-event_id dir is never reused
-    src_dir = os.path.join(tempfile.gettempdir(), f"sbspark-stream-src2-{fp}")
+    # "src3": the chunking changed (range-by-ts, ordered mtimes) — a new
+    # cache key, so a stale randomly-chunked dir is never reused
+    src_dir = os.path.join(tempfile.gettempdir(), f"sbspark-stream-src3-{fp}")
     if not os.path.exists(os.path.join(src_dir, "_SUCCESS")):
         events = load_table(spark, sf, "events").select(
             "ts", "user_id", "event_id", "event_type", "value"
         )
-        events.repartition(3).write.mode("overwrite").parquet(src_dir)
+        (
+            events.repartitionByRange(3, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(src_dir)
+        )
+        # part-00000 holds the EARLIEST ts range (range partition 0) and
+        # part files sort lexicographically, so sorted(filename) IS time
+        # order; stamp strictly-increasing mtimes to make the source's
+        # replay order match (Spark writes the files concurrently, so
+        # their natural mtimes tie arbitrarily)
+        base = _time.time()
+        parts = sorted(p for p in os.listdir(src_dir) if p.endswith(".parquet"))
+        for i, p in enumerate(parts):
+            t = base + 10.0 * i
+            os.utime(os.path.join(src_dir, p), times=(t, t))
     return src_dir, spark.read.parquet(src_dir).schema
 
 
@@ -4299,6 +4326,95 @@ def q_stream_moments_by_key(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _buffer_join_staged_src(spark: SparkSession, sf: str):
+    """STAGED source for the live buffer join: hardlinks of the
+    time-ordered chunks plus ONE far-future sentinel parquet file whose
+    mtime sits strictly after them, so the sentinel forms the final data
+    micro-batch of the availableNow replay. A pure function of the
+    corpus (the sentinel ts derives from max event ts), so it stages
+    ONCE per corpus fingerprint — r8 re-staged the dir and ran a full
+    Spark scan for max(ts) on EVERY call (VERDICT r8 item 3); max(ts)
+    now comes from the parquet footer statistics via pyarrow (zero
+    Spark jobs).
+
+    Sentinel rationale (r8, commit 703472b): availableNow never flushes
+    unmatched leftOuter state on its own — outer rows only emit once the
+    GLOBAL watermark passes them, and watermark updates take effect one
+    micro-batch later. The sentinel batch advances both sides' max event
+    time (both event types present); the engine's trailing NO-DATA
+    micro-batch then applies the recomputed watermark — state evicts and
+    every unmatched purchase outer-emits there. Sentinel rows carry
+    event_id=-1/user_id=-1 and are filtered from the result. Written
+    with pyarrow directly: a 2-row ``spark.createDataFrame(...).write``
+    costs ~4 s per action under a non-Arrow session."""
+    import datetime as _dt
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from .sources.tables import corpus_fingerprint
+
+    cached_src, schema = _chunked_events_src(spark, sf)
+    fp = corpus_fingerprint(os.path.join(sf, "events.parquet"))[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"sbspark-stream-bj3-{fp}")
+    if os.path.exists(os.path.join(stage, "_STAGED")):
+        return stage, schema
+    os.makedirs(stage, exist_ok=True)
+
+    def _link(a, b):
+        try:
+            os.link(a, b)  # shares the inode — the chunk's mtime carries over
+        except OSError:  # cross-device tempdirs: fall back to a copy + utime
+            import shutil
+
+            shutil.copy2(a, b)
+
+    chunks = sorted(p for p in os.listdir(cached_src) if p.endswith(".parquet"))
+    max_ts, last_mtime = None, 0.0
+    for p in chunks:
+        src_p = os.path.join(cached_src, p)
+        _link(src_p, os.path.join(stage, p))
+        last_mtime = max(last_mtime, os.path.getmtime(src_p))
+        md = pq.ParquetFile(src_p).metadata
+        ts_idx = next(
+            i for i in range(md.num_columns) if md.schema.column(i).name == "ts"
+        )
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ts_idx).statistics
+            if st is not None and st.has_min_max:
+                mx = st.max
+                if max_ts is None or mx > max_ts:
+                    max_ts = mx
+    if max_ts is None:  # stats-free writer: one column read, still no Spark
+        import pyarrow.compute as pc
+
+        for p in chunks:
+            mx = pc.max(
+                pq.read_table(os.path.join(cached_src, p), columns=["ts"])["ts"]
+            ).as_py()
+            if max_ts is None or mx > max_ts:
+                max_ts = mx
+
+    import pyarrow as pa
+
+    s_ts = max_ts + _dt.timedelta(days=3700)
+    tbl = pa.table(
+        {
+            "ts": pa.array([s_ts, s_ts], type=pa.timestamp("us", tz="UTC")),
+            "user_id": pa.array([-1, -1], type=pa.int64()),
+            "event_id": pa.array([-1, -1], type=pa.int64()),
+            "event_type": pa.array(["purchase", "click"], type=pa.string()),
+            "value": pa.array([0.0, 0.0], type=pa.float64()),
+        }
+    )
+    dst = os.path.join(stage, "zz_sentinel.parquet")
+    pq.write_table(tbl, dst)
+    os.utime(dst, times=(last_mtime + 60.0, last_mtime + 60.0))
+    open(os.path.join(stage, "_STAGED"), "a").close()
+    return stage, schema
+
+
 @query(
     "stream_buffer_join",
     """
@@ -4316,99 +4432,39 @@ def q_stream_moments_by_key(spark: SparkSession, sf: str) -> DataFrame:
 def q_stream_buffer_join(spark: SparkSession, sf: str) -> DataFrame:
     """The TRUE stream-stream Buffer join under the external gate
     (VERDICT r6 item 4; reference Producer.scala:396-399): two file
-    streams over the chunked events copy — purchases and clicks — joined
-    by ``stream_stream_left_join`` (both sides buffered in the state
-    store, watermarked, matched on key + a 1-day event-time range),
-    trigger(availableNow), append sink. Same oracle as
+    streams over the time-ordered chunked events copy — purchases and
+    clicks — joined by ``stream_stream_left_join`` (both sides buffered
+    in the state store, watermarked, matched on key + a 1-day event-time
+    range), trigger(availableNow), append sink, ``how='leftOuter'`` LIVE
+    (zero-click purchases outer-emit from the STREAM). Same oracle as
     ``buffer_join_clicks``, which grades only the batch theta REPLAY of
     these semantics.
 
-    Scope note: the watermark delay is set beyond the corpus's time span
-    — the chunked replay is not time-ordered, so a tight delay would
-    nondeterministically drop buffered rows; state still flows through
-    the watermark/eviction machinery.
+    r9 (VERDICT r8 item 2): the graded configuration is now
+    STATE-BOUNDED. The replay is time-ordered (``_chunked_events_src``
+    range-chunks by ts with mtime-ordered files), so no row is ever late
+    across micro-batches and the watermark delay drops from 3650 days
+    (which buffered the whole corpus — at 100 TB, the state store
+    holding the input) to ONE HOUR. State evicts DURING the run: right
+    rows leave once the watermark passes rts + 1 day, left rows
+    outer-emit and leave once it passes their join horizon — exactly the
+    configuration a 100 TB deployment replays its time-ordered log
+    under. The run asserts it: peak buffered state must stay well below
+    the rows ever added (fails loudly if eviction stops working).
 
-    r8 (VERDICT r7 item 4): the join now runs ``how='leftOuter'`` LIVE —
-    zero-click purchases emit their outer row from the STREAM, not from
-    a batch restore join. availableNow never flushes unmatched leftOuter
-    state on its own (proven by test_streaming_parity's
-    outer-emission/eviction pin: outer rows only emit once the GLOBAL
-    watermark passes them, and watermark updates only take effect one
-    micro-batch later), so ONE far-future SENTINEL file is PRE-STAGED
-    in a per-call copy of the source with an mtime strictly after the
-    real chunks — the file source replays in mtime order, so it forms
-    the final data micro-batch of the SAME availableNow run (no second
-    StreamingQuery startup — a restart spelling cost ~2x the lifecycle).
-    The sentinel's batch advances both sides' max event time; the
-    engine's trailing NO-DATA micro-batch then applies the recomputed
-    watermark — state evicts and every unmatched purchase emits
-    (event_id, NULL, NULL) there (pinned by the hot-key state-bound
-    test, whose batch-3 evictions flush in exactly that trailing
-    batch). Sentinel rows carry event_id=-1/user_id=-1 and are filtered
-    from the result."""
-    import os
+    The final drain still needs the pre-staged far-future SENTINEL file
+    (see ``_buffer_join_staged_src``): availableNow never flushes the
+    LAST window's unmatched leftOuter state on its own — the sentinel
+    batch advances max event time and the engine's trailing NO-DATA
+    micro-batch applies the recomputed watermark, draining the tail
+    (pinned by the hot-key state-bound test, whose final evictions flush
+    in exactly that trailing batch)."""
     import tempfile
 
     from .streaming.joins import stream_stream_left_join
 
-    cached_src, schema = _chunked_events_src(spark, sf)
+    src_dir, schema = _buffer_join_staged_src(spark, sf)
     work = tempfile.mkdtemp(prefix="sbspark-stream-bj-")
-    # per-call source copy (hardlinks — the fingerprint-cached dir is
-    # shared and must never be mutated by the sentinel append)
-    src_dir = f"{work}/src"
-    os.makedirs(src_dir)
-
-    def _link(a, b):
-        try:
-            os.link(a, b)
-        except OSError:  # cross-device tempdirs: fall back to a copy
-            import shutil
-
-            shutil.copy(a, b)
-
-    for p in os.listdir(cached_src):
-        if p.endswith(".parquet"):
-            _link(os.path.join(cached_src, p), os.path.join(src_dir, p))
-
-    # the final-drain sentinels, staged up front: ts far enough past
-    # max(real ts) that watermark (= sentinel ts - 3650d delay) lands
-    # ABOVE every real event. Both event types in each file so BOTH
-    # sides' (global min) watermark advances. Written with pyarrow
-    # DIRECTLY — a 2-row `spark.createDataFrame(...).write` costs ~4 s
-    # PER ACTION under a non-Arrow session (the local list becomes a
-    # 32-slice parallelized RDD whose every action re-spins Python
-    # workers); the two sentinel writes alone were ~8.6 s of this row's
-    # 14 s bench cost. pyarrow writes the same TIMESTAMP_MICROS parquet
-    # in milliseconds with zero Spark jobs.
-    import datetime as _dt
-    import time as _time
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    max_ts = spark.read.parquet(src_dir).agg(F.max("ts").alias("m")).first()["m"]
-    now = _time.time()
-    s_ts = max_ts + _dt.timedelta(days=3700)
-    tbl = pa.table(
-        {
-            "ts": pa.array([s_ts, s_ts], type=pa.timestamp("us", tz="UTC")),
-            "user_id": pa.array([-1, -1], type=pa.int64()),
-            "event_id": pa.array([-1, -1], type=pa.int64()),
-            "event_type": pa.array(["purchase", "click"], type=pa.string()),
-            "value": pa.array([0.0, 0.0], type=pa.float64()),
-        }
-    )
-    dst = os.path.join(src_dir, "zz_sentinel.parquet")
-    pq.write_table(tbl, dst)
-    # mtime-ordered replay: strictly after the real chunks, so the
-    # sentinel is the LAST data micro-batch of the single availableNow
-    # run. ONE sentinel suffices: its batch advances max event time, and
-    # the engine's trailing NO-DATA micro-batch (noDataMicroBatches,
-    # default on) applies the recomputed watermark — state evicts and
-    # every unmatched purchase outer-emits there (semantics pinned by
-    # test_stream_stream_join_hot_key_state_bounded, where batch-3
-    # evictions flush in exactly that trailing batch).
-    os.utime(dst, times=(now + 5, now + 5))
 
     def rd():
         return (
@@ -4424,7 +4480,7 @@ def q_stream_buffer_join(spark: SparkSession, sf: str) -> DataFrame:
     )
     joined = stream_stream_left_join(
         left, right, "user_id", "ts", "rts",
-        window="1 day", watermark="3650 days", how="leftOuter",
+        window="1 day", watermark="1 hour", how="leftOuter",
     )
 
     def run_pass():
@@ -4440,6 +4496,7 @@ def q_stream_buffer_join(spark: SparkSession, sf: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise RuntimeError("stream-stream join did not finish within 300s")
+        return q
 
     # state-store sizing, same rationale as stream_sum_by_key: the join's
     # state partition count pins to shuffle partitions at checkpoint
@@ -4447,10 +4504,29 @@ def q_stream_buffer_join(spark: SparkSession, sf: str) -> DataFrame:
     # per-trigger task overhead across both buffered sides
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # the sentinel drain depends on the trailing no-data micro-batch;
+    # pin the conf (default true) so a session that disabled it fails
+    # HERE, not as silently-vanished zero-click purchases (ADVICE r8)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     try:
-        run_pass()  # replay + sentinel #1 (watermark advance) + #2 (drain)
+        q = run_pass()  # 4 data micro-batches (3 chunks + sentinel) + drain
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    # the state-bounded contract, asserted from the engine's own metrics:
+    # with the tight watermark, peak buffered rows ≈ one chunk's worth;
+    # only the removed 3650-day configuration reaches added ≈ peak
+    state = [
+        op for p in q.recentProgress for op in p.get("stateOperators", [])
+    ]
+    added = sum(op.get("numRowsUpdated", 0) for op in state)
+    peak = max((op.get("numRowsTotal", 0) for op in state), default=0)
+    if added > 0 and peak >= 0.6 * added:
+        raise RuntimeError(
+            f"buffer join state did not stay bounded: peak {peak} rows vs "
+            f"{added} ever added — watermark eviction is not happening"
+        )
+
     hits = (
         spark.read.schema("event_id long, rts timestamp, rv double")
         .parquet(f"{work}/hits")
