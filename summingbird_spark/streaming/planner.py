@@ -40,6 +40,49 @@ from ..core.graph import TIME_COL
 from .stateful import stateful_summer
 
 
+#: OSS Spark's disk-backed state store (spillable, changelog-checkpointed).
+#: The default HDFSBackedStateStoreProvider keeps every state row in
+#: executor HEAP — the real ceiling for 100 TB-scale stateful streaming
+#: (a billion open (key, batch) entries do not fit). RocksDB keeps the
+#: working set on executor local disk with a block cache, so state size is
+#: bounded by disk, not heap. Same public conf any Spark job would set;
+#: this constant + scope just make it a first-class planner option.
+ROCKSDB_STATE_STORE = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+class state_store_provider:
+    """Context manager scoping ``spark.sql.streaming.stateStore
+    .providerClass`` around a streaming-query START. The provider is read
+    when the query first creates its checkpoint and is pinned there for
+    the checkpoint's lifetime, so only the ``.start()`` call needs to sit
+    inside the scope; the session conf is restored on exit either way.
+
+    >>> with state_store_provider(spark, ROCKSDB_STATE_STORE):
+    ...     q = run_summer_to_store(plan.dataframe, store, ckpt)
+    """
+
+    def __init__(self, spark: SparkSession, provider: Optional[str]):
+        self.spark, self.provider, self._old = spark, provider, None
+
+    def __enter__(self):
+        if self.provider:
+            self._old = self.spark.conf.get(_PROVIDER_CONF, None)
+            self.spark.conf.set(_PROVIDER_CONF, self.provider)
+        return self
+
+    def __exit__(self, *exc):
+        if self.provider:
+            if self._old is None:
+                self.spark.conf.unset(_PROVIDER_CONF)
+            else:
+                self.spark.conf.set(_PROVIDER_CONF, self._old)
+        return False
+
+
 def stream_source(
     path: str,
     schema,

@@ -131,9 +131,16 @@ def run_summer_to_store(
     store: OnlineStore,
     checkpoint: str,
     trigger_available_now: bool = True,
+    state_store_provider: Optional[str] = None,
 ):
     """writeStream.foreachBatch bulk-merging each trigger's (prev, delta)
-    rows into the online store; returns the StreamingQuery."""
+    rows into the online store; returns the StreamingQuery.
+
+    ``state_store_provider``: optional state-store provider class (e.g.
+    ``streaming.planner.ROCKSDB_STATE_STORE`` — disk-backed state, the
+    scale path when open (key, batch) cardinality outgrows executor
+    heap). Scoped around the query start only; the provider pins to the
+    checkpoint at creation."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # Persist: the sink takes two actions on the micro-batch frame
@@ -156,4 +163,7 @@ def run_summer_to_store(
     )
     if trigger_available_now:
         q = q.trigger(availableNow=True)
-    return q.start()
+    from .planner import state_store_provider as _scope
+
+    with _scope(stream_df.sparkSession, state_store_provider):
+        return q.start()

@@ -1097,3 +1097,108 @@ def test_streaming_summer_misra_gries_carrier(spark, stream_dir, tmp_path):
         for item, tc in truth.items():
             if tc > bound:
                 assert item in summary, (kb, item)           # coverage
+
+
+def test_stream_summer_rocksdb_state_store(spark, stream_dir, tmp_path):
+    """The SAME summer under the RocksDB state store provider (VERDICT r8
+    item 4): OSS Spark's disk-backed state store is the scale path when
+    open (key, batch) cardinality outgrows executor heap — the default
+    HDFSBackedStateStoreProvider holds every state row in memory. Parity:
+    store contents must equal the batch planner's per-(key, batch) deltas,
+    and the checkpoint must prove the provider was actually pinned.
+    Skips when this build can't load RocksDB (e.g. no native lib)."""
+    import glob
+
+    from summingbird_spark.streaming.planner import ROCKSDB_STATE_STORE
+
+    src = stream_source(stream_dir, SCHEMA, time_col="ts", max_files_per_trigger=1)
+    plan = StreamPlanner(spark).plan(_pipeline(src))
+    store = OnlineStore(str(tmp_path / "online"), ["key"], "sum_long")
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        q = run_summer_to_store(
+            plan.dataframe,
+            store,
+            str(tmp_path / "ckpt"),
+            state_store_provider=ROCKSDB_STATE_STORE,
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise RuntimeError("rocksdb summer did not finish within 120s")
+    except Exception as e:  # pragma: no cover - environment-dependent
+        if "rocksdb" in repr(e).lower():
+            pytest.skip(f"RocksDB state store unavailable here: {e!r:.200}")
+        raise
+    # scope restored (the provider conf must not leak into later queries)
+    assert spark.conf.get("spark.sql.streaming.stateStore.providerClass", None) == old
+    # the checkpoint's offset log records the pinned provider — hard
+    # evidence the run used RocksDB, not a silently-defaulted HDFS store
+    offsets = sorted(glob.glob(str(tmp_path / "ckpt" / "offsets" / "*")))
+    assert offsets, "no offset log written"
+    assert "RocksDBStateStoreProvider" in open(offsets[0]).read()
+
+    got = {(r.key, r.batch_id): r.value for r in store.read(spark).collect()}
+    assert got == batch_deltas(spark, stream_dir)
+
+
+def test_stream_summer_processing_time_trigger(spark, tmp_path):
+    """The summer under a REAL ``trigger(processingTime='1 second')`` over
+    a live rate source — every other streaming test replays with
+    availableNow (VERDICT r8 item 5; the reference's Storm topology runs
+    continuously, StormPlatform.scala:183-211). Contract: across >= 3
+    wall-clock triggers that saw data, each (key, batch) emits a correct
+    (Option[prev], delta) chain — prev always equals the accumulated
+    prior deltas, starting at None — and at least one key crosses
+    triggers (state survived wall-clock micro-batches)."""
+    import time
+
+    from summingbird_spark.core import graph as g
+
+    def loader(s):
+        df = s.readStream.format("rate").option("rowsPerSecond", "200").load()
+        return df.select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 5).cast("string").alias("key"),
+            (F.col("value") % 7 + 1).cast("long").alias("value"),
+        )
+
+    plan = StreamPlanner(spark).plan(
+        _pipeline(g.Source(loader, "ts", "rate"))
+    )
+
+    batches = []  # [(micro_batch_id, rows)] appended in trigger order
+
+    def sink(bdf, bid):
+        rows = bdf.collect()
+        if rows:
+            batches.append((bid, rows))
+
+    q = (
+        plan.dataframe.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 90
+    while time.time() < deadline and len(batches) < 3:
+        time.sleep(0.25)
+    q.stop()
+    try:
+        q.awaitTermination(30)
+    except Exception:
+        pass  # stop() may interrupt the in-flight trigger; already done
+    assert len(batches) >= 3, f"only {len(batches)} data triggers fired"
+
+    per = defaultdict(list)
+    for _, rows in sorted(batches, key=lambda t: t[0]):
+        for r in rows:
+            per[(r.key, r.batch_id)].append((r.prev, r.delta))
+    multi_trigger = 0
+    for kb, pairs in per.items():
+        run = None
+        for prev, delta in pairs:
+            assert prev == run, kb
+            run = delta if run is None else run + delta
+        multi_trigger += len(pairs) > 1
+    assert multi_trigger > 0  # state really crossed wall-clock triggers
