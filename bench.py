@@ -153,8 +153,14 @@ def main() -> None:
             .trigger(availableNow=True)
             .start()
         )
-        wq.awaitTermination(120)
-        stream_warmup_sec = round(time.perf_counter() - t0, 3)
+        if wq.awaitTermination(120):
+            stream_warmup_sec = round(time.perf_counter() - t0, 3)
+        else:
+            # a hung warmup must not keep running into the timed queries
+            # (its source/checkpoint dir is rmtree'd below) nor report a
+            # bogus elapsed figure — stop it and leave the -1 marker
+            wq.stop()
+            print("bench error in stream_warmup: timeout", file=sys.stderr)
         shutil.rmtree(warm_root, ignore_errors=True)
     except Exception as e:
         print(f"bench error in stream_warmup: {e}", file=sys.stderr)

@@ -237,28 +237,40 @@ def write_shards(
         if max_file_bytes <= 0:
             raise ValueError(f"max_file_bytes must be positive; got {max_file_bytes}")
         # derive a record cap from the UNCOMPRESSED p90 record size of a
-        # deterministic ~1% hash sample spread over ALL shards (limit()
-        # sampled only the first partition — smallest shard ids — so
+        # deterministic ~1% hash stratum spread over ALL shards (limit()
+        # alone sampled only the first partition — smallest shard ids — so
         # size-skewed shards blew the cap); p90, not avg, so a heavy
         # tail within the sample still lands under the target.
         # Conservative for compressed output (files come out smaller).
         # octet_length, not length: the cap is BYTES and multi-byte UTF-8
-        # text would otherwise blow it by the bytes-per-char ratio
-        sample = (
-            packed.filter(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(97)) == 7)
-            .select(
-                F.percentile_approx(
-                    F.octet_length(F.to_json(F.struct("*"))), 0.9
-                ).alias("b")
+        # text would otherwise blow it by the bytes-per-char ratio.
+        # The stratum hashes (id, weight) so a low-distinct-id corpus
+        # still splits ~1/97 instead of all-or-nothing, and BOTH paths
+        # cap the rows entering to_json+percentile at 64k — the
+        # empty-stratum fallback used to re-serialize EVERY row, a full
+        # extra pass on exactly the datasets where the cap matters
+        # (ADVICE r8). 64k stratum rows estimate a p90 as well as 64M.
+        stratum = (
+            F.pmod(
+                F.xxhash64(
+                    F.col(id_col).cast("string"),
+                    F.col(weight_col).cast("string"),
+                ),
+                F.lit(97),
             )
-            .collect()[0]["b"]
+            == 7
         )
-        if sample is None:  # sample stratum empty (tiny input): scan all rows
-            sample = packed.select(
+
+        def _p90_of(rows):
+            return rows.select(
                 F.percentile_approx(
                     F.octet_length(F.to_json(F.struct("*"))), 0.9
                 ).alias("b")
             ).collect()[0]["b"]
+
+        sample = _p90_of(packed.filter(stratum).limit(65536))
+        if sample is None:  # stratum empty (tiny/low-entropy input)
+            sample = _p90_of(packed.limit(65536))
         p90 = max(float(sample or 1.0), 1.0)
         writer = writer.option(
             "maxRecordsPerFile", max(int(max_file_bytes / p90), 1)
