@@ -4561,6 +4561,15 @@ def q_quantile_sketch_values(spark: SparkSession, sf: str) -> DataFrame:
     sg = QuantileSketchSemigroup(0.0, 1024.0, 1024)
     ev = load_table(spark, sf, "events")
     sk = sg.histogram_table(ev, "event_type", "value")
+    return _grade_quantile_sandwich(ev, sk, sg)
+
+
+def _grade_quantile_sandwich(ev, sk, sg) -> DataFrame:
+    """The falsifiable sketch contract shared by the batch and streaming
+    quantile rows: per event_type, sketch total must equal the exact
+    count, and each p50/p90/p99 estimate must sit strictly above its
+    exact rank-value by at most one bin width. ``sk`` is (event_type,
+    sketch); ``ev`` is the raw events the exact side recomputes from."""
     # the exact side CLAMPS into the sketch domain exactly as the binning
     # does — the error sandwich is a statement about the clamped
     # distribution, and holds for ANY input range (values past hi land in
