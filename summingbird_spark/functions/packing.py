@@ -237,7 +237,7 @@ def write_shards(
         if max_file_bytes <= 0:
             raise ValueError(f"max_file_bytes must be positive; got {max_file_bytes}")
         # derive a record cap from the UNCOMPRESSED p90 record size of a
-        # deterministic ~1% hash stratum spread over ALL shards (limit()
+        # deterministic hash sample spread over ALL shards (limit()
         # alone sampled only the first partition — smallest shard ids — so
         # size-skewed shards blew the cap); p90, not avg, so a heavy
         # tail within the sample still lands under the target.
@@ -245,21 +245,27 @@ def write_shards(
         # octet_length, not length: the cap is BYTES and multi-byte UTF-8
         # text would otherwise blow it by the bytes-per-char ratio.
         # The stratum hashes (id, weight) so a low-distinct-id corpus
-        # still splits ~1/97 instead of all-or-nothing, and BOTH paths
-        # cap the rows entering to_json+percentile at 64k — the
-        # empty-stratum fallback used to re-serialize EVERY row, a full
-        # extra pass on exactly the datasets where the cap matters
-        # (ADVICE r8). 64k stratum rows estimate a p90 as well as 64M.
-        stratum = (
-            F.pmod(
-                F.xxhash64(
-                    F.col(id_col).cast("string"),
-                    F.col(weight_col).cast("string"),
-                ),
-                F.lit(97),
+        # still splits ~1/97 instead of all-or-nothing. The ~64k-row
+        # bound on the to_json+percentile pass (ADVICE r8: the fallback
+        # used to re-serialize EVERY row) comes from a SECOND,
+        # independent hash modulus sized off the input cardinality —
+        # never a positional limit(), which past ~6.3M rows would take
+        # the 64k rows from the earliest partitions scanned and re-bias
+        # exactly the size-skewed corpora the cap targets (ADVICE r9).
+        # The count is cheap: pack_shards preserves cardinality, so
+        # ``df.count()`` (column-pruned, often parquet-metadata-only)
+        # stands in for counting the packed plan.
+        def _h(salt: int):
+            return F.xxhash64(
+                F.col(id_col).cast("string"),
+                F.col(weight_col).cast("string"),
+                F.lit(salt),
             )
-            == 7
-        )
+
+        stratum = F.pmod(_h(0), F.lit(97)) == 7
+        n_total = df.count()
+        k_thin = max(1, n_total // (97 * 65536) + 1)
+        thin = F.pmod(_h(1), F.lit(k_thin)) == 0
 
         def _p90_of(rows):
             return rows.select(
@@ -268,8 +274,11 @@ def write_shards(
                 ).alias("b")
             ).collect()[0]["b"]
 
-        sample = _p90_of(packed.filter(stratum).limit(65536))
-        if sample is None:  # stratum empty (tiny/low-entropy input)
+        sample = _p90_of(packed.filter(stratum & thin))
+        if sample is None:
+            # degenerate low-entropy (id, weight): the hash cells are
+            # all-or-nothing — fall back positionally but BOUNDED (the
+            # uniformity concern is moot when every row hashes alike)
             sample = _p90_of(packed.limit(65536))
         p90 = max(float(sample or 1.0), 1.0)
         writer = writer.option(
