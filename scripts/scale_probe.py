@@ -1,0 +1,137 @@
+"""Empirical scale probe for the headline LLM-pipeline operators
+(VERDICT r9 item 6): the 100 TB verdicts in SCALING.md are plan-shape
+arguments; this measures them. Self-generates seeded 10x / 100x
+replicas of the sf0.1 documents table under /tmp (never touching
+/root/testdata), runs the four probed operators at each factor, and
+prints a markdown table of wall times, per-factor scaling exponents
+(log-slope; 1.0 = linear), and driver RSS.
+
+Replica construction keeps the WORKLOAD SHAPE honest: replica i > 0
+prefixes every token with "r{i}x", so replicas share no vocabulary —
+near-dup structure, LSH bucket sizes, and eval-gram hit rates all scale
+linearly with the factor instead of exploding (a naive text copy would
+make every replica an exact dup of its original and measure a different,
+quadratic-pair workload). doc_ids offset by 10M per replica; the
+doc_id % 97 eval selection keeps hitting ~1% per replica.
+
+Usage: python scripts/scale_probe.py [factors ...] (default 1 10 100)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+ROOT = "/tmp/sbspark-scaleprobe"
+PROBES = ["dedup_minhash_lsh", "dedup_clusters", "decontaminate",
+          "corpus_to_shards"]
+
+
+def rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return -1.0
+
+
+def ensure_replica(spark, factor: int) -> str:
+    from pyspark.sql import functions as F
+
+    out = os.path.join(ROOT, f"x{factor}")
+    marker = os.path.join(out, "documents.parquet", "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    parts = []
+    for i in range(factor):
+        if i == 0:
+            parts.append(docs)
+            continue
+        pfx = F.lit(f"r{i}x")
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + 10_000_000 * i).alias("doc_id"),
+                F.array_join(
+                    F.transform(F.split("text", " "), lambda t: F.concat(pfx, t)),
+                    " ",
+                ).alias("text"),
+                "lang", "source", "n_chars",
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    return out
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from summingbird_spark.queries import QUERIES
+
+    # warmups: codegen + python workers
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(1000).mapInPandas(lambda it: it, "id long").count()
+
+    results: dict[str, dict[int, float]] = {p: {} for p in PROBES}
+    mem: dict[int, float] = {}
+    for f in factors:
+        sf_dir = ensure_replica(spark, f)
+        n = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+        print(f"# factor {f}: {n} docs in {sf_dir}", flush=True)
+        for name in PROBES:
+            ts = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                ts.append(time.perf_counter() - t0)
+            results[name][f] = min(ts)
+            print(f"  {name}: {min(ts):.2f}s (runs: "
+                  + ", ".join(f"{t:.2f}" for t in ts) + ")", flush=True)
+        mem[f] = rss_mb()
+        print(f"  driver RSS after factor {f}: {mem[f]:.0f} MiB", flush=True)
+
+    import math
+
+    hdr = "| operator | " + " | ".join(f"{f}x sec" for f in factors)
+    hdr += " | exponent (last step) |"
+    print()
+    print(hdr)
+    print("|" + "---|" * (len(factors) + 2))
+    for name in PROBES:
+        row = results[name]
+        cells = " | ".join(f"{row[f]:.2f}" for f in factors)
+        if len(factors) >= 2:
+            f1, f2 = factors[-2], factors[-1]
+            exp = math.log(row[f2] / row[f1]) / math.log(f2 / f1)
+            e = f"{exp:.2f}"
+        else:
+            e = "n/a"
+        print(f"| {name} | {cells} | {e} |")
+    print("| driver RSS MiB | "
+          + " | ".join(f"{mem[f]:.0f}" for f in factors) + " | — |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
