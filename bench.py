@@ -4,9 +4,14 @@ COMPACT JSON line (VERDICT r5 item 1 — the r5 line carried two 110-entry
 per-query maps and overflowed the driver's tail capture, so r5 has no
 official headline): stdout gets only
 {"metric", "value", "unit", "timing", "n_queries", "queries": <the 8
-slowest only>, "total_min3_sec", "ivf_index_build_sec", "detail", "sf"}
-(~500 bytes); the FULL per-query median + min-of-3 maps go to the
+slowest only>, "total_min3_sec", "ivf_index_build_sec", "calib_sec",
+"detail", "sf"} (~500 bytes); the FULL per-query median + min-of-3 maps
+(plus the streaming `stream_metrics` telemetry) go to the
 ``BENCH_DETAIL.json`` sidecar at the repo root and to stderr.
+``calib_sec`` (r10, VERDICT r9 item 4) times a FIXED pure-JVM workload
+with the same median-of-3 discipline: divide two rounds' totals by
+their calib_secs before calling a uniform drift a regression — it is
+the host-noise denominator.
 
 Each query executes fully (noop sink — no driver-side result transfer), so
 the timing reflects scan + shuffle + aggregation, the parts that matter at
