@@ -20,7 +20,6 @@ Run:
 import os
 import sys
 import tempfile
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -31,17 +30,14 @@ from pyspark.sql import functions as F
 def stage_time_ordered(spark, sf_dir: str) -> tuple[str, object]:
     """3 contiguous ts-range chunks with strictly increasing mtimes, so a
     maxFilesPerTrigger=1 file stream replays them oldest-first."""
+    from summingbird_spark.sources.replay import stage_time_ordered_replay
     from summingbird_spark.sources.tables import load_table
 
     src = tempfile.mkdtemp(prefix="sbspark-example-stream-")
     events = load_table(spark, sf_dir, "events").select(
         "ts", "user_id", "event_id", "event_type", "value"
     )
-    (events.repartitionByRange(3, "ts").sortWithinPartitions("ts")
-     .write.mode("overwrite").parquet(src))
-    base = time.time()
-    for i, p in enumerate(sorted(f for f in os.listdir(src) if f.endswith(".parquet"))):
-        os.utime(os.path.join(src, p), times=(base + 10.0 * i,) * 2)
+    stage_time_ordered_replay(events, src, time_col="ts", n_chunks=3)
     return src, spark.read.parquet(src).schema
 
 
