@@ -4842,6 +4842,80 @@ def q_stream_asof_running(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "stream_asof_windowed",
+    """
+    SELECT l.event_id, l.user_id,
+           (SELECT CAST(sum(CAST(floor(r.value * 100 + 0.5) AS BIGINT))
+                   AS BIGINT)
+            FROM events r
+            WHERE r.event_type = 'click' AND r.user_id = l.user_id
+              AND r.ts <= l.ts AND r.ts > l.ts - INTERVAL 12 HOUR)
+             AS clicks_cents_12h
+    FROM events l WHERE l.event_type = 'purchase'
+    """,
+)
+def q_stream_asof_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    """The WINDOWED streaming as-of join (r10 — completes the temporal
+    family's external grading: loop join in-window, unwindowed running
+    sum below-window, and now the retraction-buffer windowed mode): each
+    purchase gets the running total of the same user's clicks within the
+    12 hours BEFORE it — the BatchedWindowService bound, EXCLUSIVE at the
+    window edge (0 <= t_l − t_r < window, BatchedWindowService.scala:
+    35-72), via ``streaming_as_of_join(mode='sum', max_age_seconds=...)``
+    (streaming/temporal.py:191-239). This is the one retraction-bearing
+    temporal state: per key the buffer holds exactly the rights still
+    inside the window horizon and prunes as event time advances —
+    O(window × right-rate), the irreducible state of a windowed
+    aggregate; sum_long rides the exact integer prefix-difference fast
+    path. Integer cents; NULL when the window is empty, matching the
+    oracle's empty-set sum."""
+    import tempfile
+
+    from .streaming.temporal import streaming_as_of_join
+
+    src_dir, schema = _chunked_events_src(spark, sf)
+    work = tempfile.mkdtemp(prefix="sbspark-stream-asofw-")
+
+    base = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    left = base.where("event_type = 'purchase'").select("ts", "user_id", "event_id")
+    right = base.where("event_type = 'click'").select(
+        "user_id",
+        F.col("ts").alias("rts"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("clicks_cents_12h"),
+    )
+    out = streaming_as_of_join(
+        left, right, on="user_id", left_time="ts", right_time="rts",
+        value_cols=["clicks_cents_12h"], mode="sum", semigroup="sum_long",
+        max_age_seconds=12 * 3600.0,
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.select("event_id", "user_id", "clicks_cents_12h")
+            .writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("append").parquet(f"{work}/out")
+            )
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("windowed streaming as-of did not finish within 300s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.read.schema(
+        "event_id long, user_id long, clicks_cents_12h long"
+    ).parquet(f"{work}/out")
+
+
+@query(
     "quantile_sketch_values",
     """
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -5451,6 +5525,7 @@ _GRADE_ORDER = [
     # and long-stable §2.5 conveniences (all still graded by the in-repo
     # oracle replica every CI run)
     "map_values", "loop_join_compound", "stream_asof_running",
+    "stream_asof_windowed",
     "decayed_sum", "dedup_embedding_cosine",
     "asof_running_total", "star_join_regions", "loop_join_dsl",
     "avg_semigroup", "distinct_users", "topk_per_group", "rollup_agg",

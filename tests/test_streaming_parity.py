@@ -1305,3 +1305,53 @@ def test_stage_time_ordered_replay(spark, tmp_path):
         for r in spark.read.schema(SCHEMA).parquet(out).collect()
     )
     assert got == sorted(rows)
+
+
+@pytest.mark.parametrize("max_age", [None, 120.0])
+def test_asof_group_sum_long_fast_path_matches_reference(max_age):
+    """The invertible-integer prefix-sum fast paths (r10 for the
+    unwindowed branch; r9 for the windowed) == the per-row reference
+    fold, on random interleavings with None rights and carried state.
+    The general-semigroup test above runs sg='sum' (name != sum_long),
+    so this is the only coverage of the fast branches' selection."""
+    import random
+
+    import pandas as pd
+
+    from summingbird_spark.core import semigroup as sg_mod
+    from summingbird_spark.streaming.temporal import _asof_group
+
+    rng = random.Random(13)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(400):
+        t = base + dt.timedelta(seconds=rng.randrange(0, 3600))
+        if rng.random() < 0.4:
+            v = None if rng.random() < 0.2 else rng.randrange(-5, 50)
+            rows.append({"pid": None, "__at__": t, "__is_left__": 0, "v": v})
+        else:
+            rows.append({"pid": i, "__at__": t, "__is_left__": 1, "v": None})
+    pdf = pd.DataFrame(rows)
+    sg = sg_mod.get("sum_long")
+    assert getattr(sg, "name", None) == "sum_long"  # fast path really arms
+    carried = (
+        {"buf": [(base.timestamp() - 50.0, {"v": 7})]}
+        if max_age is not None
+        else {"run": {"v": 10}}
+    )
+    for st0 in [None, carried]:
+        got, gst = _asof_group(pdf.copy(), st0, ["pid"], ["v"], False, sg, max_age)
+        want, wst = _asof_reference(pdf.copy(), st0, ["pid"], ["v"], False, sg, max_age)
+        assert list(got["pid"]) == list(want["pid"])
+        gv = [None if pd.isna(x) else int(x) for x in got["v"]]
+        wv = [None if pd.isna(x) else int(x) for x in want["v"]]
+        assert gv == wv
+        if max_age is not None:
+            key = lambda e: (e[0], str(e[1]))
+            assert sorted((gst or {}).get("buf", []), key=key) == sorted(
+                (wst or {}).get("buf", []), key=key
+            )
+        else:
+            assert (gst or {}).get("run", {}).get("v") == (wst or {}).get(
+                "run", {}
+            ).get("v")
