@@ -4104,6 +4104,42 @@ def q_jsonl_shard_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 # ------------------------------------------- streaming under the external gate
 
 
+def _publish_stream_metrics(name: str, q) -> dict:
+    """Record a finished StreamingQuery's engine-reported telemetry into
+    ``STREAM_METRICS[name]`` (VERDICT r9 items 2+7): peak/added state
+    rows from ``stateOperators`` and the per-micro-batch duration split —
+    stateful work (addBatch of data batches) vs fixed lifecycle
+    (planning, offset/commit-log IO, no-data drain). bench.py lifts the
+    latest values into BENCH_DETAIL's ``stream_metrics``."""
+    state = [op for p in q.recentProgress for op in p.get("stateOperators", [])]
+    added = sum(op.get("numRowsUpdated", 0) for op in state)
+    peak = max((op.get("numRowsTotal", 0) for op in state), default=0)
+    data_add = lifecycle = 0.0
+    n_data = n_nodata = 0
+    for p in q.recentProgress:
+        dur = p.get("durationMs", {}) or {}
+        trig = float(dur.get("triggerExecution", 0))
+        add = float(dur.get("addBatch", 0))
+        if p.get("numInputRows", 0) > 0:
+            data_add += add
+            lifecycle += max(trig - add, 0.0)
+            n_data += 1
+        else:
+            lifecycle += trig
+            n_nodata += 1
+    m = {
+        "peak_state_rows": peak,
+        "added_state_rows": added,
+        "peak_over_added": round(peak / added, 4) if added else None,
+        "stateful_addbatch_sec": round(data_add / 1000.0, 3),
+        "lifecycle_sec": round(lifecycle / 1000.0, 3),
+        "n_data_batches": n_data,
+        "n_nodata_batches": n_nodata,
+    }
+    STREAM_METRICS[name] = m
+    return m
+
+
 def _chunked_events_src(spark: SparkSession, sf: str):
     """3-chunk TIME-ORDERED parquet copy of events for file-stream replay
     (maxFilesPerTrigger=1 ⇒ three micro-batches, oldest chunk first).
@@ -4205,6 +4241,7 @@ def q_stream_sum_by_key(spark: SparkSession, sf: str) -> DataFrame:
             raise RuntimeError("streaming summer did not finish within 300s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    _publish_stream_metrics("stream_sum_by_key", q)
     out = store.read(spark)
     if out is None:
         raise RuntimeError("stream produced an empty online store")
@@ -4315,6 +4352,7 @@ def q_stream_moments_by_key(spark: SparkSession, sf: str) -> DataFrame:
             raise RuntimeError("streaming summer did not finish within 300s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    _publish_stream_metrics("stream_moments_by_key", q)
     out = store.read(spark)
     if out is None:
         raise RuntimeError("stream produced an empty online store")
@@ -4592,33 +4630,12 @@ def q_stream_buffer_join(spark: SparkSession, sf: str) -> DataFrame:
             )
 
     # attribution telemetry (VERDICT r9 items 2+7): per-micro-batch
-    # durations from the engine's own progress events, split into JOIN
-    # work (addBatch of data batches) vs fixed LIFECYCLE (planning,
-    # offset/commit log IO, no-data drain batches) — plus the state
-    # bound as a tracked metric, not just an assertion. bench.py lifts
-    # this into BENCH_DETAIL.
-    data_add = lifecycle = 0.0
-    n_data = n_nodata = 0
-    for p in q.recentProgress:
-        dur = p.get("durationMs", {}) or {}
-        trig = float(dur.get("triggerExecution", 0))
-        add = float(dur.get("addBatch", 0))
-        if p.get("numInputRows", 0) > 0:
-            data_add += add
-            lifecycle += max(trig - add, 0.0)
-            n_data += 1
-        else:
-            lifecycle += trig
-            n_nodata += 1
-    STREAM_METRICS["stream_buffer_join"] = {
-        "peak_state_rows": peak,
-        "added_state_rows": added,
-        "peak_over_added": round(peak / added, 4) if added else None,
-        "join_addbatch_sec": round(data_add / 1000.0, 3),
-        "lifecycle_sec": round(lifecycle / 1000.0, 3),
-        "n_data_batches": n_data,
-        "n_nodata_batches": n_nodata,
-    }
+    # durations from the engine's own progress events, split into
+    # stateful work (addBatch of data batches) vs fixed LIFECYCLE
+    # (planning, offset/commit log IO, no-data drain batches) — plus the
+    # state bound as a tracked metric, not just an assertion. bench.py
+    # lifts this into BENCH_DETAIL.
+    _publish_stream_metrics("stream_buffer_join", q)
 
     hits = (
         spark.read.schema("event_id long, rts timestamp, rv double")
@@ -4703,6 +4720,7 @@ def q_stream_loop_join(spark: SparkSession, sf: str) -> DataFrame:
             raise RuntimeError("streaming loop join did not finish within 300s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    _publish_stream_metrics("stream_loop_join", q)
     return spark.read.schema(
         "event_id long, user_id long, seen_cents long"
     ).parquet(f"{work}/out")
@@ -4760,6 +4778,7 @@ def q_stream_quantile_by_key(spark: SparkSession, sf: str) -> DataFrame:
             raise RuntimeError("streaming quantile summer did not finish within 300s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    _publish_stream_metrics("stream_quantile_by_key", q)
     out = store.read(spark)
     if out is None:
         raise RuntimeError("stream produced an empty online store")
@@ -4836,6 +4855,7 @@ def q_stream_asof_running(spark: SparkSession, sf: str) -> DataFrame:
             raise RuntimeError("streaming as-of join did not finish within 300s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    _publish_stream_metrics("stream_asof_running", q)
     return spark.read.schema(
         "event_id long, user_id long, clicks_cents long"
     ).parquet(f"{work}/out")
@@ -4910,6 +4930,7 @@ def q_stream_asof_windowed(spark: SparkSession, sf: str) -> DataFrame:
             raise RuntimeError("windowed streaming as-of did not finish within 300s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    _publish_stream_metrics("stream_asof_windowed", q)
     return spark.read.schema(
         "event_id long, user_id long, clicks_cents_12h long"
     ).parquet(f"{work}/out")
