@@ -15,6 +15,17 @@ quadratic-pair workload). doc_ids offset by 10M per replica; the
 doc_id % 97 eval selection keeps hitting ~1% per replica.
 
 Usage: python scripts/scale_probe.py [factors ...] (default 1 10 100)
+
+``--stream`` probes the graded STREAMING operators instead (default
+factors 1 10): replicates the events table with disjoint key spaces
+(user_id/event_id offset by 10M per replica, identical timestamps, so
+the corpus time span and per-key density stay constant while total rows
+scale), runs stream_buffer_join and stream_sum_by_key at each factor,
+and reports wall time plus the engine's own ``stateOperators`` telemetry
+(peak/added state rows). The scale claim under test: the buffer join's
+peak/added stays FLAT (state bounded by the watermark horizon fraction
+of the corpus, not by corpus size), while the summer's peak tracks the
+keyset (its state IS the online store's keyset — reference semantics).
 """
 
 from __future__ import annotations
@@ -70,8 +81,104 @@ def ensure_replica(spark, factor: int) -> str:
     return out
 
 
+def ensure_events_replica(spark, factor: int) -> str:
+    """factor× copy of the sf0.1 events table with DISJOINT key spaces:
+    replica i offsets user_id/event_id by 10M·i but keeps ts/event_type/
+    value/props verbatim, so the 30-day span, the chunk boundaries, and
+    each key's event density are unchanged — only the row rate scales.
+    That is the deployment shape (more users, same horizon), and it is
+    the shape under which bounded state must show a flat peak/added."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(ROOT, f"x{factor}")
+    marker = os.path.join(out, "events.parquet", "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    ev = spark.read.parquet(os.path.join(BASE, "events.parquet"))
+    parts = []
+    for i in range(factor):
+        if i == 0:
+            parts.append(ev)
+            continue
+        parts.append(
+            ev.select(
+                (F.col("event_id") + 10_000_000 * i).alias("event_id"),
+                "ts",
+                (F.col("user_id") + 10_000_000 * i).alias("user_id"),
+                "event_type", "value", "props",
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    return out
+
+
+def stream_main(factors: list[int]) -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from summingbird_spark.queries import QUERIES, STREAM_METRICS
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # codegen warmup
+
+    probes = ["stream_buffer_join", "stream_sum_by_key"]
+    rows: list[tuple] = []
+    for f in factors:
+        sf_dir = ensure_events_replica(spark, f)
+        n = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+        print(f"# factor {f}: {n} events in {sf_dir}", flush=True)
+        for name in probes:
+            ts, metrics = [], None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                ts.append(time.perf_counter() - t0)
+                metrics = STREAM_METRICS.get(name)
+            m = metrics or {}
+            rows.append((name, f, min(ts), m.get("peak_state_rows"),
+                         m.get("added_state_rows"), m.get("peak_over_added"),
+                         m.get("stateful_addbatch_sec"), m.get("lifecycle_sec")))
+            print(f"  {name}: {min(ts):.2f}s  peak/added="
+                  f"{m.get('peak_over_added')}  peak={m.get('peak_state_rows')}"
+                  f"  added={m.get('added_state_rows')}", flush=True)
+        print(f"  driver RSS after factor {f}: {rss_mb():.0f} MiB", flush=True)
+
+    import math
+
+    print()
+    print("| operator | factor | sec | peak state | added state | "
+          "peak/added | addBatch s | lifecycle s |")
+    print("|---|---|---|---|---|---|---|---|")
+    for r in rows:
+        print("| " + " | ".join(str(x) if not isinstance(x, float)
+                                else f"{x:.2f}" for x in r) + " |")
+    for name in probes:
+        sub = [r for r in rows if r[0] == name]
+        if len(sub) >= 2:
+            (f1, t1), (f2, t2) = (sub[-2][1], sub[-2][2]), (sub[-1][1], sub[-1][2])
+            exp = math.log(t2 / t1) / math.log(f2 / f1)
+            print(f"# {name}: wall exponent {f1}x->{f2}x = {exp:.2f}")
+    spark.stop()
+
+
 def main() -> None:
-    factors = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--stream":
+        stream_main([int(a) for a in argv[1:]] or [1, 10])
+        return
+    factors = [int(a) for a in argv] or [1, 10, 100]
     from pyspark.sql import SparkSession
 
     spark = (
