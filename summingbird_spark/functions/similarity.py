@@ -529,7 +529,18 @@ def kmeans_train(
     corpus — the standard IVF build practice (coarse quantizers need far
     fewer points than the corpus; training cost becomes independent of
     corpus size while ``ivf_assign`` still quantizes every row).
+
+    The per-iteration reduction ends at the (centroid, position) partial
+    means — k × dim rows, bounded by BUILD PARAMS, not corpus size — and
+    those are collected so the new centroids are assembled driver-side
+    and rebroadcast as a k-row local relation (r10, ROADMAP perf
+    follow-up). One aggregation job per iteration; the old plan's second
+    shuffle (collect_list per centroid), per-iteration cache/count/
+    unpersist churn, and the init window job are gone — the same move a
+    FAISS-style build makes (the coarse quantizer is driver-sized by
+    construction; only assignment passes touch the corpus).
     """
+    import math
     norm_vec = F.transform(
         F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col))
     )
@@ -541,46 +552,40 @@ def kmeans_train(
         )
     # every iteration re-reads the training set (assign + mean): cache it
     data = data.cache()
+    spark = data.sparkSession
+    c_schema = f"{centroid_id_col} int, {vec_col} array<double>"
+
+    def _local(rows: list[tuple]) -> DataFrame:
+        # k rows — a local relation; ivf_assign broadcasts it for free
+        return spark.createDataFrame(rows, schema=c_schema)
 
     # hash-ordered limit compiles to TakeOrderedAndProject (bounded, never
-    # a global sort); ranking the k survivors is bounded by the limit
-    init = data.orderBy(F.xxhash64(F.col(id_col))).limit(k)
-    w_init = Window.orderBy(F.xxhash64(F.col(id_col)))
-    centroids = init.select(
-        (F.row_number().over(w_init) - 1).alias(centroid_id_col), F.col(vec_col)
-    )
-    # the init sample + each iteration's centroids are tiny (k rows):
-    # materialize so the lineage doesn't stack n_iter corpus scans
-    centroids = centroids.cache()
+    # a global sort); collect order IS the sort order, so the id
+    # assignment is deterministic (byte-identical rebuilds)
+    init = data.orderBy(F.xxhash64(F.col(id_col))).limit(k).collect()
+    centroids = _local([(i, list(r[vec_col])) for i, r in enumerate(init)])
 
     for _ in range(n_iter):
         assigned = ivf_assign(data, centroids, id_col, vec_col, centroid_id_col)
+        # ONE job per iteration: the shuffle ends at the partial means and
+        # the ≤ k×dim survivors come back to the driver
         sums = (
             assigned.select(
                 centroid_id_col, F.posexplode(F.col(vec_col)).alias("__pos__", "__x__")
             )
             .groupBy(centroid_id_col, "__pos__")
             .agg(F.avg("__x__").alias("__m__"))
-        )
-        new_c = sums.groupBy(centroid_id_col).agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("__pos__"), F.col("__m__")))
-            ).alias("__pm__")
-        ).select(
-            centroid_id_col,
-            F.transform(F.col("__pm__"), lambda s: s["__m__"]).alias(vec_col),
-        )
-        # re-normalize (spherical); empty clusters simply drop out
-        new_c = new_c.select(
-            centroid_id_col,
-            F.transform(
-                F.col(vec_col), lambda x: x / l2_norm(F.col(vec_col))
-            ).alias(vec_col),
-        )
-        old = centroids
-        centroids = new_c.cache()
-        centroids.count()  # materialize this round
-        old.unpersist()
+        ).collect()
+        by_c: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_c.setdefault(r[0], {})[r[1]] = r[2]
+        rows = []
+        for cid in sorted(by_c):  # empty clusters simply drop out
+            pm = by_c[cid]
+            vec = [pm[p] for p in range(len(pm))]
+            n = math.sqrt(sum(x * x for x in vec)) or 1.0  # re-normalize
+            rows.append((cid, [x / n for x in vec]))
+        centroids = _local(rows)
     data.unpersist()
     return centroids
 
@@ -607,7 +612,9 @@ def ivf_index_path(
         tempfile.gettempdir(), "summingbird_spark_ivf"
     )
     fp = corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
-    key = hashlib.md5(f"{sf_dir}|{fp}".encode()).hexdigest()[:12]
+    # v2: driver-assembled Lloyd iterations (r10) — version the key so
+    # artifacts built by the old two-shuffle trainer are never probed
+    key = hashlib.md5(f"{sf_dir}|{fp}|v2".encode()).hexdigest()[:12]
     return os.path.join(root, f"{key}_k{k}_i{n_iter}_s{sample_fraction}")
 
 
