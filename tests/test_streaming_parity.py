@@ -386,6 +386,46 @@ def test_streaming_asof_windowed_parity(spark, temporal_dirs):
     )
 
 
+@pytest.mark.parametrize("provider", [None, "rocksdb"])
+def test_streaming_asof_python_stateful_provider_matrix(
+    spark, temporal_dirs, tmp_path, provider
+):
+    """The temporal as-of kernel under the state-store-provider matrix.
+    The summer (r9) and the JVM stream-stream join (r10) both earned
+    RocksDB coverage, but the as-of family's state lives in a PYTHON
+    stateful operator (applyInPandasWithState) — a different state
+    codepath (Arrow-serialized GroupState). The disk-backed provider must
+    hold the same batch parity, with offset-log proof it was pinned."""
+    want = _batch_asof(spark, temporal_dirs, "sum")
+    ckpt = tmp_path / "ck"
+    name = f"asof_sum_{provider or 'heap'}_s"
+    lsrc = stream_source(temporal_dirs["left"], L_SCHEMA, time_col="ts",
+                         max_files_per_trigger=1)
+    rsrc = stream_source(temporal_dirs["right"], R_SCHEMA,
+                         max_files_per_trigger=1)
+    try:
+        with _provider_scope(spark, provider):
+            plan = StreamPlanner(spark).plan(_asof_dag(lsrc, rsrc, "sum"))
+            q = (
+                plan.dataframe.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", str(ckpt))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+    except Exception as e:
+        _skip_if_rocksdb_missing(provider, e)
+    got = {
+        r.probe_id: r.rv
+        for r in spark.sql(f"SELECT probe_id, rv FROM {name}").collect()
+    }
+    assert len(want) > 100 and got == want
+    assert any(v for v in want.values())  # non-degenerate
+    _assert_provider_pinned(ckpt, provider)
+
+
 def test_buffer_join_through_dsl(spark, temporal_dirs, tmp_path):
     """LeftJoin on a BufferService compiles to the watermarked
     stream-stream join (Producer.scala:396-399), and the batch planner
