@@ -1121,6 +1121,89 @@ def test_stream_stream_join_hot_key_state_bounded(spark, tmp_path, provider):
     assert final_state >= N  # sanity: the live tail IS buffered
 
 
+def test_streaming_asof_restart_recovers_python_state(spark, tmp_path):
+    """Checkpoint-restart recovery for the PYTHON stateful temporal
+    kernel: `applyInPandasWithState` state crosses a restart through a
+    different (de)serialization path than any JVM operator (Arrow-encoded
+    GroupState). A probe arriving only after the restart must see the
+    running total accumulated BEFORE the stop — if the Python state were
+    lost, it would see only the post-restart right rows (asserted
+    explicitly, not just via parity)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0)
+
+    def s(seconds):
+        return t0 + dt.timedelta(seconds=seconds)
+
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    ldir.mkdir(), rdir.mkdir()
+    now = time.time()
+
+    def write_chunk(d, name, rows, schema, mtime):
+        tmp = d / f"__{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmp))
+        [f] = glob.glob(str(tmp / "*.parquet"))
+        dst = str(d / f"{name}.parquet")
+        shutil.move(f, dst)
+        shutil.rmtree(str(tmp))
+        os.utime(dst, (mtime, mtime))
+
+    # pre-stop batch: two right updates, one probe that already sees both
+    write_chunk(rdir, "r1", [(s(0), "a", 5.0), (s(60), "a", 7.0)],
+                R_SCHEMA, now - 400)
+    write_chunk(ldir, "l1", [(s(120), "a", 1)], L_SCHEMA, now - 400)
+
+    out, ckpt = tmp_path / "out", tmp_path / "ck"
+
+    def sink(bdf, _bid):
+        if bdf.count():
+            bdf.write.mode("append").parquet(str(out))
+
+    def start(trigger_kw):
+        lsrc = stream_source(str(ldir), L_SCHEMA, time_col="ts",
+                             max_files_per_trigger=1)
+        rsrc = stream_source(str(rdir), R_SCHEMA, max_files_per_trigger=1)
+        plan = StreamPlanner(spark).plan(_asof_dag(lsrc, rsrc, "sum"))
+        return (
+            plan.dataframe.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(**trigger_kw)
+            .start()
+        )
+
+    q = start({"processingTime": "1 second"})
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p["batchId"] >= 0:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    assert p and p["batchId"] >= 0, "pre-stop batch never committed"
+
+    # written only after the stop: one more right update and a probe that
+    # needs pre-stop state 12.0 + post-restart 10.0 = 22.0
+    write_chunk(rdir, "r2", [(s(300), "a", 10.0)], R_SCHEMA, now - 200)
+    write_chunk(ldir, "l2", [(s(600), "a", 2)], L_SCHEMA, now - 200)
+
+    q2 = start({"availableNow": True})
+    q2.awaitTermination(120)
+
+    got = {}
+    for r in spark.read.parquet(str(out)).collect():
+        got[r.probe_id] = r.rv  # epoch replays re-emit identical rows
+    want = _batch_asof(spark, {"left": str(ldir), "right": str(rdir)}, "sum")
+    assert got == want
+    assert got[1] == 12.0
+    assert got[2] == 22.0  # 10.0 here = recovered-state LOSS
+
+
 def test_stream_stream_join_restart_recovers_buffered_state(spark, tmp_path):
     """Stop/restart recovery for the stream-stream buffer join: BOTH
     sides' buffered state must survive a checkpoint restart (failover /
