@@ -5188,6 +5188,7 @@ def q_lambda_avg_by_user(spark: SparkSession, sf: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise RuntimeError("streaming summer did not finish within 300s")
+        _publish_stream_metrics("lambda_avg_by_user", q)  # the speed layer
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
