@@ -168,8 +168,11 @@ def stream_main(factors: list[int]) -> None:
         sub = [r for r in rows if r[0] == name]
         if len(sub) >= 2:
             (f1, t1), (f2, t2) = (sub[-2][1], sub[-2][2]), (sub[-1][1], sub[-1][2])
-            exp = math.log(t2 / t1) / math.log(f2 / f1)
-            print(f"# {name}: wall exponent {f1}x->{f2}x = {exp:.2f}")
+            if f1 == f2:  # repeated factor = a variance re-run, no exponent
+                print(f"# {name}: repeat at {f2}x — {t1:.2f}s vs {t2:.2f}s")
+            else:
+                exp = math.log(t2 / t1) / math.log(f2 / f1)
+                print(f"# {name}: wall exponent {f1}x->{f2}x = {exp:.2f}")
     spark.stop()
 
 
@@ -248,7 +251,7 @@ def main() -> None:
     for name in probes:
         row = results[name]
         cells = " | ".join(f"{row[f]:.2f}" for f in factors)
-        if len(factors) >= 2:
+        if len(factors) >= 2 and factors[-2] != factors[-1]:
             f1, f2 = factors[-2], factors[-1]
             exp = math.log(row[f2] / row[f1]) / math.log(f2 / f1)
             e = f"{exp:.2f}"

@@ -245,16 +245,17 @@ def write_shards(
         # octet_length, not length: the cap is BYTES and multi-byte UTF-8
         # text would otherwise blow it by the bytes-per-char ratio.
         # The stratum hashes (id, weight) so a low-distinct-id corpus
-        # still splits ~1/97 instead of all-or-nothing. The ~64k-row
-        # bound on the to_json+percentile pass (ADVICE r8: the fallback
-        # used to re-serialize EVERY row) comes from a SECOND,
-        # independent hash modulus sized off the input cardinality —
-        # never a positional limit(), which past ~6.3M rows would take
-        # the 64k rows from the earliest partitions scanned and re-bias
-        # exactly the size-skewed corpora the cap targets (ADVICE r9).
-        # The count is cheap: pack_shards preserves cardinality, so
-        # ``df.count()`` (column-pruned, often parquet-metadata-only)
-        # stands in for counting the packed plan.
+        # still splits ~1/97 instead of all-or-nothing (ADVICE r9: a
+        # FIXED second modulus, never a positional limit(), which would
+        # take sampled rows from the earliest partitions scanned and
+        # re-bias exactly the size-skewed corpora the cap targets).
+        # Cost model: to_json runs on ~1/97 of rows — about 1% of the
+        # serialization work the write job below does over EVERY row —
+        # in ONE extra pass over the packed plan. No df.count() sizing
+        # pass: an exact-count-derived thinning modulus would charge a
+        # second full pass over the caller's upstream plan just to shave
+        # a bounded 1% sample (review r10), and ADVICE r8's complaint
+        # (the fallback re-serializing 100% of rows) stays fixed below.
         def _h(salt: int):
             return F.xxhash64(
                 F.col(id_col).cast("string"),
@@ -263,9 +264,6 @@ def write_shards(
             )
 
         stratum = F.pmod(_h(0), F.lit(97)) == 7
-        n_total = df.count()
-        k_thin = max(1, n_total // (97 * 65536) + 1)
-        thin = F.pmod(_h(1), F.lit(k_thin)) == 0
 
         def _p90_of(rows):
             return rows.select(
@@ -274,7 +272,7 @@ def write_shards(
                 ).alias("b")
             ).collect()[0]["b"]
 
-        sample = _p90_of(packed.filter(stratum & thin))
+        sample = _p90_of(packed.filter(stratum))
         if sample is None:
             # degenerate low-entropy (id, weight): the hash cells are
             # all-or-nothing — fall back positionally but BOUNDED (the

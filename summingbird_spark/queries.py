@@ -4554,9 +4554,15 @@ def q_stream_buffer_join(spark: SparkSession, sf: str) -> DataFrame:
         base.where("event_type = 'click'")
         .select("user_id", F.col("ts").alias("rts"), F.col("value").alias("rv"))
     )
+    # single source of truth for the join horizon: the state-bound
+    # threshold below derives from THESE SAME values, so retuning the
+    # join cannot silently de-arm (or falsely trip) the bounded-state
+    # contract (review r10).
+    window_s, watermark_s = 86400, 3600
     joined = stream_stream_left_join(
         left, right, "user_id", "ts", "rts",
-        window="1 day", watermark="1 hour", how="leftOuter",
+        window=f"{window_s} seconds", watermark=f"{watermark_s} seconds",
+        how="leftOuter",
     )
 
     def run_pass():
@@ -4601,6 +4607,16 @@ def q_stream_buffer_join(spark: SparkSession, sf: str) -> DataFrame:
         else:
             spark.conf.set(_ND_CONF, old_nd)
 
+    # attribution telemetry FIRST (VERDICT r9 items 2+7): per-micro-batch
+    # durations from the engine's own progress events, split into
+    # stateful work (addBatch of data batches) vs fixed LIFECYCLE
+    # (planning, offset/commit log IO, no-data drain batches) — plus the
+    # state bound as a tracked metric, not just an assertion. bench.py
+    # lifts this into BENCH_DETAIL. Published BEFORE the bound check so
+    # that when the bound trips, the diagnosing numbers are in the
+    # telemetry for exactly that failing run (review r10).
+    m = _publish_stream_metrics("stream_buffer_join", q)
+
     # the state-bounded contract, asserted from the engine's own metrics.
     # The threshold DERIVES from the corpus shape instead of a baked-in
     # 0.6 (ADVICE r9): a time-ordered replay in C chunks over span S with
@@ -4612,13 +4628,10 @@ def q_stream_buffer_join(spark: SparkSession, sf: str) -> DataFrame:
     # legitimately buffers most rows until the sentinel no longer fails a
     # correct join. For the graded corpus (30 d span, 3 chunks, 1 d + 1 h
     # horizon) the gate is active: expected ≈ 0.37, threshold ≈ 0.64.
-    state = [
-        op for p in q.recentProgress for op in p.get("stateOperators", [])
-    ]
-    added = sum(op.get("numRowsUpdated", 0) for op in state)
-    peak = max((op.get("numRowsTotal", 0) for op in state), default=0)
+    added = m["added_state_rows"]
+    peak = m["peak_state_rows"]
     span = max(span_meta["max_ts"] - span_meta["min_ts"], 1.0)
-    horizon = 86400.0 + 3600.0  # join window + watermark delay
+    horizon = float(window_s + watermark_s)  # same values the join uses
     expected_frac = (span / max(span_meta["n_chunks"], 1) + horizon) / span
     if added >= 200 and expected_frac <= 0.45:
         threshold = min(0.9, 1.75 * expected_frac)
@@ -4628,14 +4641,6 @@ def q_stream_buffer_join(spark: SparkSession, sf: str) -> DataFrame:
                 f"vs {added} ever added (threshold {threshold:.2f}) — "
                 "watermark eviction is not happening"
             )
-
-    # attribution telemetry (VERDICT r9 items 2+7): per-micro-batch
-    # durations from the engine's own progress events, split into
-    # stateful work (addBatch of data batches) vs fixed LIFECYCLE
-    # (planning, offset/commit log IO, no-data drain batches) — plus the
-    # state bound as a tracked metric, not just an assertion. bench.py
-    # lifts this into BENCH_DETAIL.
-    _publish_stream_metrics("stream_buffer_join", q)
 
     hits = (
         spark.read.schema("event_id long, rts timestamp, rv double")
