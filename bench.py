@@ -320,8 +320,15 @@ def main() -> None:
             detail["stream_metrics"] = STREAM_METRICS
     except Exception as e:
         print(f"bench error reading stream metrics: {e}", file=sys.stderr)
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
+    # the repo-root sidecar is the graded sf0.1 artifact — an iteration
+    # run at another SF (SPARK_GRAFT_SF_DIR override) must not clobber it
+    # with numbers at the wrong scale; those land in /tmp instead.
+    if os.environ.get("SPARK_GRAFT_SF_DIR") in (None, "/root/testdata/sf0.1"):
+        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_DETAIL.json")
+    else:
+        tag = os.path.basename(str(sf_dir).rstrip("/")) or "custom"
+        detail_path = f"/tmp/BENCH_DETAIL_{tag}.json"
     try:
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1)
@@ -352,7 +359,8 @@ def main() -> None:
                 "q8_build_sec": q8_build_sec,
                 "stream_warmup_sec": stream_warmup_sec,
                 "calib_sec": calib_sec,
-                "detail": "BENCH_DETAIL.json",
+                "detail": detail_path if detail_path.startswith("/tmp")
+                else "BENCH_DETAIL.json",
                 "sf": sf,
             }
         )
