@@ -5,13 +5,17 @@ per-query maps and overflowed the driver's tail capture, so r5 has no
 official headline): stdout gets only
 {"metric", "value", "unit", "timing", "n_queries", "queries": <the 8
 slowest only>, "total_min3_sec", "ivf_index_build_sec", "calib_sec",
-"detail", "sf"} (~500 bytes); the FULL per-query median + min-of-3 maps
+"calib_io_sec", "detail", "sf"} (~500 bytes); the FULL per-query median + min-of-3 maps
 (plus the streaming `stream_metrics` telemetry) go to the
 ``BENCH_DETAIL.json`` sidecar at the repo root and to stderr.
 ``calib_sec`` (r10, VERDICT r9 item 4) times a FIXED pure-JVM workload
 with the same median-of-3 discipline: divide two rounds' totals by
 their calib_secs before calling a uniform drift a regression — it is
-the host-noise denominator.
+the host-noise denominator. ``calib_io_sec`` (r10) is its storage twin
+— a fixed parquet write + read-back — because CPU calibration is blind
+to disk-side contention: a uniform drift with calib_sec flat but
+calib_io_sec inflated is storage noise (observed live this round:
++30% on every query, calib_sec unchanged).
 
 Each query executes fully (noop sink — no driver-side result transfer), so
 the timing reflects scan + shuffle + aggregation, the parts that matter at
@@ -31,7 +35,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 
@@ -189,6 +195,26 @@ def main() -> None:
             .count()
         )
 
+    # I/O twin of the calibration (r10): a FIXED parquet write + full
+    # read-back, corpus-independent. The pure-JVM row is blind to
+    # disk-side noise — observed this round: a +30% uniform drift across
+    # every query (which all scan parquet and write staging/state) with
+    # calib_sec FLAT. Two denominators split the attribution: CPU drift
+    # moves calib_sec, storage drift moves calib_io_sec.
+    _io_calib_root = tempfile.mkdtemp(prefix="bench_io_calib_")
+
+    def _calibration_io(spark_, _sf):
+        path = os.path.join(_io_calib_root, "t")
+        (
+            spark_.range(4_000_000)
+            .selectExpr("id", "cast(id * 2654435761 AS string) AS s")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        return spark_.read.parquet(path).selectExpr(
+            "sum(octet_length(s)) AS b"
+        )
+
     # production-path twins: the graded minhash/simhash/jaccard queries pin
     # portable md5 hashing for cross-engine oracle parity; these time the
     # default xxhash64 path a deployment would actually run
@@ -252,6 +278,7 @@ def main() -> None:
     # apart, so it can poison at most one of the three.
     samples: dict[str, list[float]] = {name: [] for name in all_queries}
     calib_samples: list[float] = []
+    calib_io_samples: list[float] = []
     for _ in range(3):
         # calibration rides INSIDE each pass (leading it) so its three
         # samples see the same load epochs the queries do; it is NOT part
@@ -260,6 +287,10 @@ def main() -> None:
             calib_samples.append(run_one(_calibration))
         except Exception as e:
             print(f"bench error in calibration: {e}", file=sys.stderr)
+        try:
+            calib_io_samples.append(run_one(_calibration_io))
+        except Exception as e:
+            print(f"bench error in io calibration: {e}", file=sys.stderr)
         for name, fn in all_queries.items():
             try:
                 samples[name].append(run_one(fn))
@@ -280,6 +311,13 @@ def main() -> None:
 
     calib_sec = round(statistics.median(calib_samples), 3) if calib_samples else -1.0
     calib_min3 = round(min(calib_samples), 3) if calib_samples else -1.0
+    calib_io_sec = (
+        round(statistics.median(calib_io_samples), 3) if calib_io_samples else -1.0
+    )
+    calib_io_min3 = (
+        round(min(calib_io_samples), 3) if calib_io_samples else -1.0
+    )
+    shutil.rmtree(_io_calib_root, ignore_errors=True)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     total_min3 = round(sum(t for t in timings_min.values() if t >= 0), 3)
@@ -302,6 +340,8 @@ def main() -> None:
         "stream_warmup_sec": stream_warmup_sec,
         "calib_sec": calib_sec,
         "calib_min3_sec": calib_min3,
+        "calib_io_sec": calib_io_sec,
+        "calib_io_min3_sec": calib_io_min3,
         # named split fields (VERDICT r6 item 6) duplicating the two
         # attribution rows above for direct lookup
         "embedding_ivf_topk_probe_sec": timings.get("embedding_ivf_topk_probe", -1.0),
@@ -359,6 +399,7 @@ def main() -> None:
                 "q8_build_sec": q8_build_sec,
                 "stream_warmup_sec": stream_warmup_sec,
                 "calib_sec": calib_sec,
+                "calib_io_sec": calib_io_sec,
                 "detail": detail_path if detail_path.startswith("/tmp")
                 else "BENCH_DETAIL.json",
                 "sf": sf,
