@@ -1,0 +1,88 @@
+"""Every documented example run line, executed exactly as documented.
+
+The examples are the "switch from the reference" on-ramp (the reference
+ships summingbird-example as a runnable artifact, not just source — e.g.
+ExampleJob.scala's README run line); a pipeline that only works when
+imported by tests is not runnable documentation. Each case below is the
+literal command from the example's module docstring, subprocess-run at
+sf0.001 against its own throwaway workdir, asserting a zero exit.
+
+These spawn their own SparkSession per process (that IS the documented
+interface), so they cost real JVM startups — kept at the smallest SF and
+run last in the suite by filename convention (pytest alphabetizes within
+the directory either way).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.001"
+
+
+def _run(cmd, tmp_path, extra_env=None):
+    env = dict(os.environ)
+    env.update(extra_env or {})
+    proc = subprocess.run(
+        cmd,
+        cwd=REPO,
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        timeout=420,
+    )
+    tail = proc.stdout.decode(errors="replace")[-3000:]
+    assert proc.returncode == 0, f"{' '.join(cmd)} failed:\n{tail}"
+    return tail
+
+
+def test_example_hybrid_wordcount(tmp_path):
+    out = _run(
+        [sys.executable, "examples/hybrid_wordcount.py", str(tmp_path / "wc")],
+        tmp_path,
+    )
+    # the script's own end-to-end check: serving == one-shot aggregation
+    assert "matches one-shot truth: True" in out
+
+
+def test_example_curation_and_retrieval(tmp_path):
+    _run([sys.executable, "examples/curation_and_retrieval.py", SF], tmp_path)
+
+
+def test_example_llm_corpus_pipeline(tmp_path):
+    _run(
+        [
+            sys.executable,
+            "examples/llm_corpus_pipeline.py",
+            SF,
+            str(tmp_path / "corpus"),
+        ],
+        tmp_path,
+    )
+
+
+def test_example_sketch_analytics(tmp_path):
+    _run([sys.executable, "examples/sketch_analytics.py", SF], tmp_path)
+
+
+def test_example_streaming_temporal_joins(tmp_path):
+    _run([sys.executable, "examples/streaming_temporal_joins.py", SF], tmp_path)
+
+
+def test_example_events_daily_totals_cli(tmp_path):
+    # both documented run lines, in the documented order: --through-time
+    # bootstraps the commit ledger, --batches rolls forward from it (a
+    # fresh store correctly refuses --batches without a starting point).
+    env = {
+        "SPARK_GRAFT_SF_DIR": SF,
+        "SUMMINGBIRD_OUT": str(tmp_path / "out"),
+    }
+    cli = [sys.executable, "-m", "summingbird_spark.cli",
+           "--job", "examples.events_daily_totals:build"]
+    _run(cli + ["--through-time", "2024-01-20"], tmp_path, extra_env=env)
+    _run(cli + ["--batches", "2"], tmp_path, extra_env=env)
