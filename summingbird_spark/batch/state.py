@@ -60,10 +60,23 @@ class CheckpointState:
                 f"interval through batch {through_batch} already committed "
                 f"(state at {last})"
             )
-        return RunningState(self, lo, through_batch)
+        return RunningState(self, lo, through_batch, expected_last=last)
 
-    def _commit(self, lo: Optional[int], hi: int) -> None:
+    def _commit(self, lo: Optional[int], hi: int, expected_last) -> None:
         st = self._load()
+        # optimistic-concurrency check: the ledger must still be where
+        # begin() saw it. A double-scheduled run (two crons, a retry
+        # racing the original) would otherwise silently append the same
+        # interval twice while both writers raced the store's version
+        # dir — the lost-update this protocol exists to prevent. The
+        # loser fails loudly here, AFTER the winner's snapshot+ledger
+        # are complete and consistent.
+        if st["committed_through"] != expected_last:
+            raise StateError(
+                f"concurrent commit detected: ledger moved from "
+                f"{expected_last} to {st['committed_through']} since "
+                f"begin(); refusing to double-commit through {hi}"
+            )
         st["history"].append({"lo": lo, "hi": hi})
         st["committed_through"] = hi
         # atomic replace — the HDFSState success-marker analog
@@ -76,17 +89,24 @@ class CheckpointState:
 class RunningState:
     """Must be resolved exactly once: succeed() or fail()."""
 
-    def __init__(self, state: CheckpointState, lo_batch: Optional[int], hi_batch: int):
+    def __init__(
+        self,
+        state: CheckpointState,
+        lo_batch: Optional[int],
+        hi_batch: int,
+        expected_last: Optional[int] = None,
+    ):
         self.state = state
         self.lo_batch = lo_batch
         self.hi_batch = hi_batch
+        self._expected_last = expected_last
         self._resolved = False
 
     def succeed(self) -> None:
         if self._resolved:
             raise StateError("state already resolved")
         self._resolved = True
-        self.state._commit(self.lo_batch, self.hi_batch)
+        self.state._commit(self.lo_batch, self.hi_batch, self._expected_last)
 
     def fail(self, err: Optional[BaseException] = None) -> None:
         if self._resolved:

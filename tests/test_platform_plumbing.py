@@ -123,6 +123,27 @@ def test_state_failure_leaves_no_commit(spark, events_df, tmp_path):
     assert state.committed_through() is None  # nothing committed
 
 
+def test_state_detects_concurrent_commit(tmp_path):
+    """Two double-scheduled runs (cron overlap, a retry racing the
+    original) both begin() the same uncommitted interval; the loser's
+    succeed() must fail loudly instead of silently appending the same
+    interval to the ledger twice (lost-update guard)."""
+    state = CheckpointState(str(tmp_path / "state"), start_batch=0)
+    a = state.begin(5)
+    b = state.begin(5)  # second scheduler, same view of the ledger
+    a.succeed()
+    assert state.committed_through() == 5
+    with pytest.raises(StateError, match="concurrent commit"):
+        b.succeed()
+    # ledger intact: one entry, bound unchanged
+    assert state.committed_through() == 5
+    assert len(state._load()["history"]) == 1
+    # and a fresh begin from the NEW ledger position still works
+    c = state.begin(7)
+    c.succeed()
+    assert state.committed_through() == 7
+
+
 # ---- time-pathed source ----------------------------------------------------
 
 def test_time_pathed_probe_and_shrink(spark, events_df, tmp_path):
