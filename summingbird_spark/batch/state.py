@@ -14,6 +14,15 @@ returned RunningState must be resolved exactly once. Together with the
 store's atomic ``_SUCCESS``-marked snapshot writes this gives the same
 guarantee the reference has: a batch is either fully committed (snapshot +
 ledger entry) or invisible.
+
+Concurrency model: one writer per store, enforced by detection rather
+than locking — succeed() refuses to commit if the ledger moved since
+begin() (two double-scheduled runs: the loser fails loudly after the
+winner's snapshot+ledger are complete). Like the reference's
+HDFSState-over-version-dirs, runs that overlap IN FLIGHT on the same
+version directory are the scheduler's contract to prevent; the ledger
+guard bounds the blast radius to a loud error instead of a silent
+double-append.
 """
 
 from __future__ import annotations
