@@ -202,6 +202,12 @@ def main() -> None:
     # calib_sec FLAT. Two denominators split the attribution: CPU drift
     # moves calib_sec, storage drift moves calib_io_sec.
     _io_calib_root = tempfile.mkdtemp(prefix="bench_io_calib_")
+    # rmtree'd after the passes; atexit covers abnormal exits (a killed
+    # run must not leave 4M-row parquet junk skewing the next run's
+    # calib_io signal on this same disk)
+    import atexit
+
+    atexit.register(shutil.rmtree, _io_calib_root, ignore_errors=True)
 
     def _calibration_io(spark_, _sf):
         path = os.path.join(_io_calib_root, "t")
@@ -363,7 +369,7 @@ def main() -> None:
     # the repo-root sidecar is the graded sf0.1 artifact — an iteration
     # run at another SF (SPARK_GRAFT_SF_DIR override) must not clobber it
     # with numbers at the wrong scale; those land in /tmp instead.
-    if os.environ.get("SPARK_GRAFT_SF_DIR") in (None, "/root/testdata/sf0.1"):
+    if os.path.normpath(sf_dir) == "/root/testdata/sf0.1":
         detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    "BENCH_DETAIL.json")
     else:

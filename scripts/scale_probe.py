@@ -182,6 +182,12 @@ def main() -> None:
         stream_main([int(a) for a in argv[1:]] or [1, 10])
         return
     factors = [int(a) for a in argv] or [1, 10, 100]
+    if len(set(factors)) != len(factors):
+        # batch mode keys results by factor, so a repeated factor would
+        # silently overwrite the first measurement; variance re-runs
+        # belong in --stream mode (which prints a repeat comparison line)
+        sys.exit("duplicate factors collapse in batch mode; run each once "
+                 "or use --stream for variance re-runs")
     from pyspark.sql import SparkSession
 
     spark = (

@@ -72,27 +72,42 @@ class CheckpointState:
         return RunningState(self, lo, through_batch, expected_last=last)
 
     def _commit(self, lo: Optional[int], hi: int, expected_last) -> None:
-        st = self._load()
-        # optimistic-concurrency check: the ledger must still be where
-        # begin() saw it. A double-scheduled run (two crons, a retry
-        # racing the original) would otherwise silently append the same
-        # interval twice while both writers raced the store's version
-        # dir — the lost-update this protocol exists to prevent. The
-        # loser fails loudly here, AFTER the winner's snapshot+ledger
-        # are complete and consistent.
-        if st["committed_through"] != expected_last:
-            raise StateError(
-                f"concurrent commit detected: ledger moved from "
-                f"{expected_last} to {st['committed_through']} since "
-                f"begin(); refusing to double-commit through {hi}"
-            )
-        st["history"].append({"lo": lo, "hi": hi})
-        st["committed_through"] = hi
-        # atomic replace — the HDFSState success-marker analog
-        fd, tmp = tempfile.mkstemp(dir=self.path)
-        with os.fdopen(fd, "w") as f:
-            json.dump(st, f)
-        os.replace(tmp, self._file)
+        # the load-check-replace below must be one atomic step or the
+        # optimistic check is itself a TOCTOU window (two succeed()s
+        # interleaving their loads both pass it — review r10). flock
+        # serializes committers on this host and is released by the
+        # kernel on process death, so no stale-lock recovery is needed;
+        # cross-host stores need the scheduler's single-writer contract
+        # (module docstring) just like the reference's HDFSState.
+        import fcntl
+
+        lock_fd = os.open(os.path.join(self.path, ".commit.lock"),
+                          os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(lock_fd, fcntl.LOCK_EX)
+            st = self._load()
+            # optimistic-concurrency check: the ledger must still be
+            # where begin() saw it. A double-scheduled run (two crons, a
+            # retry racing the original) would otherwise silently append
+            # the same interval twice while both writers raced the
+            # store's version dir — the lost-update this protocol exists
+            # to prevent. The loser fails loudly here, AFTER the
+            # winner's snapshot+ledger are complete and consistent.
+            if st["committed_through"] != expected_last:
+                raise StateError(
+                    f"concurrent commit detected: ledger moved from "
+                    f"{expected_last} to {st['committed_through']} since "
+                    f"begin(); refusing to double-commit through {hi}"
+                )
+            st["history"].append({"lo": lo, "hi": hi})
+            st["committed_through"] = hi
+            # atomic replace — the HDFSState success-marker analog
+            fd, tmp = tempfile.mkstemp(dir=self.path)
+            with os.fdopen(fd, "w") as f:
+                json.dump(st, f)
+            os.replace(tmp, self._file)
+        finally:
+            os.close(lock_fd)  # releases the flock
 
 
 class RunningState:

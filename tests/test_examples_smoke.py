@@ -8,9 +8,7 @@ literal command from the example's module docstring, subprocess-run at
 sf0.001 against its own throwaway workdir, asserting a zero exit.
 
 These spawn their own SparkSession per process (that IS the documented
-interface), so they cost real JVM startups — kept at the smallest SF and
-run last in the suite by filename convention (pytest alphabetizes within
-the directory either way).
+interface), so they cost real JVM startups — kept at the smallest SF.
 """
 
 from __future__ import annotations
@@ -19,13 +17,11 @@ import os
 import subprocess
 import sys
 
-import pytest
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF = "/root/testdata/sf0.001"
 
 
-def _run(cmd, tmp_path, extra_env=None):
+def _run(cmd, extra_env=None):
     env = dict(os.environ)
     env.update(extra_env or {})
     proc = subprocess.run(
@@ -44,14 +40,13 @@ def _run(cmd, tmp_path, extra_env=None):
 def test_example_hybrid_wordcount(tmp_path):
     out = _run(
         [sys.executable, "examples/hybrid_wordcount.py", str(tmp_path / "wc")],
-        tmp_path,
     )
     # the script's own end-to-end check: serving == one-shot aggregation
     assert "matches one-shot truth: True" in out
 
 
-def test_example_curation_and_retrieval(tmp_path):
-    _run([sys.executable, "examples/curation_and_retrieval.py", SF], tmp_path)
+def test_example_curation_and_retrieval():
+    _run([sys.executable, "examples/curation_and_retrieval.py", SF])
 
 
 def test_example_llm_corpus_pipeline(tmp_path):
@@ -62,27 +57,27 @@ def test_example_llm_corpus_pipeline(tmp_path):
             SF,
             str(tmp_path / "corpus"),
         ],
-        tmp_path,
     )
 
 
-def test_example_sketch_analytics(tmp_path):
-    _run([sys.executable, "examples/sketch_analytics.py", SF], tmp_path)
+def test_example_sketch_analytics():
+    _run([sys.executable, "examples/sketch_analytics.py", SF])
 
 
-def test_example_streaming_temporal_joins(tmp_path):
-    _run([sys.executable, "examples/streaming_temporal_joins.py", SF], tmp_path)
+def test_example_streaming_temporal_joins():
+    _run([sys.executable, "examples/streaming_temporal_joins.py", SF])
 
 
 def test_example_events_daily_totals_cli(tmp_path):
-    # both documented run lines, in the documented order: --through-time
-    # bootstraps the commit ledger, --batches rolls forward from it (a
-    # fresh store correctly refuses --batches without a starting point).
+    # both documented run lines verbatim, in the documented order:
+    # --through-time bootstraps the commit ledger, --batches 5 rolls
+    # forward from it (a fresh store correctly refuses --batches without
+    # a starting point).
     env = {
         "SPARK_GRAFT_SF_DIR": SF,
         "SUMMINGBIRD_OUT": str(tmp_path / "out"),
     }
     cli = [sys.executable, "-m", "summingbird_spark.cli",
            "--job", "examples.events_daily_totals:build"]
-    _run(cli + ["--through-time", "2024-01-20"], tmp_path, extra_env=env)
-    _run(cli + ["--batches", "2"], tmp_path, extra_env=env)
+    _run(cli + ["--through-time", "2024-01-20"], extra_env=env)
+    _run(cli + ["--batches", "5"], extra_env=env)
