@@ -31,11 +31,30 @@ _PART = re.compile(r"^batch_id=(-?\d+)$")
 
 
 class TimePathedSource:
-    """Events laid out one directory per batch: ``root/batch_id=N/*.parquet``."""
+    """Events laid out one directory per batch: ``root/batch_id=N/<files>``.
 
-    def __init__(self, root: str, time_col: str = "ts"):
+    ``fmt`` selects the file format (``parquet`` default; ``json`` /
+    ``csv`` / ``orc`` cover the reference's flat-file event logs —
+    TimePathedSource.scala ingested TSV/LZO the same way: layout and
+    availability probing are format-independent, only the record codec
+    changes). Non-parquet formats usually want an explicit ``schema``
+    (Spark SQL DDL string) and reader ``options`` (e.g. ``header="true"``
+    for CSV) so the event-time column comes back typed, not inferred.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        time_col: str = "ts",
+        fmt: str = "parquet",
+        schema: Optional[str] = None,
+        **options: str,
+    ):
         self.root = root
         self.time_col = time_col
+        self.fmt = fmt
+        self.schema = schema
+        self.options = options
 
     # -- probing (TimePathedSource.satisfiableHdfs analog) ---------------
     def available_batches(self) -> list[int]:
@@ -44,8 +63,12 @@ class TimePathedSource:
         out = []
         for d in os.listdir(self.root):
             m = _PART.match(d)
+            # a batch is available iff its dir holds at least one DATA
+            # file — markers (_SUCCESS) and hidden files don't count,
+            # whatever the format's part-file extension
             if m and any(
-                f.endswith(".parquet") for f in os.listdir(os.path.join(self.root, d))
+                not f.startswith((".", "_"))
+                for f in os.listdir(os.path.join(self.root, d))
             ):
                 out.append(int(m.group(1)))
         return sorted(out)
@@ -69,10 +92,13 @@ class TimePathedSource:
         interval filter applied on top (limitTimes,
         ScaldingPlatform.scala:233-237) — partition dirs bound the files
         read; the residual predicate bounds stragglers inside them."""
-        df = (
-            spark.read.option("basePath", self.root)
-            .parquet(self.root)
-            .where((F.col("batch_id") >= lo) & (F.col("batch_id") <= hi))
+        reader = spark.read.option("basePath", self.root)
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        for k, v in self.options.items():
+            reader = reader.option(k, v)
+        df = reader.format(self.fmt).load(self.root).where(
+            (F.col("batch_id") >= lo) & (F.col("batch_id") <= hi)
         )
         if batcher is not None:
             df = df.where(
@@ -88,11 +114,20 @@ class TimePathedSource:
         )
 
     @staticmethod
-    def write_batches(df: DataFrame, root: str, batcher, time_col: str = "ts") -> None:
+    def write_batches(
+        df: DataFrame,
+        root: str,
+        batcher,
+        time_col: str = "ts",
+        fmt: str = "parquet",
+        **options: str,
+    ) -> None:
         """Materialize an event table into the batch_id-partitioned layout."""
-        (
+        w = (
             df.withColumn("batch_id", batcher.batch_col(F.col(time_col).cast("timestamp")))
             .write.mode("overwrite")
             .partitionBy("batch_id")
-            .parquet(root)
         )
+        for k, v in options.items():
+            w = w.option(k, v)
+        w.format(fmt).save(root)
