@@ -184,6 +184,7 @@ def test_time_pathed_multi_format(spark, events_df, tmp_path):
 
     for fmt, kwargs in (
         ("json", {}),
+        ("orc", {}),
         ("csv", {"schema": "ts timestamp, key string, value long",
                  "header": "true"}),
     ):
