@@ -213,6 +213,67 @@ def test_time_pathed_producer_in_pipeline(spark, events_df, tmp_path):
     assert {r.batch_id for r in rows} == {b0, b0 + 1}
 
 
+# ---- queue (spout-analog) source -------------------------------------------
+
+def test_queue_frame_decode(spark):
+    """Kafka wire frames → typed events (the TimeExtractor analog,
+    StormPlatform.scala:87-91): payload event time when named, broker
+    timestamp fallback, malformed payloads kept as NULL rows (countable,
+    not silently dropped). Pure Column transform — identical behavior on
+    this static frame and a live streaming frame."""
+    import json
+
+    from summingbird_spark.sources.queue import (
+        KAFKA_WIRE_SCHEMA,
+        decode_json_frames,
+        kafka_stream_source,
+    )
+
+    def frame(i, payload):
+        return (
+            str(i).encode(),
+            payload.encode(),
+            "events",
+            0,
+            i,
+            ts(i),
+            0,
+        )
+
+    rows = [
+        frame(0, json.dumps({"ts": "2024-01-05 00:00:00", "key": "a", "value": 3})),
+        frame(1, json.dumps({"ts": "2024-01-06 00:00:00", "key": "b", "value": 4})),
+        frame(2, "not json at all"),
+    ]
+    frames = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    sch = "ts timestamp, key string, value long"
+
+    out = decode_json_frames(frames, sch, time_col="ts", keep_key=True)
+    assert set(out.columns) == {"__key__", "ts", "key", "value", "__queue_ts__"}
+    good = {(r.key, r.value) for r in out.where(F.col("ts").isNotNull()).collect()}
+    assert good == {("a", 3), ("b", 4)}
+    # event time is the PAYLOAD's, not the broker's
+    a = out.where(F.col("key") == "a").collect()[0]
+    assert str(a.ts).startswith("2024-01-05") and a.ts != a["__queue_ts__"]
+    # malformed payload: NULL fields, row retained
+    assert out.where(F.col("key").isNull()).count() == 1
+
+    # broker-timestamp fallback when the payload carries no event time
+    out2 = decode_json_frames(frames, "key string, value long")
+    b = out2.where(F.col("key") == "b").collect()[0]
+    assert b["__queue_ts__"] == ts(1)
+
+    # a payload time_col that doesn't exist fails loudly at build time
+    with pytest.raises(ValueError, match="not a payload field"):
+        decode_json_frames(frames, "key string, value long", time_col="ts")
+
+    # the Source node carries the right event-time column for the planner
+    src = kafka_stream_source("events", "broker:9092", sch, time_col="ts")
+    assert src.time_col == "ts" and "events" in src.source_name
+    src2 = kafka_stream_source("events", "broker:9092", "key string, value long")
+    assert src2.time_col == "__queue_ts__"
+
+
 # ---- planner invariants ----------------------------------------------------
 
 def test_diamond_fanout_detected_and_compiled_once(spark, events_df):
