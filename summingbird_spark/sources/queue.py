@@ -65,6 +65,31 @@ def decode_json_frames(
     return out
 
 
+def encode_json_frames(
+    df: DataFrame,
+    key_col: Optional[str] = None,
+    value_cols: Optional[list] = None,
+) -> DataFrame:
+    """Typed rows → broker wire frames — the write half of the queue
+    roundtrip (the reference's ``OnlineSink`` publishes intermediate
+    stream results to "a kestrel fanout or kafka topic",
+    OnlineSink.scala:21-34). Output has exactly the two columns Spark's
+    kafka sink consumes: ``key`` (the partitioning key — rows for one key
+    land in one broker partition, IN ORDER, which is what makes the
+    (prev, delta) consumer contract meaningful downstream) and ``value``
+    (the selected columns as one JSON document). Pure Column transform —
+    append ``.writeStream.format("kafka")`` (or batch ``.write``) on top.
+    """
+    cols = value_cols if value_cols is not None else df.columns
+    value = F.to_json(F.struct(*[F.col(c) for c in cols]))
+    key = (
+        F.col(key_col).cast("string").cast("binary")
+        if key_col is not None
+        else F.lit(None).cast("binary")
+    )
+    return df.select(key.alias("key"), value.cast("binary").alias("value"))
+
+
 def kafka_stream_source(
     topic: str,
     bootstrap_servers: str,
