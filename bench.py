@@ -369,7 +369,9 @@ def main() -> None:
     # the repo-root sidecar is the graded sf0.1 artifact — an iteration
     # run at another SF (SPARK_GRAFT_SF_DIR override) must not clobber it
     # with numbers at the wrong scale; those land in /tmp instead.
-    if os.path.normpath(sf_dir) == "/root/testdata/sf0.1":
+    # realpath, not normpath: a symlinked or relative spelling of the
+    # canonical dir is still the graded corpus (ADVICE r10).
+    if os.path.realpath(sf_dir) == os.path.realpath("/root/testdata/sf0.1"):
         detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    "BENCH_DETAIL.json")
     else:

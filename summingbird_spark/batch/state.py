@@ -30,11 +30,69 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import warnings
 from typing import Optional
 
 
 class StateError(Exception):
     pass
+
+
+# filesystems where POSIX advisory locks (flock) can be silent no-ops —
+# the commit guard degrades to best-effort there (ADVICE r10)
+_NETWORK_FS_TYPES = frozenset(
+    {"nfs", "nfs4", "cifs", "smb3", "smbfs", "9p", "afs", "ceph",
+     "glusterfs", "lustre", "beegfs", "sshfs", "davfs", "davfs2"}
+)
+
+
+def _mount_fs_type(path: str, mounts_file: str = "/proc/mounts") -> Optional[str]:
+    """Filesystem type of the mount holding ``path`` (longest-prefix match
+    over the mount table), or None when undeterminable (non-Linux, no
+    /proc). Best-effort by design — a miss only skips a warning."""
+    try:
+        real = os.path.realpath(path)
+        best_len, fs_type = -1, None
+        with open(mounts_file) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 3:
+                    continue
+                # octal escapes (\040 for space) per proc(5)
+                mnt = parts[1].encode().decode("unicode_escape")
+                if real == mnt or real.startswith(mnt.rstrip("/") + "/"):
+                    if len(mnt) > best_len:
+                        best_len, fs_type = len(mnt), parts[2]
+        return fs_type
+    except OSError:
+        return None
+
+
+def _warn_if_lock_unreliable(path: str, mounts_file: str = "/proc/mounts") -> bool:
+    """Warn (once per call site semantics — callers invoke at init) when
+    ``path`` lives on a filesystem where flock is advisory-at-best, so the
+    concurrent-commit guard in ``_commit`` degrades to the scheduler's
+    single-writer contract alone. Returns True iff it warned."""
+    fs = _mount_fs_type(path, mounts_file)
+    if fs is None:
+        return False
+    base = fs.split(".", 1)  # fuse.sshfs → ("fuse", "sshfs")
+    networky = (
+        fs in _NETWORK_FS_TYPES
+        or base[0] == "fuse"
+        or (len(base) == 2 and base[1] in _NETWORK_FS_TYPES)
+    )
+    if networky:
+        warnings.warn(
+            f"CheckpointState at {path!r} is on a {fs!r} filesystem: flock "
+            "may be a no-op there, so the concurrent-commit guard is "
+            "best-effort — rely on the scheduler's single-writer contract "
+            "(see module docstring)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return True
+    return False
 
 
 class CheckpointState:
@@ -45,6 +103,7 @@ class CheckpointState:
         self._file = os.path.join(path, "state.json")
         self.start_batch = start_batch
         os.makedirs(path, exist_ok=True)
+        _warn_if_lock_unreliable(path)
 
     def _load(self) -> dict:
         if not os.path.exists(self._file):

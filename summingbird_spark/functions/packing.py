@@ -249,13 +249,18 @@ def write_shards(
         # FIXED second modulus, never a positional limit(), which would
         # take sampled rows from the earliest partitions scanned and
         # re-bias exactly the size-skewed corpora the cap targets).
-        # Cost model: to_json runs on ~1/97 of rows — about 1% of the
-        # serialization work the write job below does over EVERY row —
-        # in ONE extra pass over the packed plan. No df.count() sizing
-        # pass: an exact-count-derived thinning modulus would charge a
-        # second full pass over the caller's upstream plan just to shave
-        # a bounded 1% sample (review r10), and ADVICE r8's complaint
-        # (the fallback re-serializing 100% of rows) stays fixed below.
+        # Cost model (ADVICE r10): the stratum scan hashes every row —
+        # unavoidable for an unbiased sample without a count pass — but
+        # SERIALIZATION is bounded: a second independent hash ranks the
+        # stratum and TakeOrderedAndProject keeps the smallest 65 536
+        # (per-partition bounded heap, never a global sort), so to_json
+        # runs on ≤ 64k rows no matter the corpus size, and the sample
+        # stays positionally unbiased (selection is by hash rank, not by
+        # which partitions scan first). No df.count() sizing pass: an
+        # exact-count-derived thinning modulus would charge a second
+        # full pass over the caller's upstream plan (review r10), and
+        # ADVICE r8's complaint (the fallback re-serializing 100% of
+        # rows) stays fixed below.
         def _h(salt: int):
             return F.xxhash64(
                 F.col(id_col).cast("string"),
@@ -272,7 +277,11 @@ def write_shards(
                 ).alias("b")
             ).collect()[0]["b"]
 
-        sample = _p90_of(packed.filter(stratum))
+        sample = _p90_of(
+            packed.filter(stratum)
+            .orderBy(_h(1), F.col(id_col))  # rank-ties broken by id
+            .limit(65536)
+        )
         if sample is None:
             # degenerate low-entropy (id, weight): the hash cells are
             # all-or-nothing — fall back positionally but BOUNDED (the

@@ -561,8 +561,16 @@ def kmeans_train(
 
     # hash-ordered limit compiles to TakeOrderedAndProject (bounded, never
     # a global sort); collect order IS the sort order, so the id
-    # assignment is deterministic (byte-identical rebuilds)
-    init = data.orderBy(F.xxhash64(F.col(id_col))).limit(k).collect()
+    # assignment is deterministic (byte-identical rebuilds). Ties are
+    # broken explicitly — id first, then the vector itself — so a hash
+    # collision or a duplicate id cannot flip init row order between
+    # rebuilds (ADVICE r10).
+    init = (
+        data.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col), F.col(vec_col))
+        .limit(k)
+        .collect()
+    )
+    dim = len(init[0][vec_col]) if init else 0
     centroids = _local([(i, list(r[vec_col])) for i, r in enumerate(init)])
 
     for _ in range(n_iter):
@@ -582,7 +590,17 @@ def kmeans_train(
         rows = []
         for cid in sorted(by_c):  # empty clusters simply drop out
             pm = by_c[cid]
-            vec = [pm[p] for p in range(len(pm))]
+            # every position 0..dim-1 must come back from the partial
+            # means — a hole would silently truncate/shift the centroid
+            # (ADVICE r10); fail with the actual gap instead
+            missing = [p for p in range(dim) if p not in pm]
+            if missing or len(pm) != dim:
+                raise ValueError(
+                    f"kmeans_train: centroid {cid} partial means cover "
+                    f"{len(pm)}/{dim} positions (missing {missing[:5]}…); "
+                    f"corpus vectors are ragged or positions overflow dim"
+                )
+            vec = [pm[p] for p in range(dim)]
             n = math.sqrt(sum(x * x for x in vec)) or 1.0  # re-normalize
             rows.append((cid, [x / n for x in vec]))
         centroids = _local(rows)

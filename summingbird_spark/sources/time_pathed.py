@@ -65,10 +65,15 @@ class TimePathedSource:
             m = _PART.match(d)
             # a batch is available iff its dir holds at least one DATA
             # file — markers (_SUCCESS) and hidden files don't count,
-            # whatever the format's part-file extension
+            # whatever the format's part-file extension, and neither do
+            # DIRECTORIES (a stray subdir — a writer's leftover temp
+            # tree, a user's notes folder — holds no readable records
+            # and must not mark the batch satisfiable; ADVICE r10)
+            sub = os.path.join(self.root, d)
             if m and any(
                 not f.startswith((".", "_"))
-                for f in os.listdir(os.path.join(self.root, d))
+                and os.path.isfile(os.path.join(sub, f))
+                for f in os.listdir(sub)
             ):
                 out.append(int(m.group(1)))
         return sorted(out)

@@ -668,3 +668,42 @@ def test_dsl_loop_join_lifted_carriers_match_streaming_fold(spark):
     pn = source(df, time_col="ts").left_join(svc_n, on="key")
     got_n = {r.eid: r.n for r in to_dataframe(spark, pn).collect()}
     assert got_n == {0: None, 1: 1, 2: 2, 3: 3}
+
+
+def test_kmeans_train_deterministic_under_duplicate_ids(spark):
+    """Init ordering ties (duplicate ids, hash collisions) are broken by
+    (id, vector), so rebuilds are byte-identical even on a corpus whose
+    id column is not unique (ADVICE r10)."""
+    from summingbird_spark.functions.similarity import kmeans_train
+
+    rows = []
+    for i in range(16):
+        v = [0.0] * 4
+        v[i % 4] = 1.0
+        v[(i + 1) % 4] = 0.1 * (i % 3)
+        rows.append((i % 8, v))  # every id appears twice, vectors differ
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(
+        kmeans_train(df, k=4, n_iter=2).collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    b = sorted(
+        kmeans_train(df, k=4, n_iter=2).collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    assert [(r["centroid_id"], r["embedding"]) for r in a] == [
+        (r["centroid_id"], r["embedding"]) for r in b
+    ]
+
+
+def test_kmeans_train_rejects_ragged_vectors(spark):
+    """A corpus with mixed vector lengths must fail loudly with the gap,
+    not silently truncate a centroid (ADVICE r10)."""
+    from summingbird_spark.functions.similarity import kmeans_train
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged|positions"):
+        kmeans_train(df, k=2, n_iter=1)

@@ -554,3 +554,56 @@ def test_structural_memo_pins_nodes(spark):
     gc.collect()
     # the memoized nodes survive the caller dropping its references
     assert any(ent[0] is node_ref for ent in pl._skmemo.values())
+
+
+def test_time_pathed_stray_subdir_is_not_data(tmp_path):
+    """A batch dir whose only non-hidden entry is a SUBDIRECTORY (a
+    writer's leftover temp tree, a notes folder) holds no readable
+    records and must not mark the batch available (ADVICE r10)."""
+    root = tmp_path / "tp"
+    d = root / "batch_id=42"
+    (d / "extras").mkdir(parents=True)
+    src = TimePathedSource(str(root))
+    assert src.available_batches() == []
+    # markers still don't count either
+    (d / "_SUCCESS").write_bytes(b"")
+    assert src.available_batches() == []
+    # a real part FILE does
+    (d / "part-00000.parquet").write_bytes(b"x")
+    assert src.available_batches() == [42]
+
+
+def test_state_warns_on_network_filesystem(tmp_path):
+    """flock is advisory-at-best on network/fuse mounts: CheckpointState
+    must say so out loud instead of silently degrading the commit guard
+    (ADVICE r10). Local filesystems stay silent."""
+    import os
+    import warnings as w
+
+    from summingbird_spark.batch.state import _warn_if_lock_unreliable
+
+    mounts = tmp_path / "mounts"
+    state_dir = tmp_path / "state"
+    state_dir.mkdir()
+    real = os.path.realpath(str(state_dir))
+
+    mounts.write_text(f"server:/export {real} nfs4 rw 0 0\n/dev/sda1 / ext4 rw 0 0\n")
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        assert _warn_if_lock_unreliable(str(state_dir), mounts_file=str(mounts))
+    assert any("flock" in str(x.message) for x in rec)
+
+    # longest-prefix match: the state dir sits under / (ext4) here — local, silent
+    mounts.write_text("/dev/sda1 / ext4 rw 0 0\n")
+    assert not _warn_if_lock_unreliable(str(state_dir), mounts_file=str(mounts))
+
+    # fuse-backed remotes count as unreliable too
+    mounts.write_text(f"host: {real} fuse.sshfs rw 0 0\n")
+    with w.catch_warnings(record=True):
+        w.simplefilter("always")
+        assert _warn_if_lock_unreliable(str(state_dir), mounts_file=str(mounts))
+
+    # undeterminable mount table -> best-effort no-op, never a crash
+    assert not _warn_if_lock_unreliable(
+        str(state_dir), mounts_file=str(tmp_path / "missing")
+    )
