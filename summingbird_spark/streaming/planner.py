@@ -147,7 +147,26 @@ class StreamPlan:
 
 class StreamPlanner(BatchPlanner):
     """Reuses every stateless compile case from the batch planner; overrides
-    the stateful/effect cases for the streaming execution model."""
+    the stateful/effect cases for the streaming execution model.
+
+    ``summer_key_buckets``: physical state-key granularity for the summer
+    — logical keys are hash-bucketed ``hash(k) % buckets`` before
+    ``applyInPandasWithState`` (the reference keys its Summer bolt by
+    hash(k)%shards, FinalFlatMap.scala:49-52). Default 64: at 8 state
+    partitions that is 8 groups/partition — enough to balance, few enough
+    that the per-group pandas↔Arrow round-trip amortizes over many keys.
+    ``None`` restores per-key state (finest eviction granularity; pays
+    one framework round-trip per key per trigger)."""
+
+    def __init__(
+        self,
+        spark,
+        options=None,
+        cache_fanout: bool = False,
+        summer_key_buckets: int | None = 64,
+    ):
+        super().__init__(spark, options, cache_fanout)
+        self.summer_key_buckets = summer_key_buckets
 
     def plan(self, node: g.Producer) -> StreamPlan:
         from ..batch.batcher import ensure_utc
@@ -265,7 +284,9 @@ class StreamPlanner(BatchPlanner):
             F.col(TIME_COL),
             node.value.alias(va),
         )
-        return stateful_summer(base, node.keys, va, sg)
+        return stateful_summer(
+            base, node.keys, va, sg, key_buckets=self.summer_key_buckets
+        )
 
 
 class CumulativeCounters:

@@ -1619,3 +1619,53 @@ def test_asof_group_sum_long_fast_path_matches_reference(max_age):
             assert (gst or {}).get("run", {}).get("v") == (wst or {}).get(
                 "run", {}
             ).get("v")
+
+
+def test_summer_key_buckets_match_per_key_state(spark, stream_dir, tmp_path):
+    """Hash-bucketed state (the FinalFlatMap hash(k)%shards grouping) is a
+    pure physical choice: bucketed and per-key summers emit identical
+    (key, batch, prev, delta) rows — including for a NONCOMMUTATIVE
+    semigroup, where within-key time order must survive the bucket's
+    multi-key frames — and the state-store row count collapses from
+    |keys| to ≤ buckets."""
+    from summingbird_spark.batch import batcher as b_mod  # noqa: F401
+    from summingbird_spark.core import semigroup as sg_mod
+    from summingbird_spark.core.graph import TIME_COL
+    from summingbird_spark.streaming.planner import StreamPlanner
+    from summingbird_spark.streaming.stateful import stateful_summer
+
+    batcher = sb.of_days(1)
+    for sg_name, cast in [("sum_long", None), ("concat", "string")]:
+        outs = {}
+        state_rows = {}
+        for tag, buckets in [("perkey", None), ("bucketed", 4)]:
+            src = stream_source(stream_dir, SCHEMA, time_col="ts",
+                                max_files_per_trigger=1)
+            df = StreamPlanner(spark).compile(src)
+            val = F.col("value").cast(cast) if cast else F.col("value")
+            base = df.select(
+                "key",
+                batcher.batch_col(F.col(TIME_COL)).alias("batch_id"),
+                F.col(TIME_COL),
+                val.alias("value"),
+            )
+            out = stateful_summer(base, ["key"], "value",
+                                  sg_mod.get(sg_name), key_buckets=buckets)
+            name = f"kb_{sg_name}_{tag}"
+            q = (out.writeStream.format("memory").queryName(name)
+                 .outputMode("update").trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            outs[tag] = sorted(
+                map(tuple, spark.sql(f"SELECT * FROM {name}").collect()),
+                key=repr,  # prev is None on first sight of a (key, batch)
+            )
+            state_rows[tag] = max(
+                (op.get("numRowsTotal", 0)
+                 for p in q.recentProgress
+                 for op in p.get("stateOperators", [])),
+                default=0,
+            )
+        assert outs["perkey"] == outs["bucketed"], sg_name
+        assert len(outs["perkey"]) > 0
+        # physical state collapsed to bucket granularity
+        assert 0 < state_rows["bucketed"] <= 4 < state_rows["perkey"]
