@@ -50,10 +50,19 @@ def streaming_as_of_join(
     mode: str = "latest",
     semigroup="sum",
     max_age_seconds: Optional[float] = None,
+    key_buckets: Optional[int] = 64,
 ) -> DataFrame:
     """Probe stream ``left`` enriched with ``right``'s state as of each
     probe's time. Returns all left columns plus ``value_cols`` (NULL when
     nothing is visible yet / key deleted / outside ``max_age_seconds``).
+
+    ``key_buckets``: physical state granularity — join keys are
+    hash-bucketed ``hash(on) % buckets`` so one applyInPandasWithState
+    group (and its fixed ~3 ms pandas/Arrow/state round-trip) serves many
+    logical keys per trigger, the reference's hash(k)%shards grouping
+    (FinalFlatMap.scala:49-52). The per-key kernel runs unchanged on each
+    key's slice inside the bucket, so results are identical; ``None``
+    restores one state row per join key.
     """
     on = [on] if isinstance(on, str) else list(on)
     if TIME_COL in right.columns and right_time != TIME_COL:
@@ -102,8 +111,45 @@ def streaming_as_of_join(
             state.update((pickle.dumps(st),))
         yield out
 
-    return u.groupBy(*on).applyInPandasWithState(
-        fn, out_schema, "state binary", "update", GroupStateTimeout.NoTimeout
+    if key_buckets is None:
+        return u.groupBy(*on).applyInPandasWithState(
+            fn, out_schema, "state binary", "update", GroupStateTimeout.NoTimeout
+        )
+
+    out_names = [n for n, _ in out_fields]
+
+    def fn_bucketed(
+        bucket, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # state: {key_tuple: per-key kernel state} for every join key
+        # hashing into this bucket
+        states: dict = pickle.loads(bytes(state.get[0])) if state.exists else {}
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        outs = []
+        for gk, grp in pdf.groupby(on, sort=False, dropna=False):
+            kt = gk if isinstance(gk, tuple) else (gk,)
+            kt = tuple(x.item() if hasattr(x, "item") else x for x in kt)
+            out, st_new = _asof_group(
+                grp, states.get(kt), left_cols, value_cols, is_latest, sg,
+                max_age_seconds,
+            )
+            if st_new is not None:
+                states[kt] = st_new
+            outs.append(out)
+        state.update((pickle.dumps(states),))
+        yield (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame(columns=out_names)
+        )
+
+    u2 = u.withColumn(
+        "__kb__",
+        F.pmod(F.xxhash64(*[F.col(c) for c in on]), F.lit(int(key_buckets))),
+    )
+    return u2.groupBy("__kb__").applyInPandasWithState(
+        fn_bucketed, out_schema, "state binary", "update",
+        GroupStateTimeout.NoTimeout,
     )
 
 
@@ -295,6 +341,7 @@ def streaming_self_loop(
     out_col: str,
     semigroup="sum",
     order_by: Optional[Sequence[str]] = None,
+    key_buckets: Optional[int] = 64,
 ) -> DataFrame:
     """The streaming loop join (online StoreService semantics): each event's
     ``out_col`` is the running fold of PRIOR events' ``delta_col`` for its
@@ -319,11 +366,10 @@ def streaming_self_loop(
 
     exact_int = getattr(sg, "name", None) == "sum_long"
 
-    def fn(key, pdfs, state: GroupState):
+    def _loop_group(pdf: pd.DataFrame, st):
+        """One key's trigger slice: returns (out_pdf, new_state)."""
         import numpy as np
 
-        st = pickle.loads(bytes(state.get[0])) if state.exists else None
-        pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values([TIME_COL, *order_by], kind="stable").reset_index(drop=True)
         if exact_int:
             # invertible-integer fast path: the observed-before-merge
@@ -349,11 +395,44 @@ def streaming_self_loop(
                 if not pd.isna(v):
                     lv = sg.py_lift(v)
                     st = lv if st is None else sg.py_merge(st, lv)
-        state.update((pickle.dumps(st),))
         out = pdf[cols].copy()
         out[out_col] = seen
+        return out, st
+
+    def fn(key, pdfs, state: GroupState):
+        st = pickle.loads(bytes(state.get[0])) if state.exists else None
+        out, st = _loop_group(pd.concat(list(pdfs), ignore_index=True), st)
+        state.update((pickle.dumps(st),))
         yield out
 
-    return df.groupBy(*on).applyInPandasWithState(
-        fn, out_schema, "state binary", "update", GroupStateTimeout.NoTimeout
+    if key_buckets is None:
+        return df.groupBy(*on).applyInPandasWithState(
+            fn, out_schema, "state binary", "update", GroupStateTimeout.NoTimeout
+        )
+
+    def fn_bucketed(bucket, pdfs, state: GroupState):
+        # state: {key_tuple: running fold} for every key in this bucket
+        states: dict = pickle.loads(bytes(state.get[0])) if state.exists else {}
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        outs = []
+        for gk, grp in pdf.groupby(on, sort=False, dropna=False):
+            kt = gk if isinstance(gk, tuple) else (gk,)
+            kt = tuple(x.item() if hasattr(x, "item") else x for x in kt)
+            out, st_new = _loop_group(grp, states.get(kt))
+            states[kt] = st_new
+            outs.append(out)
+        state.update((pickle.dumps(states),))
+        yield (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame(columns=[*cols, out_col])
+        )
+
+    b2 = df.withColumn(
+        "__kb__",
+        F.pmod(F.xxhash64(*[F.col(c) for c in on]), F.lit(int(key_buckets))),
+    )
+    return b2.groupBy("__kb__").applyInPandasWithState(
+        fn_bucketed, out_schema, "state binary", "update",
+        GroupStateTimeout.NoTimeout,
     )

@@ -1669,3 +1669,54 @@ def test_summer_key_buckets_match_per_key_state(spark, stream_dir, tmp_path):
         assert len(outs["perkey"]) > 0
         # physical state collapsed to bucket granularity
         assert 0 < state_rows["bucketed"] <= 4 < state_rows["perkey"]
+
+
+def test_temporal_key_buckets_match_per_key_state(spark, temporal_dirs):
+    """Hash-bucketed state for the temporal kernels is physically
+    different (|keys|→buckets state rows) but logically identical: the
+    per-key kernel runs on each key's slice inside the bucket. Covers the
+    retraction-buffer case (windowed sum) — the subtlest per-key state —
+    plus latest-mode and the self-loop fold."""
+    from summingbird_spark.streaming.temporal import (
+        streaming_as_of_join,
+        streaming_self_loop,
+    )
+    from summingbird_spark.core.graph import TIME_COL
+
+    def run(builder, name):
+        q = (builder.writeStream.format("memory").queryName(name)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()),
+                      key=repr)
+
+    def asof(buckets, tag, **kw):
+        l = stream_source(temporal_dirs["left"], L_SCHEMA, time_col="ts",
+                          max_files_per_trigger=1)
+        r = stream_source(temporal_dirs["right"], R_SCHEMA,
+                          max_files_per_trigger=1)
+        pl = StreamPlanner(spark)
+        ldf, rdf = pl.compile(l), pl.compile(r)
+        out = streaming_as_of_join(ldf, rdf, "key", "ts", "rts",
+                                   key_buckets=buckets, **kw)
+        return run(out, f"tkb_{tag}")
+
+    for kw in [dict(mode="latest"),
+               dict(mode="sum", semigroup="sum"),
+               dict(mode="sum", semigroup="sum", max_age_seconds=90.0)]:
+        tag = f"{kw['mode']}_{kw.get('max_age_seconds', 0)}".replace(".", "_")
+        per_key = asof(None, f"pk_{tag}", **kw)
+        bucketed = asof(3, f"bk_{tag}", **kw)
+        assert per_key == bucketed and len(per_key) > 0, kw
+
+    # self-loop: running fold observed-before-merge, per key
+    def loop(buckets, tag):
+        l = stream_source(temporal_dirs["left"], L_SCHEMA, time_col="ts",
+                          max_files_per_trigger=1)
+        ldf = StreamPlanner(spark).compile(l).withColumn(
+            "d", (F.col("probe_id") % 7).cast("long"))
+        out = streaming_self_loop(ldf, "key", "d", "running",
+                                  semigroup="sum_long", key_buckets=buckets)
+        return run(out.drop(TIME_COL), f"lkb_{tag}")
+
+    assert loop(None, "pk") == loop(3, "bk") != []
