@@ -4794,6 +4794,170 @@ def q_stream_quantile_by_key(spark: SparkSession, sf: str) -> DataFrame:
     return _grade_quantile_sandwich(ev, sk, sg)
 
 
+def _period_dedup_src(spark: SparkSession, sf: str):
+    """Staging for the graded streaming-dedup row: ONE row per
+    (user_id, event_type, 10-day epoch period) — ``ts`` = the period's
+    ms-truncated min event time — written as one file per period with
+    mtimes in period order (one micro-batch per period under
+    maxFilesPerTrigger=1). One-row-per-key-per-batch is what makes
+    ``dropDuplicatesWithinWatermark`` DETERMINISTIC here: within a batch
+    Spark keeps the first *arrival*, which is partition-order
+    nondeterministic — with a single candidate per key per batch there
+    is nothing arrival-order can choose. Content-fingerprint cached like
+    `_chunked_events_src`."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from .sources.tables import corpus_fingerprint
+
+    fp = corpus_fingerprint(os.path.join(sf, "events.parquet"))[:12]
+    src_dir = os.path.join(tempfile.gettempdir(), f"sbspark-dedup-src1-{fp}")
+    if not os.path.exists(os.path.join(src_dir, "_SUCCESS")):
+        stage = tempfile.mkdtemp(prefix="sbspark-dedup-stage-")
+        ev = load_table(spark, sf, "events")
+        base = (
+            ev.select(
+                "user_id",
+                "event_type",
+                F.floor(F.unix_millis("ts") / F.lit(864000000.0))
+                .cast("long")
+                .alias("p"),
+                F.unix_millis("ts").alias("tms"),
+            )
+            .groupBy("user_id", "event_type", "p")
+            .agg(F.min("tms").alias("tms"))
+        )
+        p3 = [r.p for r in base.select("p").distinct().orderBy("p").limit(3).collect()]
+        base = base.where(F.col("p").isin(p3)).select(
+            "user_id", "event_type", "p",
+            F.timestamp_millis(F.col("tms")).alias("ts"),
+        )
+        out = os.path.join(stage, "src")
+        os.makedirs(out)
+        t0 = _time.time() - 1000
+        for i, p in enumerate(sorted(p3)):
+            tmp = os.path.join(stage, f"w{i}")
+            base.where(F.col("p") == p).drop("p").coalesce(1).write.parquet(tmp)
+            dst = os.path.join(out, f"chunk{i}.parquet")
+            shutil.move(glob.glob(tmp + "/*.parquet")[0], dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, times=(t0 + 10.0 * i, t0 + 10.0 * i))
+        with open(os.path.join(out, "_SUCCESS"), "w"):
+            pass
+        # crash-atomic publish (same discipline as _chunked_events_src)
+        try:
+            os.rename(out, src_dir)
+        except OSError:
+            if not os.path.exists(os.path.join(src_dir, "_SUCCESS")):
+                raise
+        shutil.rmtree(stage, ignore_errors=True)
+    return src_dir
+
+
+@query(
+    "stream_dedup",
+    # DuckDB replay of dropDuplicatesWithinWatermark over the 3-period
+    # staged stream, using the ENGINE-PROBED semantics (pinned by
+    # differential probes this round, tests/test_streaming_parity.py):
+    #   * state expiry = first EMITTED event's ts + D; a dropped
+    #     duplicate does NOT extend it (no-extension),
+    #   * eviction visible to batch r happened at commits <= r-1, whose
+    #     watermark is maxts(batches <= r-2) - D — so batch 1 sees NO
+    #     eviction (emit iff key unseen) and batch 2 sees eviction by
+    #     m0 - D (m0 = period-0 max ts),
+    #   * one row per key per batch (staging) => arrival order never
+    #     chooses an emission.
+    # D = 2 days (172800000 ms): chosen so batch 2 both drops and emits
+    # (a key re-emits iff its last emission is older than m0 - 2D).
+    """
+    WITH src AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch_ms(ts)/864000000.0) AS BIGINT) AS p,
+             min(CAST(floor(epoch_ms(ts)) AS BIGINT)) AS tms
+      FROM events GROUP BY 1,2,3
+    ), p3 AS (SELECT p FROM (SELECT DISTINCT p FROM src) ORDER BY p LIMIT 3),
+    pr AS (SELECT p, row_number() OVER (ORDER BY p) - 1 AS r FROM p3),
+    b AS (SELECT user_id, event_type, r, tms FROM src JOIN pr USING(p)),
+    wm AS (SELECT max(CASE WHEN r=0 THEN tms END) AS m0 FROM b),
+    k AS (SELECT user_id, event_type,
+                 max(CASE WHEN r=0 THEN tms END) AS t0,
+                 max(CASE WHEN r=1 THEN tms END) AS t1,
+                 max(CASE WHEN r=2 THEN tms END) AS t2
+          FROM b GROUP BY 1,2),
+    e AS (SELECT k.*, wm.m0,
+            (t1 IS NOT NULL AND t0 IS NULL) AS e1
+          FROM k, wm),
+    f AS (SELECT *,
+            (t2 IS NOT NULL AND (
+               (t0 IS NULL AND NOT e1)
+               OR (CASE WHEN e1 THEN t1 ELSE t0 END) + 172800000
+                  < m0 - 172800000
+            )) AS e2
+          FROM e)
+    SELECT user_id, event_type, t0 AS emit_ms FROM f WHERE t0 IS NOT NULL
+    UNION ALL
+    SELECT user_id, event_type, t1 FROM f WHERE e1
+    UNION ALL
+    SELECT user_id, event_type, t2 FROM f WHERE e2
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming dedup under the external gate (r11 — the last streaming
+    operator the gate had never hash-checked): horizon-bounded exact
+    dedup via ``dedup_stream(watermark='2 days')``
+    (streaming/dedup.py:28 → Spark's dropDuplicatesWithinWatermark), the
+    online half of the reference's dedup story (batch exact dedup
+    reconciles beyond the horizon — the same lambda split as everything
+    else). The oracle replays the engine's probed semantics exactly (see
+    the SQL comment); state EVICTION is live in the graded run — batch 2
+    re-emits precisely the keys whose last emission fell out of the
+    horizon — so a wrong watermark, a lost eviction, or a
+    duplicate-extended expiry each flip rows."""
+    import tempfile
+
+    from .streaming.dedup import dedup_stream
+
+    src_dir = _period_dedup_src(spark, sf)
+    work = tempfile.mkdtemp(prefix="sbspark-stream-dd-")
+
+    stream = (
+        spark.readStream
+        .schema("user_id bigint, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = dedup_stream(
+        stream, key_cols=["user_id", "event_type"],
+        time_col="ts", watermark="2 days",
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("append").parquet(f"{work}/out")
+            )
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming dedup did not finish within 300s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    _publish_stream_metrics("stream_dedup", q)
+    return (
+        spark.read.schema("user_id bigint, event_type string, ts timestamp")
+        .parquet(f"{work}/out")
+        .select("user_id", "event_type", F.unix_millis("ts").alias("emit_ms"))
+    )
+
+
 @query(
     "stream_asof_running",
     """
@@ -5521,9 +5685,12 @@ _GRADE_ORDER = [
     # lifted-carrier summer and the TRUE watermarked stream-stream join;
     # r10: the streaming LOOP join — the last operator family the gate
     # had never hash-checked — and the quantile-sketch carrier built BY
-    # the streaming summer+store lifecycle)
+    # the streaming summer+store lifecycle; r11: streaming DEDUP with
+    # LIVE horizon eviction, the one remaining ungated streaming
+    # operator — the oracle replays engine semantics pinned by
+    # differential probes)
     "stream_sum_by_key", "buffer_join_clicks",
-    "stream_moments_by_key", "stream_buffer_join",
+    "stream_dedup", "stream_buffer_join",
     "stream_loop_join", "stream_quantile_by_key",
     # analytics
     "tpch_q1_pricing",
@@ -5557,6 +5724,12 @@ _GRADE_ORDER = [
     # stream_quantile_by_key; stream_asof_running / stream_asof_windowed
     # are NEW r10 rows born below-window (in-repo hash-graded, window
     # budget exhausted by the loop-join family's entry)
+    # r11 swap: stream_moments_by_key rotates below for stream_dedup —
+    # the summer family keeps TWO in-window rows (stream_sum_by_key
+    # identity-lift + stream_quantile_by_key lifted carrier, the stronger
+    # falsifiable contract of the two carrier rows); moments stays
+    # in-repo hash-graded and implementation-unchanged since r7
+    "stream_moments_by_key",
     "map_values", "loop_join_compound", "stream_asof_running",
     "stream_asof_windowed",
     "decayed_sum", "dedup_embedding_cosine",

@@ -1720,3 +1720,72 @@ def test_temporal_key_buckets_match_per_key_state(spark, temporal_dirs):
         return run(out.drop(TIME_COL), f"lkb_{tag}")
 
     assert loop(None, "pk") == loop(3, "bk") != []
+
+
+def test_drop_duplicates_within_watermark_pinned_semantics(spark, tmp_path):
+    """Pins the TWO engine behaviors the graded `stream_dedup` oracle
+    replays (probed differentially this round); if a Spark upgrade
+    changes either, this fails before the gate does and says why:
+
+    1. NO-EXTENSION: a dropped duplicate does not refresh state expiry —
+       expiry stays first-emitted-ts + delay.
+    2. LAGGED EVICTION: the eviction visible to batch r happened at
+       commits <= r-1 with watermark maxts(batches <= r-2) - delay, so a
+       state entry expired by the CURRENT batch's watermark still
+       suppresses duplicates for one more batch."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    day = 86400.0
+
+    def run(batches, name):
+        src = str(tmp_path / name)
+        os.makedirs(src)
+        base = _time.time() - 1000
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(
+                [(k, float(t)) for k, t in rows], "key string, tsec double"
+            ).select("key", F.timestamp_seconds(F.col("tsec")).alias("ts"))
+            tmp = src + f".w{i}"
+            df.coalesce(1).write.parquet(tmp)
+            dst = os.path.join(src, f"chunk{i}.parquet")
+            shutil.move(glob.glob(tmp + "/*.parquet")[0], dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, times=(base + 10 * i, base + 10 * i))
+        stream = (
+            spark.readStream.schema("key string, ts timestamp")
+            .option("maxFilesPerTrigger", "1").parquet(src)
+            .withWatermark("ts", "2 days")
+            .dropDuplicatesWithinWatermark(["key"])
+        )
+        q = (stream.writeStream.format("memory").queryName(f"pin_{name}")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return sorted(
+            r.ts.timestamp() / day
+            for r in spark.sql(f"SELECT * FROM pin_{name}").collect()
+            if r.key == "A"
+        )
+
+    # (2) lagged eviction: A@1d (exp 3d); b1 is Z-only so watermark during
+    # b2 is 3.5d > 3d — yet A@4d is still suppressed, because the eviction
+    # applied before b2 used only maxts(b0) - 2d = 1d
+    assert run(
+        [[("A", 1 * day), ("Z", 3 * day)], [("Z", 5.5 * day)], [("A", 4 * day)]],
+        "lagged",
+    ) == [1.0]
+
+    # (1) no-extension: A@2.5d is dropped as a duplicate in b1; if it
+    # extended expiry to 4.5d, the b2-commit eviction (wm 4d) would keep
+    # the entry and suppress A@6.5d — instead A re-emits
+    assert run(
+        [
+            [("A", 1 * day), ("Z", 3 * day)],
+            [("A", 2.5 * day), ("Z", 6 * day)],
+            [("Z", 8 * day)],
+            [("A", 6.5 * day)],
+        ],
+        "noext",
+    ) == [1.0, 6.5]
