@@ -32,6 +32,22 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..core import semigroup as sg_mod
 from ..core.graph import TIME_COL
 
+
+def norm_key_tuple(kt) -> tuple:
+    """Normalize a pandas group key into a stable dict key: numpy scalars
+    → python, and NaN (pandas' representation of a NULL group key under
+    ``dropna=False``) → None. NaN must not reach a state dict key — two
+    NaN objects are distinct dict keys (NaN != NaN), so a null key's
+    state would silently never match across triggers."""
+    out = []
+    for x in kt:
+        if hasattr(x, "item"):
+            x = x.item()
+        if x is None or (isinstance(x, float) and x != x):
+            x = None
+        out.append(x)
+    return tuple(out)
+
 def _delta_type(sg, value_spark_type: str) -> str:
     """prev/delta output type = the semigroup's CARRIER type (declared by
     the semigroup itself since r6 — count→bigint, set/top→array, avg/
@@ -109,16 +125,23 @@ def stateful_summer(
         totals: dict = pickle.loads(bytes(state.get[0])) if state.exists else {}
         fresh: dict = {}
         for pdf in pdfs:
+            # per-key mode's pdf.groupby("batch_id") silently drops
+            # null-batch rows (dropna default) — match it explicitly,
+            # then keep NULL KEYS (dropna=False), which Spark's own
+            # groupBy(*keys) keeps in per-key mode
+            pdf = pdf[pdf["batch_id"].notna()]
             if not commutative:
                 pdf = pdf.sort_values(TIME_COL, kind="stable")
-            # stable sort + sort=True groupby: rows within each
-            # (key, batch) group keep time order, exactly as per-key mode
-            for gk, grp in pdf.groupby([*key_names, "batch_id"], sort=True):
+            # stable sort + groupby: rows within each (key, batch) group
+            # keep time order, exactly as per-key mode. sort=False: group
+            # emission order is fixed below by sorted(fresh) — and a
+            # mixed None/str key column must not go through a group-key
+            # sort (TypeError territory)
+            for gk, grp in pdf.groupby(
+                [*key_names, "batch_id"], sort=False, dropna=False
+            ):
                 *kt, b = gk if isinstance(gk, tuple) else (gk,)
-                cell = (
-                    tuple(x.item() if hasattr(x, "item") else x for x in kt),
-                    int(b),
-                )
+                cell = (norm_key_tuple(kt), int(b))
                 d = sg.py_agg(list(grp[value_alias]))
                 fresh[cell] = sg.py_merge(fresh[cell], d) if cell in fresh else d
         rows = []

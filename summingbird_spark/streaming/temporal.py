@@ -38,6 +38,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..core import semigroup as sg_mod
 from ..core.graph import TIME_COL
+from .stateful import norm_key_tuple
 
 
 def streaming_as_of_join(
@@ -127,8 +128,7 @@ def streaming_as_of_join(
         pdf = pd.concat(list(pdfs), ignore_index=True)
         outs = []
         for gk, grp in pdf.groupby(on, sort=False, dropna=False):
-            kt = gk if isinstance(gk, tuple) else (gk,)
-            kt = tuple(x.item() if hasattr(x, "item") else x for x in kt)
+            kt = norm_key_tuple(gk if isinstance(gk, tuple) else (gk,))
             out, st_new = _asof_group(
                 grp, states.get(kt), left_cols, value_cols, is_latest, sg,
                 max_age_seconds,
@@ -416,8 +416,7 @@ def streaming_self_loop(
         pdf = pd.concat(list(pdfs), ignore_index=True)
         outs = []
         for gk, grp in pdf.groupby(on, sort=False, dropna=False):
-            kt = gk if isinstance(gk, tuple) else (gk,)
-            kt = tuple(x.item() if hasattr(x, "item") else x for x in kt)
+            kt = norm_key_tuple(gk if isinstance(gk, tuple) else (gk,))
             out, st_new = _loop_group(grp, states.get(kt))
             states[kt] = st_new
             outs.append(out)

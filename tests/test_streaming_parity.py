@@ -1789,3 +1789,76 @@ def test_drop_duplicates_within_watermark_pinned_semantics(spark, tmp_path):
         ],
         "noext",
     ) == [1.0, 6.5]
+
+
+def test_bucketed_state_keeps_null_keys(spark, tmp_path):
+    """Null group keys must survive bucketing: pandas groupby silently
+    DROPS NaN keys by default, and a NaN dict key never equals itself
+    across pickled triggers — either bug makes null-keyed rows vanish or
+    their state reset every trigger (round-11 self-review find). The
+    per-key path (Spark groupBy) keeps null keys, so bucketed must too."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from summingbird_spark.core import semigroup as sg_mod
+    from summingbird_spark.core.graph import TIME_COL
+    from summingbird_spark.streaming.stateful import stateful_summer
+    from summingbird_spark.streaming.temporal import streaming_self_loop
+
+    src = str(tmp_path / "nk")
+    os.makedirs(src)
+    base_t = _time.time() - 1000
+    chunks = [
+        [(None, 1000.0, 5), ("a", 1001.0, 1)],
+        [(None, 2000.0, 7), ("a", 2001.0, 2)],
+    ]
+    for i, rows in enumerate(chunks):
+        df = spark.createDataFrame(
+            [(k, float(t), v) for k, t, v in rows],
+            "key string, tsec double, value long",
+        ).select("key", F.timestamp_seconds(F.col("tsec")).alias("ts"), "value")
+        tmp = src + f".w{i}"
+        df.coalesce(1).write.parquet(tmp)
+        dst = os.path.join(src, f"chunk{i}.parquet")
+        shutil.move(glob.glob(tmp + "/*.parquet")[0], dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, times=(base_t + 10 * i, base_t + 10 * i))
+
+    def read():
+        return (spark.readStream
+                .schema("key string, ts timestamp, value long")
+                .option("maxFilesPerTrigger", "1").parquet(src)
+                .withColumn(TIME_COL, F.col("ts")))
+
+    # summer: the null key's trigger-2 prev must be trigger-1's delta
+    base = read().select(
+        "key", F.lit(100).cast("bigint").alias("batch_id"),
+        F.col(TIME_COL), F.col("value"))
+    out = stateful_summer(base, ["key"], "value", sg_mod.get("sum_long"),
+                          key_buckets=2)
+    q = (out.writeStream.format("memory").queryName("nk_sum")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    null_rows = sorted(
+        ((r.prev, r.delta)
+         for r in spark.sql("SELECT * FROM nk_sum").collect()
+         if r.key is None),
+        key=lambda t: t[1],
+    )
+    assert null_rows == [(None, 5), (5, 7)]
+
+    # self-loop: the null key's running fold carries across triggers
+    out2 = streaming_self_loop(read(), "key", "value", "seen",
+                               semigroup="sum_long", key_buckets=2)
+    q2 = (out2.drop(TIME_COL).writeStream.format("memory").queryName("nk_loop")
+          .outputMode("update").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    null_seen = sorted(
+        ((r.value, r.seen)
+         for r in spark.sql("SELECT * FROM nk_loop").collect()
+         if r.key is None),
+        key=lambda t: t[0],
+    )
+    assert null_seen == [(5, None), (7, 5)]
