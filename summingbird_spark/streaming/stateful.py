@@ -76,9 +76,15 @@ def stateful_summer(
     framework tax. Bucketed, each call amortizes over |keys|/buckets
     logical keys and the tax is O(buckets). Results are identical
     (per-key totals live inside the bucket's state dict; time-order
-    within a key is preserved by the stable sort). Size ``buckets`` ≈
-    4-8× the state partition count: enough granularity to balance
-    partitions, small enough to amortize the per-group cost."""
+    within a key is preserved by the stable sort).
+
+    Sizing: a touched bucket re-serializes its WHOLE key dict each
+    trigger, so write amplification ≈ keys-per-bucket ÷ keys touched —
+    the tradeoff against the per-group tax. Target ~10²-10³ logical keys
+    per bucket (buckets ≈ |keys|/500), floored at a few groups per state
+    partition; the default 64 fits 10³-10⁵-key streams. Hot-key caveat:
+    one bucket's group is one task either way (same bound per-key mode
+    has)."""
     sg = sg_mod.get(sg)
     key_types = [(f.name, f.dataType.simpleString()) for f in base.schema.fields if f.name in keys]
     vt = base.schema[value_alias].dataType.simpleString()

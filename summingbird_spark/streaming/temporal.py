@@ -63,7 +63,9 @@ def streaming_as_of_join(
     logical keys per trigger, the reference's hash(k)%shards grouping
     (FinalFlatMap.scala:49-52). The per-key kernel runs unchanged on each
     key's slice inside the bucket, so results are identical; ``None``
-    restores one state row per join key.
+    restores one state row per join key. Sizing tradeoff (see
+    ``stateful.stateful_summer``): a touched bucket rewrites its whole
+    key dict per trigger — target ~10²-10³ keys per bucket.
     """
     on = [on] if isinstance(on, str) else list(on)
     if TIME_COL in right.columns and right_time != TIME_COL:
