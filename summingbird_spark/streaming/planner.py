@@ -284,9 +284,11 @@ class StreamPlanner(BatchPlanner):
             F.col(TIME_COL),
             node.value.alias(va),
         )
-        return stateful_summer(
-            base, node.keys, va, sg, key_buckets=self.summer_key_buckets
-        )
+        # per-name override first (the reference's SummerParallelism
+        # option class, scoped by .name() markers — Options.getFirst),
+        # then the planner-wide default
+        kb = self._opt("summer_key_buckets", self.summer_key_buckets)
+        return stateful_summer(base, node.keys, va, sg, key_buckets=kb)
 
 
 class CumulativeCounters:

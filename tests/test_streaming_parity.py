@@ -1862,3 +1862,34 @@ def test_bucketed_state_keeps_null_keys(spark, tmp_path):
         key=lambda t: t[0],
     )
     assert null_seen == [(5, None), (7, 5)]
+
+
+def test_summer_key_buckets_per_name_option(spark, stream_dir, tmp_path):
+    """`summer_key_buckets` resolves through the per-name Options system
+    (the reference's SummerParallelism scoped by .name() markers,
+    Options.scala:27-60): a named summer pinned to per-key state keeps
+    |keys| state rows while the planner default stays bucketed."""
+    from summingbird_spark.core.options import Options
+
+    def state_rows(options):
+        src = stream_source(stream_dir, SCHEMA, time_col="ts",
+                            max_files_per_trigger=1)
+        p = _pipeline(src).name("summer_leg")
+        plan = StreamPlanner(spark, options=options).plan(p)
+        name = f"kbopt_{id(options)}"
+        q = (plan.dataframe.writeStream.format("memory").queryName(name)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        n_out = spark.sql(f"SELECT count(*) c FROM {name}").collect()[0].c
+        assert n_out > 0
+        return max(
+            (op.get("numRowsTotal", 0)
+             for pr in q.recentProgress
+             for op in pr.get("stateOperators", [])),
+            default=0,
+        )
+
+    per_key = state_rows(Options().set("summer_leg", summer_key_buckets=None))
+    bucketed = state_rows(Options().set("summer_leg", summer_key_buckets=2))
+    assert per_key == 5  # one state row per key (the fixture's keyset)
+    assert 0 < bucketed <= 2  # collapsed to the named node's bucket count
