@@ -4794,6 +4794,114 @@ def q_stream_quantile_by_key(spark: SparkSession, sf: str) -> DataFrame:
     return _grade_quantile_sandwich(ev, sk, sg)
 
 
+@query(
+    "stream_session_window",
+    # DuckDB sessionization replay: Spark's session_window chains events
+    # while the next event is WITHIN OR AT the gap from the previous
+    # (probed: two events exactly gap-apart form ONE session), so a new
+    # session starts when the gap is STRICTLY exceeded; session end =
+    # last event + gap. Both engines sessionize ms-truncated times (the
+    # Spark side truncates before the window) so a µs-vs-ms boundary
+    # tie can never diverge.
+    """
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS tms,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ), s AS (
+      SELECT *, CASE WHEN tms - lag(tms) OVER
+                       (PARTITION BY user_id ORDER BY tms) > 86400000
+                     THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ), g AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tms
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM s
+    )
+    SELECT user_id,
+           min(tms) AS s_start_ms,
+           max(tms) + 86400000 AS s_end_ms,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def q_stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming SESSIONIZATION (r11, beyond the reference's §2.5
+    conveniences — the batch `session_window` row's online twin):
+    Spark's native stateful session aggregation
+    (``groupBy(session_window(ts, gap))``, append mode) over the
+    time-ordered chunk replay — sessions merge ACROSS micro-batches in
+    the state store and emit once the watermark passes their end. The
+    tail flushes via the same pre-staged far-future sentinel batch the
+    graded buffer join uses (`_buffer_join_staged_src`): availableNow
+    never closes the last open sessions on its own; the sentinel
+    advances max event time and the trailing no-data batch applies the
+    recomputed watermark. Sentinel rows pass the watermark node (they
+    must advance it) and are filtered before the aggregation; their own
+    session never closes, so it stays in state and never emits. State
+    per key is O(open sessions), horizon-bounded — the 100 TB shape."""
+    import tempfile
+
+    src_dir, schema, _meta = _buffer_join_staged_src(spark, sf)
+    work = tempfile.mkdtemp(prefix="sbspark-stream-sw-")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        # ms-truncate BEFORE the watermark/window so both engines
+        # sessionize identical timestamps
+        .withColumn("ts", F.timestamp_millis(F.unix_millis("ts")))
+        .withWatermark("ts", "1 hour")
+        # NO pre-agg sentinel filter: Catalyst pushes a user_id predicate
+        # BELOW the watermark node, so the sentinels would never advance
+        # it (the exact trap the buffer join documents — it too filters
+        # sentinels on OUTPUT). The sentinel session itself never closes
+        # (the watermark stops 1h short of it), so it stays in state and
+        # never emits; the output read filters defensively anyway.
+    )
+    agg = stream.groupBy(
+        F.session_window("ts", "1 day"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.select(
+                    "user_id",
+                    F.unix_millis("session_window.start").alias("s_start_ms"),
+                    F.unix_millis("session_window.end").alias("s_end_ms"),
+                    "n_events",
+                    "cents",
+                ).write.mode("append").parquet(f"{work}/out")
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming session window did not finish within 300s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    _publish_stream_metrics("stream_session_window", q)
+    return (
+        spark.read.schema(
+            "user_id long, s_start_ms long, s_end_ms long, n_events long, cents long"
+        )
+        .parquet(f"{work}/out")
+        .where(F.col("user_id") >= 0)  # drop sentinel sessions if ever emitted
+    )
+
+
 def _period_dedup_src(spark: SparkSession, sf: str):
     """Staging for the graded streaming-dedup row: ONE row per
     (user_id, event_type, 10-day epoch period) — ``ts`` = the period's
@@ -5732,6 +5840,9 @@ _GRADE_ORDER = [
     "stream_moments_by_key",
     "map_values", "loop_join_compound", "stream_asof_running",
     "stream_asof_windowed",
+    # r11 below-window addition: native stateful sessionization over the
+    # sentinel-flushed ordered replay (batch session_window's online twin)
+    "stream_session_window",
     "decayed_sum", "dedup_embedding_cosine",
     "asof_running_total", "star_join_regions", "loop_join_dsl",
     "avg_semigroup", "distinct_users", "topk_per_group", "rollup_agg",
