@@ -1893,3 +1893,61 @@ def test_summer_key_buckets_per_name_option(spark, stream_dir, tmp_path):
     bucketed = state_rows(Options().set("summer_leg", summer_key_buckets=2))
     assert per_key == 5  # one state row per key (the fixture's keyset)
     assert 0 < bucketed <= 2  # collapsed to the named node's bucket count
+
+
+def test_stream_dedup_restart_recovers_seen_keys(spark, tmp_path):
+    """Stop/restart recovery for streaming dedup: the seen-keys state
+    must survive a checkpoint restart — a duplicate arriving only AFTER
+    the restart is suppressed by state written BEFORE it, and a fresh
+    key still emits. Completes the recovery matrix (summer crash-replay,
+    buffer-join restart, Python-temporal restart, now dedup)."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from summingbird_spark.streaming.dedup import dedup_stream
+
+    day = 86400.0
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _time.time()
+
+    def write_chunk(name, rows, mtime):
+        tmp = tmp_path / f"__{name}"
+        spark.createDataFrame(
+            [(k, float(t)) for k, t in rows], "key string, tsec double"
+        ).select("key", F.timestamp_seconds(F.col("tsec")).alias("ts")) \
+         .coalesce(1).write.parquet(str(tmp))
+        [f] = glob.glob(str(tmp / "*.parquet"))
+        dst = str(src / f"{name}.parquet")
+        shutil.move(f, dst)
+        shutil.rmtree(str(tmp))
+        os.utime(dst, (mtime, mtime))
+
+    def run():
+        stream = (spark.readStream.schema("key string, ts timestamp")
+                  .option("maxFilesPerTrigger", "1").parquet(str(src)))
+        out = dedup_stream(stream, key_cols=["key"], time_col="ts",
+                           watermark="2 days")
+        q = (out.writeStream.foreachBatch(
+                lambda bdf, _b: bdf.write.mode("append")
+                .parquet(str(tmp_path / "out")))
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    write_chunk("c0", [("x", 1 * day), ("z", 2 * day)], now - 400)
+    run()  # first incarnation emits x, z and commits their state
+
+    # duplicate of x (within horizon) + fresh y arrive only after restart
+    write_chunk("c1", [("x", 1.5 * day), ("y", 2.5 * day)], now - 300)
+    run()  # second incarnation resumes from the checkpoint
+
+    got = sorted(
+        (r.key, r.ts.timestamp() / day)
+        for r in spark.read.schema("key string, ts timestamp")
+        .parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == [("x", 1.0), ("y", 2.5), ("z", 2.0)]  # x@1.5d suppressed
