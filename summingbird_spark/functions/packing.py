@@ -249,14 +249,17 @@ def write_shards(
         # FIXED second modulus, never a positional limit(), which would
         # take sampled rows from the earliest partitions scanned and
         # re-bias exactly the size-skewed corpora the cap targets).
-        # Cost model (ADVICE r10): the stratum scan hashes every row —
-        # unavoidable for an unbiased sample without a count pass — but
-        # SERIALIZATION is bounded: a second independent hash ranks the
-        # stratum and TakeOrderedAndProject keeps the smallest 65 536
-        # (per-partition bounded heap, never a global sort), so to_json
-        # runs on ≤ 64k rows no matter the corpus size, and the sample
-        # stays positionally unbiased (selection is by hash rank, not by
-        # which partitions scan first). No df.count() sizing pass: an
+        # Cost model (ADVICE r10): the stratum scan hashes every row and
+        # to_json sizes every STRATUM row (~1% of the serialization the
+        # write below does over EVERY row) — the unavoidable floor for
+        # an unbiased size estimate without a count pass. The aggregated
+        # sample is then BOUNDED: a second independent hash ranks the
+        # (hash, id, size) triples and TakeOrderedAndProject keeps the
+        # smallest 65 536 — per-partition bounded heap over NARROW rows
+        # only (never the documents themselves — a full-row heap would
+        # hold 64k × row-width per partition), never a global sort, and
+        # no positional bias (selection is by hash rank, not by which
+        # partitions scan first). No df.count() sizing pass: an
         # exact-count-derived thinning modulus would charge a second
         # full pass over the caller's upstream plan (review r10), and
         # ADVICE r8's complaint (the fallback re-serializing 100% of
@@ -271,17 +274,19 @@ def write_shards(
         stratum = F.pmod(_h(0), F.lit(97)) == 7
 
         def _p90_of(rows):
-            return rows.select(
-                F.percentile_approx(
-                    F.octet_length(F.to_json(F.struct("*"))), 0.9
-                ).alias("b")
-            ).collect()[0]["b"]
+            sized = rows.select(
+                _h(1).alias("__r__"),
+                F.col(id_col).alias("__tie__"),
+                F.octet_length(F.to_json(F.struct("*"))).alias("__b__"),
+            )
+            return (
+                sized.orderBy("__r__", "__tie__")
+                .limit(65536)
+                .select(F.percentile_approx("__b__", 0.9).alias("b"))
+                .collect()[0]["b"]
+            )
 
-        sample = _p90_of(
-            packed.filter(stratum)
-            .orderBy(_h(1), F.col(id_col))  # rank-ties broken by id
-            .limit(65536)
-        )
+        sample = _p90_of(packed.filter(stratum))
         if sample is None:
             # degenerate low-entropy (id, weight): the hash cells are
             # all-or-nothing — fall back positionally but BOUNDED (the
