@@ -85,6 +85,8 @@ def stateful_summer(
     partition; the default 64 fits 10³-10⁵-key streams. Hot-key caveat:
     one bucket's group is one task either way (same bound per-key mode
     has)."""
+    if key_buckets is not None and int(key_buckets) <= 0:
+        raise ValueError(f"key_buckets must be positive or None; got {key_buckets!r}")
     sg = sg_mod.get(sg)
     key_types = [(f.name, f.dataType.simpleString()) for f in base.schema.fields if f.name in keys]
     vt = base.schema[value_alias].dataType.simpleString()

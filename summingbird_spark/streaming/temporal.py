@@ -68,6 +68,8 @@ def streaming_as_of_join(
     key dict per trigger — target ~10²-10³ keys per bucket.
     """
     on = [on] if isinstance(on, str) else list(on)
+    if key_buckets is not None and int(key_buckets) <= 0:
+        raise ValueError(f"key_buckets must be positive or None; got {key_buckets!r}")
     if TIME_COL in right.columns and right_time != TIME_COL:
         right = right.drop(TIME_COL)
     if value_cols is None:
@@ -357,6 +359,8 @@ def streaming_self_loop(
     client merge as the reference does, ClientStore.scala:123-174).
     """
     on = [on] if isinstance(on, str) else list(on)
+    if key_buckets is not None and int(key_buckets) <= 0:
+        raise ValueError(f"key_buckets must be positive or None; got {key_buckets!r}")
     order_by = list(order_by) if order_by else []
     sg = sg_mod.get(semigroup)
     out_type = sg.carrier_type(df.schema[delta_col].dataType.simpleString())
