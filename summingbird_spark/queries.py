@@ -4902,6 +4902,79 @@ def q_stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_tumbling_window",
+    # epoch-aligned 1-day tumbling windows (Spark's F.window default
+    # alignment); both engines aggregate ms-truncated event times
+    """
+    SELECT event_type,
+           CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) * 86400000
+             AS w_start_ms,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Native watermarked TUMBLING-window streaming aggregation (r11 —
+    the batch `tumbling_window` row's online twin, and the third member
+    of the native stateful-agg family alongside `stream_session_window`
+    and the dedup row): ``groupBy(window(ts, '1 day'), event_type)`` in
+    append mode over the sentinel-flushed time-ordered replay. Windows
+    accumulate across micro-batches in the state store and emit once the
+    watermark passes their end; the far-future sentinel batch plus the
+    trailing no-data batch flush the tail. The sentinels need no
+    filtering here: they fall in their own far-future window, which the
+    watermark never passes, so it stays in state and never emits."""
+    import tempfile
+
+    src_dir, schema, _meta = _buffer_join_staged_src(spark, sf)
+    work = tempfile.mkdtemp(prefix="sbspark-stream-tw-")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_millis(F.unix_millis("ts")))
+        .withWatermark("ts", "1 hour")
+    )
+    agg = stream.groupBy(
+        F.window("ts", "1 day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.select(
+                    "event_type",
+                    F.unix_millis("window.start").alias("w_start_ms"),
+                    "n_events",
+                    "cents",
+                ).write.mode("append").parquet(f"{work}/out")
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming tumbling window did not finish within 300s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    _publish_stream_metrics("stream_tumbling_window", q)
+    return spark.read.schema(
+        "event_type string, w_start_ms long, n_events long, cents long"
+    ).parquet(f"{work}/out")
+
+
 def _period_dedup_src(spark: SparkSession, sf: str):
     """Staging for the graded streaming-dedup row: ONE row per
     (user_id, event_type, 10-day epoch period) — ``ts`` = the period's
@@ -5840,9 +5913,10 @@ _GRADE_ORDER = [
     "stream_moments_by_key",
     "map_values", "loop_join_compound", "stream_asof_running",
     "stream_asof_windowed",
-    # r11 below-window addition: native stateful sessionization over the
-    # sentinel-flushed ordered replay (batch session_window's online twin)
-    "stream_session_window",
+    # r11 below-window additions: native stateful sessionization and the
+    # watermarked tumbling-window aggregation over the sentinel-flushed
+    # ordered replay (batch session_window / tumbling_window online twins)
+    "stream_session_window", "stream_tumbling_window",
     "decayed_sum", "dedup_embedding_cosine",
     "asof_running_total", "star_join_regions", "loop_join_dsl",
     "avg_semigroup", "distinct_users", "topk_per_group", "rollup_agg",
