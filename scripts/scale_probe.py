@@ -131,7 +131,7 @@ def stream_main(factors: list[int]) -> None:
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # codegen warmup
 
-    probes = ["stream_buffer_join", "stream_sum_by_key"]
+    probes = ["stream_buffer_join", "stream_sum_by_key", "stream_loop_join"]
     rows: list[tuple] = []
     for f in factors:
         sf_dir = ensure_events_replica(spark, f)

@@ -420,18 +420,94 @@ def streaming_self_loop(
         # state: {key_tuple: running fold} for every key in this bucket
         states: dict = pickle.loads(bytes(state.get[0])) if state.exists else {}
         pdf = pd.concat(list(pdfs), ignore_index=True)
-        outs = []
-        for gk, grp in pdf.groupby(on, sort=False, dropna=False):
-            kt = norm_key_tuple(gk if isinstance(gk, tuple) else (gk,))
-            out, st_new = _loop_group(grp, states.get(kt))
-            states[kt] = st_new
-            outs.append(out)
+        if not exact_int:
+            # general semigroups: per-key sequential fold by definition
+            outs = []
+            for gk, grp in pdf.groupby(on, sort=False, dropna=False):
+                kt = norm_key_tuple(gk if isinstance(gk, tuple) else (gk,))
+                out, st_new = _loop_group(grp, states.get(kt))
+                states[kt] = st_new
+                outs.append(out)
+            state.update((pickle.dumps(states),))
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame(columns=[*cols, out_col])
+            )
+            return
+
+        # sum_long fast path, vectorized ACROSS keys: the 10× scale probe
+        # showed per-key pandas slicing (sort + copy per key inside the
+        # bucket, ~1.5 ms each) dominating at high key counts — one
+        # global (keys, time) sort + group-sliced prefix sums does the
+        # whole bucket in a handful of numpy passes.
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            [*on, TIME_COL, *order_by], kind="stable"
+        ).reset_index(drop=True)
+        n = len(pdf)
+        if n == 0:
+            state.update((pickle.dumps(states),))
+            yield pd.DataFrame(columns=[*cols, out_col])
+            return
+        keys_df = pdf[on]
+        shifted = keys_df.shift()
+        # NaN-aware equality: NaN != NaN would split a run of NULL-keyed
+        # rows into per-row groups (they sort contiguously, so same-key ∨
+        # both-null marks the run correctly)
+        same = (keys_df == shifted) | (keys_df.isna() & shifted.isna())
+        change = (~same.all(axis=1)).to_numpy()
+        change[0] = True
+        gid = np.cumsum(change) - 1  # 0-based group id per row
+        starts = np.flatnonzero(change)
+
+        col = pdf[delta_col]
+        nn = col.notna().to_numpy()
+        vs = np.where(nn, col.fillna(0).to_numpy("int64"), 0)
+        cs = np.cumsum(vs)
+        nncs = np.cumsum(nn.astype("int64"))
+        # per-group offsets: cumulative totals just before each group
+        off = np.where(starts > 0, cs[starts - 1], 0)
+        nn_off = np.where(starts > 0, nncs[starts - 1], 0)
+        incl = cs - off[gid]  # inclusive within-group prefix sum
+        pre = incl - vs  # exclusive (observed-before-merge)
+        nn_in = (nncs - nn_off[gid]) - nn.astype("int64")  # PRIOR non-nulls
+
+        # per-GROUP state seed (loop over groups, not rows — bounded by
+        # keys-per-bucket); NaN keys normalized exactly as the slow path
+        kvals = keys_df.to_numpy(dtype=object)
+        bases = np.zeros(len(starts), dtype="int64")
+        had_state = np.zeros(len(starts), dtype=bool)
+        kts = []
+        for j, si in enumerate(starts):
+            kt = norm_key_tuple(tuple(kvals[si]))
+            kts.append(kt)
+            st = states.get(kt)
+            if st is not None:
+                bases[j] = int(st)
+                had_state[j] = True
+        live = (nn_in > 0) | had_state[gid]
+        vals = bases[gid] + pre
+        seen = np.empty(n, dtype=object)
+        seen[:] = None
+        lv = np.flatnonzero(live)
+        seen[lv] = [int(x) for x in vals[lv]]
+
+        # commit per-group new state: base + group total if the group has
+        # any non-null or had state; else stays None (key seen, no fold)
+        ends = np.concatenate([starts[1:] - 1, [n - 1]])
+        g_tot = cs[ends] - off
+        g_nn = nncs[ends] - nn_off
+        for j, kt in enumerate(kts):
+            if g_nn[j] > 0 or had_state[j]:
+                states[kt] = int(bases[j] + g_tot[j])
+            else:
+                states[kt] = None
         state.update((pickle.dumps(states),))
-        yield (
-            pd.concat(outs, ignore_index=True)
-            if outs
-            else pd.DataFrame(columns=[*cols, out_col])
-        )
+        out = pdf[cols].copy()
+        out[out_col] = seen
+        yield out
 
     b2 = df.withColumn(
         "__kb__",
