@@ -58,8 +58,14 @@ def _mount_fs_type(path: str, mounts_file: str = "/proc/mounts") -> Optional[str
                 parts = line.split()
                 if len(parts) < 3:
                     continue
-                # octal escapes (\040 for space) per proc(5)
-                mnt = parts[1].encode().decode("unicode_escape")
+                # octal escapes (\040 for space) per proc(5); a malformed
+                # escape (e.g. trailing backslash) raises UnicodeDecodeError
+                # — skip that mount line rather than abort the whole scan
+                # (ADVICE r11: this is a cosmetic warning, never a crash)
+                try:
+                    mnt = parts[1].encode().decode("unicode_escape")
+                except ValueError:
+                    continue
                 if real == mnt or real.startswith(mnt.rstrip("/") + "/"):
                     if len(mnt) > best_len:
                         best_len, fs_type = len(mnt), parts[2]

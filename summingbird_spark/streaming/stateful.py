@@ -84,7 +84,14 @@ def stateful_summer(
     per bucket (buckets ≈ |keys|/500), floored at a few groups per state
     partition; the default 64 fits 10³-10⁵-key streams. Hot-key caveat:
     one bucket's group is one task either way (same bound per-key mode
-    has)."""
+    has).
+
+    Checkpoint compatibility: bucketing changes the physical state
+    grouping key (key columns → ``__kb__`` bigint), so checkpoints are
+    NOT portable across ``key_buckets`` settings — Spark's state-schema
+    check fails loudly on restart. The planner default became 64 in r11;
+    resume a pre-r11 (per-key) checkpoint with
+    ``summer_key_buckets=None``."""
     if key_buckets is not None and int(key_buckets) <= 0:
         raise ValueError(f"key_buckets must be positive or None; got {key_buckets!r}")
     sg = sg_mod.get(sg)

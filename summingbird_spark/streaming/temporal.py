@@ -66,6 +66,12 @@ def streaming_as_of_join(
     restores one state row per join key. Sizing tradeoff (see
     ``stateful.stateful_summer``): a touched bucket rewrites its whole
     key dict per trigger — target ~10²-10³ keys per bucket.
+
+    Checkpoint compatibility: bucketing changes the PHYSICAL state
+    grouping key (join columns → ``__kb__`` bigint), so a checkpoint
+    written under one setting cannot be resumed under the other — Spark's
+    state-schema check fails loudly. The default became 64 in r11;
+    resuming a pre-r11 (per-key) checkpoint requires ``key_buckets=None``.
     """
     on = [on] if isinstance(on, str) else list(on)
     if key_buckets is not None and int(key_buckets) <= 0:
@@ -357,6 +363,10 @@ def streaming_self_loop(
     State per key is O(1). The store snapshot does NOT seed streaming state
     (online stores start from their own persisted state; seed via the
     client merge as the reference does, ClientStore.scala:123-174).
+
+    Checkpoint compatibility: see ``streaming_as_of_join`` — the r11
+    default ``key_buckets=64`` switched the physical state grouping to
+    ``__kb__``; resume a pre-r11 checkpoint with ``key_buckets=None``.
     """
     on = [on] if isinstance(on, str) else list(on)
     if key_buckets is not None and int(key_buckets) <= 0:

@@ -607,3 +607,14 @@ def test_state_warns_on_network_filesystem(tmp_path):
     assert not _warn_if_lock_unreliable(
         str(state_dir), mounts_file=str(tmp_path / "missing")
     )
+
+    # a mount path with a MALFORMED octal escape (trailing backslash →
+    # UnicodeDecodeError, a ValueError) must be skipped, not crash the
+    # scan — and later valid lines still match (ADVICE r11)
+    mounts.write_text(
+        f"bad /mnt/broken\\ badfs rw 0 0\nserver:/e {real} nfs4 rw 0 0\n"
+    )
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        assert _warn_if_lock_unreliable(str(state_dir), mounts_file=str(mounts))
+    assert any("flock" in str(x.message) for x in rec)
