@@ -33,12 +33,43 @@ from ..core import semigroup as sg_mod
 from ..core.graph import TIME_COL
 
 
+class _NanKeyType:
+    """Pickle-stable singleton marking a float NaN KEY VALUE in bucketed
+    state dicts. pandas represents both SQL NULL and a real NaN key as
+    NaN, but Spark's own groupBy keeps them distinct groups — the
+    ``__knan_*__`` companion flags (``bucket_by_key_hash``) carry the
+    distinction into the kernel and this sentinel carries it through the
+    pickled state dict (ADVICE r11)."""
+
+    _inst = None
+
+    def __new__(cls):
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+    def __repr__(self):
+        return "<nan-key>"
+
+    def __reduce__(self):
+        return (_NanKeyType, ())
+
+
+NAN_KEY = _NanKeyType()
+
+# exact-integer range of float64: a nullable integral key column that
+# pandas coerced to float64 is only faithful inside ±2^53
+_F64_EXACT_INT = 2.0 ** 53
+
+
 def norm_key_tuple(kt) -> tuple:
     """Normalize a pandas group key into a stable dict key: numpy scalars
     → python, and NaN (pandas' representation of a NULL group key under
     ``dropna=False``) → None. NaN must not reach a state dict key — two
     NaN objects are distinct dict keys (NaN != NaN), so a null key's
-    state would silently never match across triggers."""
+    state would silently never match across triggers. (A float NaN KEY
+    VALUE — distinct from NULL — is substituted with ``NAN_KEY`` by the
+    callers BEFORE this runs, via the companion flags.)"""
     out = []
     for x in kt:
         if hasattr(x, "item"):
@@ -47,6 +78,97 @@ def norm_key_tuple(kt) -> tuple:
             x = None
         out.append(x)
     return tuple(out)
+
+
+def bucket_by_key_hash(df: DataFrame, keys: list[str], key_buckets: int):
+    """Attach the physical bucket column ``__kb__ = xxhash64(keys) %
+    buckets`` plus, for every float/double key column, a boolean
+    ``__knan_<k>__`` companion so the kernel can tell a NaN key value
+    from NULL after pandas conflates both to NaN (ADVICE r11). NaN is
+    normalized to NULL inside the hash so NaN- and NULL-keyed rows land
+    in the SAME bucket (they would otherwise hash apart and each emit a
+    NULL-keyed output row); the companion flag keeps them distinct
+    LOGICAL keys there — exactly the two groups Spark's own groupBy
+    produces in per-key mode.
+
+    Returns ``(df2, flag_names, flagged_pos)``: the flag column names
+    (order-aligned with ``flagged_pos``, positions into ``keys``).
+    """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    flag_names: list[str] = []
+    flagged_pos: list[int] = []
+    hash_exprs = []
+    for i, k in enumerate(keys):
+        if isinstance(df.schema[k].dataType, (DoubleType, FloatType)):
+            fc = f"__knan_{k}__"
+            # isnan is non-nullable: false on NULL, true only on real NaN
+            df = df.withColumn(fc, F.isnan(F.col(k)))
+            flag_names.append(fc)
+            flagged_pos.append(i)
+            hash_exprs.append(
+                F.when(F.isnan(F.col(k)), F.lit(None)).otherwise(F.col(k))
+            )
+        else:
+            hash_exprs.append(F.col(k))
+    df = df.withColumn(
+        "__kb__", F.pmod(F.xxhash64(*hash_exprs), F.lit(int(key_buckets)))
+    )
+    return df, flag_names, flagged_pos
+
+
+def integral_key_cols(df: DataFrame, keys: list[str]) -> list[str]:
+    """Key columns whose Spark type is integral — the ones pandas coerces
+    to float64 whenever a micro-batch carries a NULL for them."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    return [
+        k for k in keys
+        if isinstance(df.schema[k].dataType,
+                      (ByteType, ShortType, IntegerType, LongType))
+    ]
+
+
+def guard_int_keys(pdf: pd.DataFrame, int_keys: list[str]) -> None:
+    """Fail loudly where silent corruption would start: a nullable
+    integral key column arrives in pandas as float64 when the batch also
+    carries a NULL for it, and values beyond ±2^53 are already rounded by
+    that conversion — wrong state identity AND wrong emitted key (ADVICE
+    r11). Per-key mode never round-trips keys through pandas and is
+    immune, so the error names the escape hatch."""
+    for k in int_keys:
+        col = pdf[k]
+        if col.dtype.kind != "f":
+            continue
+        import numpy as np
+
+        vals = col.to_numpy()
+        finite = np.isfinite(vals)
+        if finite.any() and float(np.abs(vals[finite]).max()) >= _F64_EXACT_INT:
+            raise ValueError(
+                f"bucketed streaming state: integral key column {k!r} holds "
+                "values at or beyond 2^53 in a micro-batch that also carries "
+                "NULLs for it — the Arrow→pandas float64 round-trip corrupts "
+                "such keys silently. Use key_buckets=None (per-key state "
+                "never passes keys through pandas) for this stream."
+            )
+
+
+def sentinel_key_tuple(kvals, fvals, flagged_pos) -> tuple:
+    """Build the state-dict key for one logical key: substitute NAN_KEY
+    where a companion flag marks a true float NaN (vs NULL), then apply
+    ``norm_key_tuple``'s numpy/NaN→None normalization to the rest."""
+    kt = list(kvals)
+    for p, fv in zip(flagged_pos, fvals):
+        if fv:
+            kt[p] = NAN_KEY
+    return norm_key_tuple(tuple(kt))
+
+
+def emit_key_values(kt) -> tuple:
+    """Inverse of ``sentinel_key_tuple`` for kernels that EMIT the key
+    columns (the summer): NAN_KEY → float NaN, everything else verbatim."""
+    return tuple(float("nan") if v is NAN_KEY else v for v in kt)
 
 def _delta_type(sg, value_spark_type: str) -> str:
     """prev/delta output type = the semigroup's CARRIER type (declared by
@@ -131,6 +253,11 @@ def stateful_summer(
         )
 
     key_names = [n for n, _ in key_types]
+    bucketed, flag_names, flagged_pos = bucket_by_key_hash(
+        base, key_names, int(key_buckets)
+    )
+    int_keys = integral_key_cols(base, key_names)
+    nk = len(key_names)
 
     def fn_bucketed(
         bucket, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -140,6 +267,7 @@ def stateful_summer(
         totals: dict = pickle.loads(bytes(state.get[0])) if state.exists else {}
         fresh: dict = {}
         for pdf in pdfs:
+            guard_int_keys(pdf, int_keys)
             # per-key mode's pdf.groupby("batch_id") silently drops
             # null-batch rows (dropna default) — match it explicitly,
             # then keep NULL KEYS (dropna=False), which Spark's own
@@ -151,12 +279,15 @@ def stateful_summer(
             # keep time order, exactly as per-key mode. sort=False: group
             # emission order is fixed below by sorted(fresh) — and a
             # mixed None/str key column must not go through a group-key
-            # sort (TypeError territory)
+            # sort (TypeError territory). The __knan__ companions ride in
+            # the group key so a NaN key and a NULL key stay distinct
+            # logical groups (pandas shows both as NaN).
             for gk, grp in pdf.groupby(
-                [*key_names, "batch_id"], sort=False, dropna=False
+                [*key_names, *flag_names, "batch_id"], sort=False, dropna=False
             ):
-                *kt, b = gk if isinstance(gk, tuple) else (gk,)
-                cell = (norm_key_tuple(kt), int(b))
+                gk = gk if isinstance(gk, tuple) else (gk,)
+                kvals, fvals, b = gk[:nk], gk[nk:-1], gk[-1]
+                cell = (sentinel_key_tuple(kvals, fvals, flagged_pos), int(b))
                 d = sg.py_agg(list(grp[value_alias]))
                 fresh[cell] = sg.py_merge(fresh[cell], d) if cell in fresh else d
         rows = []
@@ -165,16 +296,12 @@ def stateful_summer(
             totals[cell] = (
                 sg.py_merge(prev, fresh[cell]) if prev is not None else fresh[cell]
             )
-            rows.append((*cell[0], cell[1], prev, fresh[cell]))
+            rows.append((*emit_key_values(cell[0]), cell[1], prev, fresh[cell]))
         if evict_before_batch is not None:
             totals = {c: v for c, v in totals.items() if c[1] >= evict_before_batch}
         state.update((pickle.dumps(totals),))
         yield pd.DataFrame(rows, columns=out_cols)
 
-    bucketed = base.withColumn(
-        "__kb__",
-        F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(int(key_buckets))),
-    )
     return bucketed.groupBy("__kb__").applyInPandasWithState(
         fn_bucketed, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )

@@ -38,7 +38,13 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..core import semigroup as sg_mod
 from ..core.graph import TIME_COL
-from .stateful import norm_key_tuple
+from .stateful import (
+    bucket_by_key_hash,
+    guard_int_keys,
+    integral_key_cols,
+    norm_key_tuple,
+    sentinel_key_tuple,
+)
 
 
 def streaming_as_of_join(
@@ -426,15 +432,25 @@ def streaming_self_loop(
             fn, out_schema, "state binary", "update", GroupStateTimeout.NoTimeout
         )
 
+    b2, flag_names, flagged_pos = bucket_by_key_hash(df, on, int(key_buckets))
+    int_keys = integral_key_cols(df, on)
+    n_on = len(on)
+
     def fn_bucketed(bucket, pdfs, state: GroupState):
         # state: {key_tuple: running fold} for every key in this bucket
         states: dict = pickle.loads(bytes(state.get[0])) if state.exists else {}
         pdf = pd.concat(list(pdfs), ignore_index=True)
+        guard_int_keys(pdf, int_keys)
         if not exact_int:
-            # general semigroups: per-key sequential fold by definition
+            # general semigroups: per-key sequential fold by definition.
+            # __knan__ companions in the group key keep a NaN key distinct
+            # from NULL (pandas conflates both to NaN).
             outs = []
-            for gk, grp in pdf.groupby(on, sort=False, dropna=False):
-                kt = norm_key_tuple(gk if isinstance(gk, tuple) else (gk,))
+            for gk, grp in pdf.groupby(
+                [*on, *flag_names], sort=False, dropna=False
+            ):
+                gk = gk if isinstance(gk, tuple) else (gk,)
+                kt = sentinel_key_tuple(gk[:n_on], gk[n_on:], flagged_pos)
                 out, st_new = _loop_group(grp, states.get(kt))
                 states[kt] = st_new
                 outs.append(out)
@@ -454,14 +470,17 @@ def streaming_self_loop(
         import numpy as np
 
         pdf = pdf.sort_values(
-            [*on, TIME_COL, *order_by], kind="stable"
+            [*on, *flag_names, TIME_COL, *order_by], kind="stable"
         ).reset_index(drop=True)
         n = len(pdf)
         if n == 0:
             state.update((pickle.dumps(states),))
             yield pd.DataFrame(columns=[*cols, out_col])
             return
-        keys_df = pdf[on]
+        # flag companions join the boundary key: a NaN-keyed run and a
+        # NULL-keyed run both read NaN in the value column and would
+        # otherwise fuse into one group
+        keys_df = pdf[[*on, *flag_names]]
         shifted = keys_df.shift()
         # NaN-aware equality: NaN != NaN would split a run of NULL-keyed
         # rows into per-row groups (they sort contiguously, so same-key ∨
@@ -491,7 +510,8 @@ def streaming_self_loop(
         had_state = np.zeros(len(starts), dtype=bool)
         kts = []
         for j, si in enumerate(starts):
-            kt = norm_key_tuple(tuple(kvals[si]))
+            row = tuple(kvals[si])
+            kt = sentinel_key_tuple(row[:n_on], row[n_on:], flagged_pos)
             kts.append(kt)
             st = states.get(kt)
             if st is not None:
@@ -519,10 +539,6 @@ def streaming_self_loop(
         out[out_col] = seen
         yield out
 
-    b2 = df.withColumn(
-        "__kb__",
-        F.pmod(F.xxhash64(*[F.col(c) for c in on]), F.lit(int(key_buckets))),
-    )
     return b2.groupBy("__kb__").applyInPandasWithState(
         fn_bucketed, out_schema, "state binary", "update",
         GroupStateTimeout.NoTimeout,

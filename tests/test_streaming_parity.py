@@ -1864,6 +1864,191 @@ def test_bucketed_state_keeps_null_keys(spark, tmp_path):
     assert null_seen == [(5, None), (7, 5)]
 
 
+def _write_chunks(tmp_path, name, schema_str, chunks, spark):
+    """Write each chunk as one parquet file under a watched dir with
+    increasing mtimes — the multi-trigger replay fixture shape."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    src = str(tmp_path / name)
+    os.makedirs(src)
+    base_t = _time.time() - 1000
+    for i, rows in enumerate(chunks):
+        df = spark.createDataFrame(rows, schema_str)
+        tmp = src + f".w{i}"
+        df.coalesce(1).write.parquet(tmp)
+        dst = os.path.join(src, f"chunk{i}.parquet")
+        shutil.move(glob.glob(tmp + "/*.parquet")[0], dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, times=(base_t + 10 * i, base_t + 10 * i))
+    return src
+
+
+def _nan_norm(rows):
+    """Rows → sorted tuples with float NaN mapped to a comparable marker
+    (NaN != NaN breaks direct equality)."""
+    def fix(v):
+        return "<nan>" if isinstance(v, float) and v != v else v
+
+    return sorted((tuple(fix(v) for v in r) for r in rows), key=repr)
+
+
+def test_bucketed_state_distinguishes_nan_from_null_float_keys(spark, tmp_path):
+    """A float NaN KEY and a NULL key are distinct groups under Spark's
+    groupBy (per-key mode), but pandas shows both as NaN inside the
+    bucketed kernel — and xxhash64(NaN) != xxhash64(NULL) would land them
+    in different buckets, each emitting a NULL-keyed row (ADVICE r11).
+    The __knan__ companion flags + nan-normalized bucket hash must make
+    bucketed output equal per-key output for summer AND self-loop."""
+    from summingbird_spark.core import semigroup as sg_mod
+    from summingbird_spark.core.graph import TIME_COL
+    from summingbird_spark.streaming.stateful import stateful_summer
+    from summingbird_spark.streaming.temporal import streaming_self_loop
+
+    nan = float("nan")
+    chunks = [
+        [(None, 1000.0, 5), (nan, 1001.0, 3), (1.5, 1002.0, 1)],
+        [(None, 2000.0, 7), (nan, 2001.0, 4), (1.5, 2002.0, 2)],
+    ]
+    src = _write_chunks(
+        tmp_path, "nank", "key double, tsec double, value long", chunks, spark
+    )
+
+    def read():
+        return (
+            spark.readStream.schema("key double, tsec double, value long")
+            .option("maxFilesPerTrigger", "1").parquet(src)
+            .withColumn(TIME_COL, F.timestamp_seconds(F.col("tsec")))
+            .drop("tsec")
+        )
+
+    def run(builder, name):
+        q = (builder.writeStream.format("memory").queryName(name)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return _nan_norm(spark.sql(f"SELECT * FROM {name}").collect())
+
+    outs = {}
+    for tag, buckets in [("pk", None), ("bk", 2)]:
+        base = read().select(
+            "key", F.lit(100).cast("bigint").alias("batch_id"),
+            F.col(TIME_COL), F.col("value"))
+        outs[tag] = run(
+            stateful_summer(base, ["key"], "value", sg_mod.get("sum_long"),
+                            key_buckets=buckets),
+            f"nank_sum_{tag}",
+        )
+    assert outs["pk"] == outs["bk"]
+    # three DISTINCT state chains. (Emission quirk, equal in both modes:
+    # pandas→Arrow nullifies NaN on output, so the NaN key's rows read
+    # key=NULL — but its prev/delta chain 3→4 stays separate from the
+    # true NULL key's 5→7, which is what the bucket hash + __knan__ flag
+    # must preserve.)
+    assert (None, 100, 3, 4) in outs["bk"]
+    assert (None, 100, 5, 7) in outs["bk"]
+    assert (1.5, 100, 1, 2) in outs["bk"]
+
+    louts = {}
+    for tag, buckets in [("pk", None), ("bk", 2)]:
+        louts[tag] = run(
+            streaming_self_loop(read(), "key", "value", "seen",
+                                semigroup="sum_long", key_buckets=buckets)
+            .drop(TIME_COL),
+            f"nank_loop_{tag}",
+        )
+    assert louts["pk"] == louts["bk"]
+    # the NaN key's fold carried 3 across triggers, separate from NULL's 5
+    # (key column reads NULL for both on output — Arrow NaN emission)
+    assert (None, 4, 3) in louts["bk"] and (None, 7, 5) in louts["bk"]
+
+    # general-semigroup (concat) path of the loop join too
+    csrc = _write_chunks(
+        tmp_path, "nanc", "key double, tsec double, value string",
+        [[(nan, 1000.0, "a"), (None, 1001.0, "x")],
+         [(nan, 2000.0, "b"), (None, 2001.0, "y")]],
+        spark,
+    )
+
+    def cread():
+        return (
+            spark.readStream.schema("key double, tsec double, value string")
+            .option("maxFilesPerTrigger", "1").parquet(csrc)
+            .withColumn(TIME_COL, F.timestamp_seconds(F.col("tsec")))
+            .drop("tsec")
+        )
+
+    coutS = {}
+    for tag, buckets in [("pk", None), ("bk", 2)]:
+        coutS[tag] = run(
+            streaming_self_loop(cread(), "key", "value", "seen",
+                                semigroup="concat", key_buckets=buckets)
+            .drop(TIME_COL),
+            f"nanc_loop_{tag}",
+        )
+    assert coutS["pk"] == coutS["bk"]
+    assert (None, "b", "a") in coutS["bk"] and (None, "y", "x") in coutS["bk"]
+
+
+def test_bucketed_state_guards_unrepresentable_int_keys(spark, tmp_path):
+    """A nullable bigint key column reaches the bucketed kernel as float64
+    whenever a micro-batch also carries a NULL for it; keys at/beyond 2^53
+    are silently rounded by that conversion (ADVICE r11). The kernel must
+    fail LOUDLY with the key_buckets=None escape hatch, not corrupt state
+    identity. In-range keys alongside NULLs still work."""
+    from summingbird_spark.core import semigroup as sg_mod
+    from summingbird_spark.core.graph import TIME_COL
+    from summingbird_spark.streaming.stateful import stateful_summer
+
+    big = (1 << 53) + 1
+    src = _write_chunks(
+        tmp_path, "bigk", "key bigint, tsec double, value long",
+        [[(big, 1000.0, 5), (None, 1001.0, 1)]], spark,
+    )
+    base = (
+        spark.readStream.schema("key bigint, tsec double, value long")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .withColumn(TIME_COL, F.timestamp_seconds(F.col("tsec")))
+        .select("key", F.lit(100).cast("bigint").alias("batch_id"),
+                F.col(TIME_COL), "value")
+    )
+    out = stateful_summer(base, ["key"], "value", sg_mod.get("sum_long"),
+                          key_buckets=2)
+    q = (out.writeStream.format("memory").queryName("bigk_sum")
+         .outputMode("update").trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="2\\^53"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+
+    # sanity: same shape with IN-RANGE keys + NULL passes and keeps both
+    src2 = _write_chunks(
+        tmp_path, "okk", "key bigint, tsec double, value long",
+        [[(7, 1000.0, 5), (None, 1001.0, 1)]], spark,
+    )
+    base2 = (
+        spark.readStream.schema("key bigint, tsec double, value long")
+        .option("maxFilesPerTrigger", "1").parquet(src2)
+        .withColumn(TIME_COL, F.timestamp_seconds(F.col("tsec")))
+        .select("key", F.lit(100).cast("bigint").alias("batch_id"),
+                F.col(TIME_COL), "value")
+    )
+    out2 = stateful_summer(base2, ["key"], "value", sg_mod.get("sum_long"),
+                           key_buckets=2)
+    q2 = (out2.writeStream.format("memory").queryName("okk_sum")
+          .outputMode("update").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    got = sorted(
+        ((r.key, r.prev, r.delta)
+         for r in spark.sql("SELECT * FROM okk_sum").collect()),
+        key=repr,
+    )
+    assert got == [(7, None, 5), (None, None, 1)] or got == sorted(
+        [(7, None, 5), (None, None, 1)], key=repr
+    )
+
+
 def test_summer_key_buckets_per_name_option(spark, stream_dir, tmp_path):
     """`summer_key_buckets` resolves through the per-name Options system
     (the reference's SummerParallelism scoped by .name() markers,
