@@ -99,7 +99,13 @@ def stream_source(
             r = r.option("maxFilesPerTrigger", max_files_per_trigger)
         return r.format(fmt).load(path)
 
-    return g.Source(loader, time_col, name)
+    src = g.Source(loader, time_col, name)
+    # batch twin of the same files — lets the planner run plan-time
+    # static probes (e.g. summer_key_buckets="auto" key-cardinality)
+    src.probe_loader = lambda spark: (
+        spark.read.schema(schema).format(fmt).load(path)
+    )
+    return src
 
 
 class StreamPlan:
@@ -145,6 +151,39 @@ class StreamPlan:
         return queries
 
 
+class _NoProbeTwin(LookupError):
+    """A streaming source in the probed prefix has no batch twin."""
+
+
+class _ProbePlanner(BatchPlanner):
+    """Compiles a streaming DAG's prefix against each file source's BATCH
+    twin (``Source.probe_loader``, attached by ``stream_source``) — the
+    DAG is declarative, so its stateless Column program is identical in
+    batch; stateful members compile under batch semantics, which is fine
+    for a CARDINALITY estimate. Used for plan-time static probes such as
+    ``summer_key_buckets="auto"``."""
+
+    def _compile(self, node: g.Producer) -> DataFrame:
+        if isinstance(node, g.Source):
+            probe = getattr(node, "probe_loader", None)
+            if probe is None:
+                raise _NoProbeTwin(
+                    f"source {node.source_name!r} has no batch twin "
+                    "(probe_loader)"
+                )
+            df = probe(self.spark)
+            if node.time_col and node.time_col != TIME_COL:
+                df = df.withColumn(
+                    TIME_COL, F.col(node.time_col).cast("timestamp")
+                )
+            elif TIME_COL not in df.columns:
+                df = df.withColumn(
+                    TIME_COL, F.lit("1970-01-01").cast("timestamp")
+                )
+            return df
+        return super()._compile(node)
+
+
 class StreamPlanner(BatchPlanner):
     """Reuses every stateless compile case from the batch planner; overrides
     the stateful/effect cases for the streaming execution model.
@@ -156,14 +195,26 @@ class StreamPlanner(BatchPlanner):
     partitions that is 8 groups/partition — enough to balance, few enough
     that the per-group pandas↔Arrow round-trip amortizes over many keys.
     ``None`` restores per-key state (finest eviction granularity; pays
-    one framework round-trip per key per trigger)."""
+    one framework round-trip per key per trigger). ``"auto"`` (opt-in)
+    sizes buckets from MEASURED key cardinality at plan time — it
+    compiles the summer's stateless prefix against each file source's
+    batch twin (``stream_source`` attaches one) and runs one
+    column-pruned ``approx_count_distinct`` scan, then applies
+    ``buckets = clamp(keys/500, 8, state_partitions×4096)``
+    (``stateful.auto_key_buckets`` — the data-driven analog of the
+    reference deriving Summer shards from parallelism ×
+    SummerBatchMultiplier, StormTopologyBuilder.scala:291-298). A
+    10⁸-key deployment on the static default would rewrite ~1.5M-key
+    pickle dicts per touched bucket per trigger; auto picks ~2×10⁵
+    buckets instead. Falls back to the static default (with a warning)
+    when a source has no batch twin (e.g. a live queue)."""
 
     def __init__(
         self,
         spark,
         options=None,
         cache_fanout: bool = False,
-        summer_key_buckets: int | None = 64,
+        summer_key_buckets: "int | str | None" = 64,
     ):
         super().__init__(spark, options, cache_fanout)
         self.summer_key_buckets = summer_key_buckets
@@ -288,7 +339,35 @@ class StreamPlanner(BatchPlanner):
         # option class, scoped by .name() markers — Options.getFirst),
         # then the planner-wide default
         kb = self._opt("summer_key_buckets", self.summer_key_buckets)
+        if kb == "auto":
+            kb = self._auto_summer_buckets(node)
         return stateful_summer(base, node.keys, va, sg, key_buckets=kb)
+
+    def _auto_summer_buckets(self, node: g.Summer) -> "int | None":
+        """Resolve ``summer_key_buckets='auto'``: one plan-time
+        approx_count_distinct over the summer's keys, evaluated on the
+        BATCH twin of the stream's stateless prefix (see class docstring).
+        Falls back to 64 (static default) when any upstream source lacks
+        a batch twin."""
+        import warnings
+
+        from .stateful import auto_key_buckets
+
+        try:
+            probe_df = _ProbePlanner(self.spark, self.options).compile(
+                node.parents[0]
+            )
+        except _NoProbeTwin as e:
+            warnings.warn(
+                f"summer_key_buckets='auto': {e}; using the static default "
+                "64 — pass an int to silence this",
+                RuntimeWarning,
+            )
+            return 64
+        parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        chosen = auto_key_buckets(probe_df, list(node.keys), parts)
+        self.last_auto_key_buckets = chosen  # introspection/test hook
+        return chosen
 
 
 class CumulativeCounters:

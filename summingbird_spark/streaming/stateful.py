@@ -170,6 +170,44 @@ def emit_key_values(kt) -> tuple:
     columns (the summer): NAN_KEY → float NaN, everything else verbatim."""
     return tuple(float("nan") if v is NAN_KEY else v for v in kt)
 
+
+#: auto-sizing targets (measured, SCALING.md r12): ~500 logical keys per
+#: bucket balances the ~3 ms/group framework tax against whole-dict
+#: write amplification; floor 8 keeps small streams spread over state
+#: partitions; cap 4096 groups per state partition bounds the per-trigger
+#: group count (the tax) even at 10⁹ keys.
+AUTO_KEYS_PER_BUCKET = 500
+AUTO_MIN_BUCKETS = 8
+AUTO_GROUPS_PER_PARTITION_CAP = 4096
+
+
+def auto_key_buckets(
+    batch_df: DataFrame,
+    keys: list[str],
+    state_partitions: int,
+    target_keys_per_bucket: int = AUTO_KEYS_PER_BUCKET,
+) -> int:
+    """Derive the physical state-bucket count from measured key
+    cardinality — the analog of the reference sizing Summer shards from
+    parallelism × SummerBatchMultiplier (StormTopologyBuilder.scala:
+    291-298), except data-driven: ``buckets = clamp(distinct_keys /
+    target, AUTO_MIN_BUCKETS, state_partitions × 4096)``.
+
+    ``batch_df`` is the BATCH twin of the stream (plan-time static probe;
+    one column-pruned scan of the key columns — approx_count_distinct
+    never shuffles raw rows). Too few buckets and a touched bucket
+    rewrites a huge key dict per trigger (write amplification ≈
+    keys-per-bucket ÷ keys-touched); too many and the per-group
+    pandas↔Arrow round-trip tax returns. See SCALING.md for the measured
+    tradeoff table."""
+    n = batch_df.agg(
+        F.approx_count_distinct(F.struct(*[F.col(k) for k in keys])).alias("n")
+    ).first()["n"] or 0
+    want = -(-int(n) // max(1, int(target_keys_per_bucket)))  # ceil
+    cap = max(AUTO_MIN_BUCKETS,
+              int(state_partitions) * AUTO_GROUPS_PER_PARTITION_CAP)
+    return max(AUTO_MIN_BUCKETS, min(want, cap))
+
 def _delta_type(sg, value_spark_type: str) -> str:
     """prev/delta output type = the semigroup's CARRIER type (declared by
     the semigroup itself since r6 — count→bigint, set/top→array, avg/
@@ -214,6 +252,12 @@ def stateful_summer(
     check fails loudly on restart. The planner default became 64 in r11;
     resume a pre-r11 (per-key) checkpoint with
     ``summer_key_buckets=None``."""
+    if key_buckets == "auto":
+        raise ValueError(
+            "key_buckets='auto' is resolved by StreamPlanner (it needs the "
+            "source's batch twin for the cardinality probe); pass an int "
+            "here, or plan through StreamPlanner(summer_key_buckets='auto')"
+        )
     if key_buckets is not None and int(key_buckets) <= 0:
         raise ValueError(f"key_buckets must be positive or None; got {key_buckets!r}")
     sg = sg_mod.get(sg)
