@@ -131,7 +131,13 @@ def stream_main(factors: list[int]) -> None:
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # codegen warmup
 
-    probes = ["stream_buffer_join", "stream_sum_by_key", "stream_loop_join"]
+    # r12: the as-of family joins the probe (VERDICT r11 item 1 — its
+    # bucket kernel is now vectorized across keys like the loop join's)
+    # and the native-window rows (item 4 — JVM session/tumbling state,
+    # expected wall-flat like the buffer join)
+    probes = ["stream_buffer_join", "stream_sum_by_key", "stream_loop_join",
+              "stream_asof_running", "stream_asof_windowed",
+              "stream_session_window", "stream_tumbling_window"]
     rows: list[tuple] = []
     for f in factors:
         sf_dir = ensure_events_replica(spark, f)

@@ -1701,10 +1701,17 @@ def test_temporal_key_buckets_match_per_key_state(spark, temporal_dirs):
                                    key_buckets=buckets, **kw)
         return run(out, f"tkb_{tag}")
 
+    # 'sum' exercises the general per-key fold inside the bucket; the
+    # sum_long rows exercise the r12 vectorized-across-keys bucket kernel
+    # (latest is vectorized for any value type)
     for kw in [dict(mode="latest"),
+               dict(mode="latest", max_age_seconds=90.0),
                dict(mode="sum", semigroup="sum"),
-               dict(mode="sum", semigroup="sum", max_age_seconds=90.0)]:
-        tag = f"{kw['mode']}_{kw.get('max_age_seconds', 0)}".replace(".", "_")
+               dict(mode="sum", semigroup="sum", max_age_seconds=90.0),
+               dict(mode="sum", semigroup="sum_long"),
+               dict(mode="sum", semigroup="sum_long", max_age_seconds=90.0)]:
+        tag = (f"{kw['mode']}_{kw.get('semigroup', 'x')}"
+               f"_{kw.get('max_age_seconds', 0)}").replace(".", "_")
         per_key = asof(None, f"pk_{tag}", **kw)
         bucketed = asof(3, f"bk_{tag}", **kw)
         assert per_key == bucketed and len(per_key) > 0, kw
@@ -2047,6 +2054,140 @@ def test_bucketed_state_guards_unrepresentable_int_keys(spark, tmp_path):
     assert got == [(7, None, 5), (None, None, 1)] or got == sorted(
         [(7, None, 5), (None, None, 1)], key=repr
     )
+
+
+def test_bucketed_summer_restart_recovers_state(spark, tmp_path):
+    """Kill-mid-stream + restart recovery for the BUCKETED summer
+    (VERDICT r11 item 5): its state is a pickled {(key_tuple, batch):
+    total} dict per bucket — a different layout than per-key mode and
+    re-keyed by __kb__ — and it changed again in r12 (NAN_KEY sentinels).
+    A delta arriving only after the restart must see prev = the total
+    accumulated BEFORE the stop, for a normal key AND a NULL key (whose
+    state identity goes through norm_key_tuple — the trap class)."""
+    import os
+    import time
+
+    from summingbird_spark.core import semigroup as sg_mod
+    from summingbird_spark.core.graph import TIME_COL
+    from summingbird_spark.streaming.stateful import stateful_summer
+
+    src = _write_chunks(
+        tmp_path, "rsb", "key string, tsec double, value long",
+        [[("a", 1000.0, 5), (None, 1001.0, 3)]], spark,
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def sink(bdf, _bid):
+        if bdf.count():
+            bdf.write.mode("append").parquet(out)
+
+    def start(trigger_kw):
+        base = (
+            spark.readStream.schema("key string, tsec double, value long")
+            .option("maxFilesPerTrigger", "1").parquet(src)
+            .withColumn(TIME_COL, F.timestamp_seconds(F.col("tsec")))
+            .select("key", F.lit(100).cast("bigint").alias("batch_id"),
+                    F.col(TIME_COL), "value")
+        )
+        o = stateful_summer(base, ["key"], "value", sg_mod.get("sum_long"),
+                            key_buckets=2)
+        return (o.writeStream.foreachBatch(sink).outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(**trigger_kw).start())
+
+    q = start({"processingTime": "1 second"})
+    deadline, p = time.time() + 120, None
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p["batchId"] >= 0:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    assert p and p["batchId"] >= 0, "pre-stop batch never committed"
+
+    # written only after the stop: prev must equal the pre-stop totals
+    import glob
+    import shutil
+
+    df2 = spark.createDataFrame([("a", 2000.0, 2), (None, 2001.0, 4)],
+                                "key string, tsec double, value long")
+    tmp2 = src + ".w1"
+    df2.coalesce(1).write.parquet(tmp2)
+    dst = os.path.join(src, "chunk1.parquet")
+    shutil.move(glob.glob(tmp2 + "/*.parquet")[0], dst)
+    shutil.rmtree(tmp2)
+
+    q2 = start({"availableNow": True})
+    q2.awaitTermination(120)
+
+    rows = sorted(
+        ((r.key, r.batch_id, r.prev, r.delta)
+         for r in spark.read.parquet(out).collect()),
+        key=repr,
+    )
+    # epoch replays may duplicate trigger-1 rows (at-least-once sink);
+    # the recovery claim is about the trigger-2 prev values
+    assert ("a", 100, 5, 2) in rows, rows      # prev=None here = state LOSS
+    assert (None, 100, 3, 4) in rows, rows     # null key's state recovered
+    assert ("a", 100, None, 5) in rows and (None, 100, None, 3) in rows
+
+
+def test_summer_key_buckets_auto_sizes_from_cardinality(spark, tmp_path):
+    """summer_key_buckets='auto' sizes the physical state buckets from
+    MEASURED key cardinality at plan time (one approx_count_distinct over
+    the file source's batch twin), clamp(keys/500, 8, parts×4096) — the
+    data-driven analog of the reference deriving shards from parallelism
+    (StormTopologyBuilder.scala:291-298). Two corpus sizes must choose
+    DIFFERENT bucket counts; sourceless DAGs fall back to 64 + warning."""
+    import warnings as w
+
+    from summingbird_spark.streaming.planner import StreamPlanner
+
+    def corpus(name, n_keys):
+        rows = [(ts(i % 50), f"user{i}", 1) for i in range(n_keys)]
+        d = tmp_path / name
+        spark.createDataFrame(rows, SCHEMA).write.parquet(str(d))
+        return str(d)
+
+    small = corpus("small", 1_200)    # ceil(1200/500)=3 → floor 8
+    large = corpus("large", 12_000)   # ceil(12000/500)=24 (±approx error)
+
+    chosen = {}
+    for tag, path in [("small", small), ("large", large)]:
+        src = stream_source(path, SCHEMA, time_col="ts")
+        pl = StreamPlanner(spark, summer_key_buckets="auto")
+        pl.plan(_pipeline(src))
+        chosen[tag] = pl.last_auto_key_buckets
+    assert chosen["small"] == 8  # floored
+    assert 20 <= chosen["large"] <= 29  # ~24, approx_count_distinct slack
+    assert chosen["small"] != chosen["large"]
+
+    # a source with no batch twin (plain g.Source over readStream) falls
+    # back to the static default with a warning, never crashes the plan
+    from summingbird_spark.core import graph as g
+
+    def raw_loader(sp):
+        return sp.readStream.schema(SCHEMA).parquet(small)
+
+    raw = g.Source(raw_loader, time_col="ts")
+    pl2 = StreamPlanner(spark, summer_key_buckets="auto")
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        pl2.plan(_pipeline(raw))
+    assert any("auto" in str(x.message) for x in rec)
+
+    # kernel-level guard: 'auto' must not reach stateful_summer directly
+    from summingbird_spark.core import semigroup as sg_mod
+    from summingbird_spark.streaming.stateful import stateful_summer
+
+    src2 = stream_source(small, SCHEMA, time_col="ts")
+    df = StreamPlanner(spark).compile(src2)
+    base = df.select("key", F.lit(1).cast("bigint").alias("batch_id"),
+                     F.col(TIME_COL), F.col("value"))
+    with pytest.raises(ValueError, match="auto"):
+        stateful_summer(base, ["key"], "value", sg_mod.get("sum_long"),
+                        key_buckets="auto")
 
 
 def test_summer_key_buckets_per_name_option(spark, stream_dir, tmp_path):
