@@ -5869,8 +5869,11 @@ _GRADE_ORDER = [
     # the streaming summer+store lifecycle; r11: streaming DEDUP with
     # LIVE horizon eviction, the one remaining ungated streaming
     # operator — the oracle replays engine semantics pinned by
-    # differential probes)
-    "stream_sum_by_key", "buffer_join_clicks",
+    # differential probes; r12: native stateful SESSIONIZATION
+    # (stream_session_window) — session merging across micro-batches +
+    # the sentinel watermark flush, the most failure-prone machinery the
+    # external gate had never hash-checked (VERDICT r11 item 2)
+    "stream_sum_by_key", "stream_session_window",
     "stream_dedup", "stream_buffer_join",
     "stream_loop_join", "stream_quantile_by_key",
     # analytics
@@ -5911,12 +5914,20 @@ _GRADE_ORDER = [
     # falsifiable contract of the two carrier rows); moments stays
     # in-repo hash-graded and implementation-unchanged since r7
     "stream_moments_by_key",
+    # r12 swap (VERDICT r11 item 2 budget): buffer_join_clicks — the
+    # BATCH replay of the buffer join, externally green since r6 and
+    # implementation-unchanged — rotates below; the family keeps the
+    # stronger row in-window (stream_buffer_join, the LIVE watermarked
+    # stream-stream join whose state eviction is runtime-asserted).
+    # stream_session_window takes its slot: the r11-born native
+    # session_window stateful agg had only in-repo oracle grading.
+    "buffer_join_clicks",
     "map_values", "loop_join_compound", "stream_asof_running",
     "stream_asof_windowed",
-    # r11 below-window additions: native stateful sessionization and the
-    # watermarked tumbling-window aggregation over the sentinel-flushed
-    # ordered replay (batch session_window / tumbling_window online twins)
-    "stream_session_window", "stream_tumbling_window",
+    # r11 below-window addition (its session twin graded in-window since
+    # r12): watermarked tumbling-window aggregation over the
+    # sentinel-flushed ordered replay (batch tumbling_window online twin)
+    "stream_tumbling_window",
     "decayed_sum", "dedup_embedding_cosine",
     "asof_running_total", "star_join_regions", "loop_join_dsl",
     "avg_semigroup", "distinct_users", "topk_per_group", "rollup_agg",
