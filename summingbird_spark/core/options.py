@@ -14,7 +14,7 @@ Spark mapping of the reference's option vocabulary:
 | MonoidIsCommutative             | ``commutative`` (overrides semigroup)  |
 | CacheSize / FlushFrequency      | n/a (Catalyst partial agg / trigger)   |
 | source/flatMap/summer parallelism | ``shards`` hint at the named node    |
-| SummerParallelism (online)      | ``summer_key_buckets`` (streaming state shard count; None = per-key) |
+| SummerParallelism (online)      | ``summer_key_buckets`` (streaming state shard count; None = per-key; "auto" = plan-time cardinality probe, StreamPlanner docstring) |
 
 Unknown keys are preserved (callers may define their own); the planner
 consults ``shards`` (repartition after the named node), ``broadcast``

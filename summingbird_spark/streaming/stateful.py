@@ -271,21 +271,69 @@ def stateful_summer(
     state_schema = "state binary"
     commutative = sg.commutative
     out_cols = [n for n, _ in key_types] + ["batch_id", "prev", "delta"]
+    exact_sum = getattr(sg, "name", None) == "sum_long"
+
+    def _null_scalar(v) -> bool:
+        if v is None:
+            return True
+        try:
+            return bool(pd.isna(v))
+        except (TypeError, ValueError):
+            return False  # array-like raw value — never a SQL NULL
+
+    def _agg_group(vals):
+        """SQL-aggregate semantics over one (key, batch) group's raw
+        values: NULLs are SKIPPED (batch F.sum/collect do), and an
+        all-null group aggregates to None — delta row emitted, state
+        untouched. Folding the raw pandas column instead (the pre-r12
+        behavior) let a NaN-represented NULL propagate through py_merge
+        and silently POISON the running total: batch said sum=5, the
+        stream said NULL forever after (r12 self-review find, pinned by
+        test_summer_null_values_match_batch_sql)."""
+        vals = [v for v in vals if not _null_scalar(v)]
+        return sg.py_agg(vals) if vals else None
+
+    def _merge_fresh(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return sg.py_merge(a, b)
+
+    def _emit(fresh: dict, totals: dict, make_row, sort_key=None) -> list:
+        """Shared (prev, delta) emission: delta may be None (all-null
+        group — row still emitted, matching the batch planner's NULL-sum
+        row); state advances only on non-null deltas."""
+        rows = []
+        for cell in sorted(fresh, key=sort_key):
+            prev = totals.get(cell)
+            d = fresh[cell]
+            if d is not None:
+                totals[cell] = sg.py_merge(prev, d) if prev is not None else d
+            rows.append(make_row(cell, prev, d))
+        return rows
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         totals: dict = pickle.loads(bytes(state.get[0])) if state.exists else {}
         fresh: dict = {}
         for pdf in pdfs:
+            if exact_sum:
+                # C-speed per-batch sums; min_count=1 = SQL null-skipping
+                # (all-null → NaN → delta None). Kills the per-ROW python
+                # fold on hot keys.
+                s = pdf.groupby("batch_id", sort=False)[value_alias].sum(
+                    min_count=1
+                )
+                for b, v in s.items():
+                    d = None if pd.isna(v) else int(v)
+                    fresh[int(b)] = _merge_fresh(fresh.get(int(b)), d)
+                continue
             if not commutative:
                 pdf = pdf.sort_values(TIME_COL, kind="stable")
             for b, grp in pdf.groupby("batch_id", sort=True):
-                d = sg.py_agg(list(grp[value_alias]))
-                fresh[int(b)] = sg.py_merge(fresh[int(b)], d) if int(b) in fresh else d
-        rows = []
-        for b in sorted(fresh):
-            prev = totals.get(b)
-            totals[b] = sg.py_merge(prev, fresh[b]) if prev is not None else fresh[b]
-            rows.append((*key, b, prev, fresh[b]))
+                d = _agg_group(list(grp[value_alias]))
+                fresh[int(b)] = _merge_fresh(fresh.get(int(b)), d)
+        rows = _emit(fresh, totals, lambda b, prev, d: (*key, b, prev, d))
         if evict_before_batch is not None:
             totals = {b: v for b, v in totals.items() if b >= evict_before_batch}
         state.update((pickle.dumps(totals),))
@@ -310,6 +358,13 @@ def stateful_summer(
         # key hashing into this bucket
         totals: dict = pickle.loads(bytes(state.get[0])) if state.exists else {}
         fresh: dict = {}
+        gcols = [*key_names, *flag_names, "batch_id"]
+
+        def cell_of(gk):
+            gk = gk if isinstance(gk, tuple) else (gk,)
+            kvals, fvals, b = gk[:nk], gk[nk:-1], gk[-1]
+            return (sentinel_key_tuple(kvals, fvals, flagged_pos), int(b))
+
         for pdf in pdfs:
             guard_int_keys(pdf, int_keys)
             # per-key mode's pdf.groupby("batch_id") silently drops
@@ -317,6 +372,18 @@ def stateful_summer(
             # then keep NULL KEYS (dropna=False), which Spark's own
             # groupBy(*keys) keeps in per-key mode
             pdf = pdf[pdf["batch_id"].notna()]
+            if exact_sum:
+                # sum_long: one C-speed groupby-sum over the whole bucket
+                # — no per-key sub-frame materialization, no per-row
+                # python fold; min_count=1 = SQL null-skipping semantics
+                s = pdf.groupby(gcols, sort=False, dropna=False)[
+                    value_alias
+                ].sum(min_count=1)
+                for gk, v in s.items():
+                    d = None if pd.isna(v) else int(v)
+                    cell = cell_of(gk)
+                    fresh[cell] = _merge_fresh(fresh.get(cell), d)
+                continue
             if not commutative:
                 pdf = pdf.sort_values(TIME_COL, kind="stable")
             # stable sort + groupby: rows within each (key, batch) group
@@ -326,21 +393,15 @@ def stateful_summer(
             # sort (TypeError territory). The __knan__ companions ride in
             # the group key so a NaN key and a NULL key stay distinct
             # logical groups (pandas shows both as NaN).
-            for gk, grp in pdf.groupby(
-                [*key_names, *flag_names, "batch_id"], sort=False, dropna=False
-            ):
-                gk = gk if isinstance(gk, tuple) else (gk,)
-                kvals, fvals, b = gk[:nk], gk[nk:-1], gk[-1]
-                cell = (sentinel_key_tuple(kvals, fvals, flagged_pos), int(b))
-                d = sg.py_agg(list(grp[value_alias]))
-                fresh[cell] = sg.py_merge(fresh[cell], d) if cell in fresh else d
-        rows = []
-        for cell in sorted(fresh, key=lambda c: (repr(c[0]), c[1])):
-            prev = totals.get(cell)
-            totals[cell] = (
-                sg.py_merge(prev, fresh[cell]) if prev is not None else fresh[cell]
-            )
-            rows.append((*emit_key_values(cell[0]), cell[1], prev, fresh[cell]))
+            for gk, grp in pdf.groupby(gcols, sort=False, dropna=False):
+                cell = cell_of(gk)
+                d = _agg_group(list(grp[value_alias]))
+                fresh[cell] = _merge_fresh(fresh.get(cell), d)
+        rows = _emit(
+            fresh, totals,
+            lambda cell, prev, d: (*emit_key_values(cell[0]), cell[1], prev, d),
+            sort_key=lambda c: (repr(c[0]), c[1]),
+        )
         if evict_before_batch is not None:
             totals = {c: v for c, v in totals.items() if c[1] >= evict_before_batch}
         state.update((pickle.dumps(totals),))

@@ -2056,6 +2056,95 @@ def test_bucketed_state_guards_unrepresentable_int_keys(spark, tmp_path):
     )
 
 
+def test_summer_null_values_match_batch_sql(spark, tmp_path):
+    """NULL raw VALUES through the summer must follow SQL aggregate
+    semantics (batch F.sum skips nulls; an all-null group sums to NULL).
+    Pre-r12 the kernels folded the raw pandas column, so a NaN-represented
+    NULL propagated through py_merge and silently POISONED the running
+    total — batch said 5, the stream said NULL forever after (r12
+    self-review find). Covers per-key AND bucketed, the sum_long fast
+    path AND a general semigroup, and that state recovers: a non-null
+    delta after an all-null history sees the correct prev."""
+    from summingbird_spark import source as bsource, to_dataframe
+
+    chunks = [
+        [("a", 1000.0, 1), ("a", 1001.0, None), ("b", 1002.0, None)],
+        [("a", 2000.0, 4), ("b", 2001.0, None)],
+        [("b", 3000.0, 7)],   # first non-null for b — prev must be None,
+        [("b", 4000.0, 2)],   # then 7 here (NaN-poisoned state loses it)
+    ]
+    src = _write_chunks(
+        tmp_path, "nullv", "key string, tsec double, value long", chunks, spark
+    )
+
+    def pipe(s):
+        return s.sum_by_key("key", "value", semigroup="sum_long",
+                            batcher=sb.of_days(1))
+
+    bdf = (spark.read.schema("key string, tsec double, value long")
+           .parquet(src)
+           .select("key", F.timestamp_seconds(F.col("tsec")).alias("ts"),
+                   "value"))
+    batch = {
+        (r.key, r.batch_id): r.delta
+        for r in to_dataframe(spark, pipe(bsource(bdf, time_col="ts"))).collect()
+    }
+
+    for tag, kb in [("perkey", None), ("bucketed", 2)]:
+        s = stream_source(src, "key string, tsec double, value long",
+                          time_col="tsec", max_files_per_trigger=1)
+        pl = StreamPlanner(spark, summer_key_buckets=kb)
+        q = pl.plan(pipe(s)).start_to_memory(spark, f"nullv_{tag}")
+        q.awaitTermination(120)
+        rows = spark.sql(f"SELECT * FROM nullv_{tag}").collect()
+        # per-(key,batch) totals: fold deltas null-safely across triggers
+        got_tot = {}
+        for r in rows:
+            if r.delta is not None:
+                k = (r.key, r.batch_id)
+                got_tot[k] = got_tot.get(k, 0) + r.delta
+        assert got_tot == {k: v for k, v in batch.items()
+                           if v is not None}, tag
+        # the poisoning symptom, asserted directly: b's 4th-trigger row
+        # must carry prev=7 (NaN state would make it None)
+        b_rows = sorted(((r.prev, r.delta) for r in rows if r.key == "b"),
+                        key=repr)
+        assert (7, 2) in b_rows, (tag, b_rows)
+        assert (None, 7) in b_rows, (tag, b_rows)
+        # all-null trigger groups emit a NULL delta but never advance state
+        assert (None, None) in b_rows, (tag, b_rows)
+        a_rows = sorted(((r.prev, r.delta) for r in rows if r.key == "a"),
+                        key=repr)
+        assert (None, 1) in a_rows and (1, 4) in a_rows, (tag, a_rows)
+
+    # general-semigroup path (noncommutative concat): a NULL value must
+    # be skipped, not fed to py_merge (str + NaN = TypeError pre-fix)
+    csrc = _write_chunks(
+        tmp_path, "nullc", "key string, tsec double, value string",
+        [[("a", 1000.0, "x"), ("a", 1001.0, None)],
+         [("a", 2000.0, "y"), ("b", 2001.0, None)]],
+        spark,
+    )
+
+    def cpipe(s):
+        return s.sum_by_key("key", "value", semigroup="concat",
+                            batcher=sb.of_days(1))
+
+    for tag, kb in [("perkey", None), ("bucketed", 2)]:
+        s = stream_source(csrc, "key string, tsec double, value string",
+                          time_col="tsec", max_files_per_trigger=1)
+        q = (StreamPlanner(spark, summer_key_buckets=kb)
+             .plan(cpipe(s)).start_to_memory(spark, f"nullc_{tag}"))
+        q.awaitTermination(120)
+        got = sorted(
+            ((r.key, r.prev, r.delta)
+             for r in spark.sql(f"SELECT * FROM nullc_{tag}").collect()),
+            key=repr,
+        )
+        assert ("a", None, "x") in got and ("a", "x", "y") in got, (tag, got)
+        assert ("b", None, None) in got, (tag, got)
+
+
 def test_bucketed_summer_restart_recovers_state(spark, tmp_path):
     """Kill-mid-stream + restart recovery for the BUCKETED summer
     (VERDICT r11 item 5): its state is a pickled {(key_tuple, batch):
