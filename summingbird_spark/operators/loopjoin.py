@@ -94,12 +94,38 @@ def loop_join(
         *keys, *order_cols
     )
 
+    def _null_scalar(v) -> bool:
+        # pandas shows a SQL NULL as NaN/NaT, and ``v is not None`` lets
+        # it through — a lifted NaN would poison the running state where
+        # the JVM fast path (F.sum over the window) skips nulls (r12
+        # self-review find, same class as the streaming summer's)
+        if v is None:
+            return True
+        try:
+            import pandas as pd
+
+            return bool(pd.isna(v))
+        except (TypeError, ValueError):
+            return False
+
+    def _norm_kt(kt) -> tuple:
+        # NaN != NaN would treat every row of a NULL-keyed run as a NEW
+        # key and reset its state per row; normalize to None (one run),
+        # matching the JVM path where partitionBy groups NULLs together
+        return tuple(
+            None if (x is None or (isinstance(x, float) and x != x)) else x
+            for x in kt
+        )
+
+    _UNSEEN = object()  # distinct from any real key incl. all-None
+
     def scan_partition(chunks):
-        cur_key, state = None, None
+        cur_key, state = _UNSEEN, None
         for pdf in chunks:
             joined = []
             key_iter = zip(*[pdf[k] for k in keys])
             for kt, v in zip(key_iter, pdf[value_col]):
+                kt = _norm_kt(kt)
                 if kt != cur_key:
                     cur_key, state = kt, None
                 joined.append(state)
@@ -112,7 +138,7 @@ def loop_join(
                 if transform is not None:
                     upd = transform(v, state)
                 else:
-                    upd = sg.py_lift(v) if v is not None else None
+                    upd = sg.py_lift(v) if not _null_scalar(v) else None
                 if upd is not None:
                     state = upd if state is None else sg.py_merge(state, upd)
             pdf = pdf.copy()

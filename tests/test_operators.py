@@ -42,6 +42,43 @@ def test_loop_join_general_scanleft(spark):
     assert got == want
 
 
+def test_loop_join_general_path_null_values_and_null_keys(spark):
+    """The general (mapInPandas) scan must treat SQL NULLs the way the
+    JVM window fast path does (r12 self-review find, same class as the
+    streaming summer's NULL poisoning):
+
+    1. a NULL value is SKIPPED, not lifted — pandas shows it as NaN and
+       the old ``v is not None`` check let it through, so a set-semigroup
+       state became {nan} and a sum state NaN forever;
+    2. a NULL key is ONE run, not |rows| runs — NaN != NaN reset the
+       state on every row, so NULL-keyed rows never saw prior state.
+    """
+    rows = [
+        (ts(0), "k", 1), (ts(1), "k", None), (ts(2), "k", 3),
+        (ts(3), None, 5), (ts(4), None, None), (ts(5), None, 7),
+    ]
+    df = spark.createDataFrame(rows, "t timestamp, key string, v long")
+    # 'set' has no JVM fast path → exercises the general scan
+    out = loop_join(df, "key", "t", "v", out_col="seen", semigroup="set")
+    got = {(r.key, r.v): r.seen for r in out.collect()}
+    assert got[("k", 1)] is None
+    assert sorted(got[("k", None)]) == [1]      # null value did not poison
+    assert sorted(got[("k", 3)]) == [1]         # ...and was not folded
+    assert got[(None, 5)] is None               # null key: fresh state
+    assert sorted(got[(None, None)]) == [5]     # ...ONE run, state carried
+    assert sorted(got[(None, 7)]) == [5]
+
+    # parity with the JVM fast path on the same null-bearing data
+    fast = loop_join(df, "key", "t", "v", out_col="s", semigroup="sum_long")
+    slow = loop_join(df, "key", "t", "v", out_col="s", semigroup="sum_long",
+                     transform=lambda v, state: None if v is None or v != v
+                     else int(v))
+    f = {(r.key, r.v): r.s for r in fast.collect()}
+    s = {(r.key, r.v): r.s for r in slow.collect()}
+    assert f == s == {("k", 1): None, ("k", None): 1, ("k", 3): 1,
+                      (None, 5): None, (None, None): 5, (None, 7): 5}
+
+
 def test_asof_join_deletion_semantics(spark):
     """A NULL changelog value is a deletion: later lookups see None, not
     the stale value (BatchedService changelog contract, FIXTURES F4)."""
