@@ -105,6 +105,7 @@ class TemporalService(Service):
         semigroup="sum",
         value_cols: Optional[Sequence[str]] = None,
         max_age_seconds: Optional[float] = None,
+        key_buckets: "int | None" = 64,
     ):
         if mode not in ("latest", "sum"):
             raise ValueError(f"TemporalService mode {mode!r}: 'latest' or 'sum'")
@@ -114,6 +115,10 @@ class TemporalService(Service):
         self.semigroup = semigroup
         self.value_cols = list(value_cols) if value_cols else None
         self.max_age_seconds = max_age_seconds
+        # streaming-planner state granularity (hash(on)%buckets; None =
+        # per-key) — see streaming.temporal.streaming_as_of_join; ignored
+        # by the batch planner (one-shuffle union+window, no state)
+        self.key_buckets = key_buckets
 
 
 class StoreService(Service):
@@ -144,6 +149,7 @@ class StoreService(Service):
         semigroup=None,
         out_col: str = "joined",
         order_by: Optional[Sequence[str]] = None,
+        key_buckets: "int | None" = 64,
     ):
         super().__init__(loader=None, broadcast=False)
         self.store = store
@@ -151,6 +157,7 @@ class StoreService(Service):
         self.semigroup = semigroup
         self.out_col = out_col
         self.order_by = list(order_by) if order_by else []
+        self.key_buckets = key_buckets  # streaming state granularity
 
     def resolved_semigroup(self):
         if self.semigroup is not None:

@@ -291,6 +291,7 @@ class StreamPlanner(BatchPlanner):
             out = streaming_self_loop(
                 with_delta, node.on, "__loop_delta__", svc.out_col,
                 semigroup=svc.resolved_semigroup(), order_by=svc.order_by,
+                key_buckets=getattr(svc, "key_buckets", 64),
             )
             return out.drop("__loop_delta__")
         if isinstance(node.service, TemporalService):
@@ -304,6 +305,7 @@ class StreamPlanner(BatchPlanner):
                 value_cols=svc.value_cols, mode=svc.mode,
                 semigroup=svc.semigroup,
                 max_age_seconds=svc.max_age_seconds,
+                key_buckets=getattr(svc, "key_buckets", 64),
             )
         if isinstance(node.service, BufferService):
             svc = node.service

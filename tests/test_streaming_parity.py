@@ -609,6 +609,92 @@ def _asof_reference(pdf, st, left_cols, value_cols, is_latest, sg, max_age):
 
 
 @pytest.mark.parametrize(
+    "is_latest,max_age",
+    [(True, None), (True, 120.0), (False, None), (False, 120.0)],
+)
+def test_asof_bucket_vectorized_matches_per_key_composition(is_latest, max_age):
+    """Differential fuzz for the r12 vectorized bucket kernel, pure
+    pandas (no Spark): `_asof_bucket_vectorized` over a multi-key frame
+    must equal running `_asof_group` per key and concatenating — same
+    output rows AND byte-compatible per-key states — across 3 carried
+    trigger frames with NULL keys, NULL right values (deletions), and
+    ragged key activity. sum mode uses sum_long (the vectorized fast
+    path; general semigroups never reach this kernel)."""
+    import random
+
+    import pandas as pd
+
+    from summingbird_spark.core import semigroup as sg_mod
+    from summingbird_spark.streaming.stateful import norm_key_tuple
+    from summingbird_spark.streaming.temporal import (
+        _asof_bucket_vectorized,
+        _asof_group,
+    )
+
+    sg = sg_mod.get("sum_long")
+    rng = random.Random(13)
+    base = dt.datetime(2024, 1, 1)
+    keys = ["a", "b", "c", None, "e"]
+    left_cols = ["pid", "k", "__at__", "__is_left__"]
+    out_names = ["pid", "k", "__at__", "__is_left__", "v"]
+
+    def frame(n, pid0):
+        rows = []
+        for i in range(n):
+            t = base + dt.timedelta(seconds=rng.randrange(0, 3600))
+            k = rng.choice(keys)
+            if rng.random() < 0.45:
+                v = None if rng.random() < 0.2 else rng.randrange(0, 50)
+                rows.append({"pid": None, "k": k, "__at__": t,
+                             "__is_left__": 0, "v": v})
+            else:
+                rows.append({"pid": pid0 + i, "k": k, "__at__": t,
+                             "__is_left__": 1, "v": None})
+        pdf = pd.DataFrame(rows)
+        pdf["__at__"] = pd.to_datetime(pdf["__at__"])
+        return pdf
+
+    vec_states: dict = {}
+    ref_states: dict = {}
+    for trig in range(3):
+        pdf = frame(300, trig * 1000)
+        got = _asof_bucket_vectorized(
+            pdf.copy(), vec_states, ["k"], [], [], left_cols, ["v"],
+            is_latest, max_age, out_names,
+        )
+        # reference: per-key _asof_group composition (the pre-r12 path)
+        outs = []
+        for gk, grp in pdf.groupby(["k"], sort=False, dropna=False):
+            kt = norm_key_tuple(gk if isinstance(gk, tuple) else (gk,))
+            o, st_new = _asof_group(
+                grp.copy(), ref_states.get(kt), left_cols, ["v"],
+                is_latest, sg, max_age,
+            )
+            if st_new is not None:
+                ref_states[kt] = st_new
+            outs.append(o)
+        want = pd.concat(outs, ignore_index=True)
+
+        def canon(df):
+            return sorted(
+                (
+                    (r.pid, None if pd.isna(r.k) else r.k,
+                     None if pd.isna(r.v) else int(r.v))
+                    for r in df.itertuples()
+                ),
+                key=repr,
+            )
+
+        assert canon(got) == canon(want), (trig, is_latest, max_age)
+        assert len(got) > 50
+        # state parity: same keys, same contents (repr-normalized)
+        norm_state = lambda d: {k: repr(v) for k, v in d.items()}
+        assert norm_state(vec_states) == norm_state(ref_states), (
+            trig, is_latest, max_age,
+        )
+
+
+@pytest.mark.parametrize(
     "is_latest,max_age", [(True, None), (True, 120.0), (False, None), (False, 120.0)]
 )
 def test_asof_group_kernel_matches_reference(is_latest, max_age):
@@ -1727,6 +1813,68 @@ def test_temporal_key_buckets_match_per_key_state(spark, temporal_dirs):
         return run(out.drop(TIME_COL), f"lkb_{tag}")
 
     assert loop(None, "pk") == loop(3, "bk") != []
+
+
+def test_service_key_buckets_passthrough_dsl(spark, temporal_dirs):
+    """TemporalService and StoreService expose ``key_buckets`` to the DSL
+    (r12 — previously the streaming planner always used the kernel
+    default, so a DSL user could not choose per-key state for fine
+    eviction or size buckets for their keyset). Physical state rows must
+    track the setting; output must not change."""
+    from summingbird_spark.core.graph import TIME_COL
+
+    def run_asof(kb, name):
+        lsrc = stream_source(temporal_dirs["left"], L_SCHEMA, time_col="ts",
+                             max_files_per_trigger=1)
+        rsrc = stream_source(temporal_dirs["right"], R_SCHEMA,
+                             max_files_per_trigger=1)
+        p = _asof_dag(lsrc, rsrc, "latest", key_buckets=kb)
+        q = StreamPlanner(spark).plan(p).start_to_memory(spark, name)
+        q.awaitTermination(120)
+        rows = sorted(
+            (r.probe_id, r.rv)
+            for r in spark.sql(f"SELECT probe_id, rv FROM {name}").collect()
+        )
+        state = max(
+            (op.get("numRowsTotal", 0)
+             for pr in q.recentProgress
+             for op in pr.get("stateOperators", [])),
+            default=0,
+        )
+        return rows, state
+
+    out_b, st_b = run_asof(2, "svckb_b")
+    out_p, st_p = run_asof(None, "svckb_p")
+    assert out_b == out_p and len(out_b) > 100
+    assert 0 < st_b <= 2 < st_p  # bucketed collapsed; per-key = |keys|
+
+    # StoreService: the loop join honors it too
+    def run_loop(kb, name):
+        lsrc = stream_source(temporal_dirs["left"], L_SCHEMA, time_col="ts",
+                             max_files_per_trigger=1)
+        svc = sb.StoreService(value=F.col("probe_id") % 5,
+                              semigroup="sum_long", out_col="run",
+                              key_buckets=kb)
+        p = lsrc.left_join(svc, on="key")
+        q = (StreamPlanner(spark).plan(p).dataframe.drop(TIME_COL)
+             .writeStream.format("memory").queryName(name)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = sorted(
+            map(tuple, spark.sql(f"SELECT probe_id, run FROM {name}").collect())
+        )
+        state = max(
+            (op.get("numRowsTotal", 0)
+             for pr in q.recentProgress
+             for op in pr.get("stateOperators", [])),
+            default=0,
+        )
+        return rows, state
+
+    lo_b, lst_b = run_loop(2, "svclb_b")
+    lo_p, lst_p = run_loop(None, "svclb_p")
+    assert lo_b == lo_p and len(lo_b) > 100
+    assert 0 < lst_b <= 2 < lst_p
 
 
 def test_drop_duplicates_within_watermark_pinned_semantics(spark, tmp_path):
