@@ -215,6 +215,39 @@ def _delta_type(sg, value_spark_type: str) -> str:
     return sg.carrier_type(value_spark_type)
 
 
+def _scalar(v):
+    """numpy scalar → python (dict/state values must pickle stably and
+    compare across triggers)."""
+    return v.item() if hasattr(v, "item") else v
+
+
+#: C-speed pandas groupby replacements for the per-group python fold —
+#: each is SQL null-skipping (all-null group → None, matching
+#: ``_agg_group``) and EXACT regardless of evaluation order for any
+#: value dtype, so fast and slow paths agree bitwise. avg/moments are
+#: deliberately absent: their float partial sums depend on fold order at
+#: the last ulp, and the sequential py_agg order is the pinned contract
+#: (see spark-graft cross-engine determinism notes in SCALING.md).
+_PANDAS_FAST_AGG = {
+    "sum_long": lambda gb: (
+        gb.sum(min_count=1),
+        lambda v: None if pd.isna(v) else int(v),
+    ),
+    "count": lambda gb: (
+        gb.count(),
+        lambda v: int(v) if v > 0 else None,
+    ),
+    "min": lambda gb: (
+        gb.min(),
+        lambda v: None if pd.isna(v) else _scalar(v),
+    ),
+    "max": lambda gb: (
+        gb.max(),
+        lambda v: None if pd.isna(v) else _scalar(v),
+    ),
+}
+
+
 def stateful_summer(
     base: DataFrame,
     keys: list[str],
@@ -271,7 +304,7 @@ def stateful_summer(
     state_schema = "state binary"
     commutative = sg.commutative
     out_cols = [n for n, _ in key_types] + ["batch_id", "prev", "delta"]
-    exact_sum = getattr(sg, "name", None) == "sum_long"
+    fast_agg = _PANDAS_FAST_AGG.get(getattr(sg, "name", None))
 
     def _null_scalar(v) -> bool:
         if v is None:
@@ -317,16 +350,16 @@ def stateful_summer(
         totals: dict = pickle.loads(bytes(state.get[0])) if state.exists else {}
         fresh: dict = {}
         for pdf in pdfs:
-            if exact_sum:
-                # C-speed per-batch sums; min_count=1 = SQL null-skipping
-                # (all-null → NaN → delta None). Kills the per-ROW python
-                # fold on hot keys.
-                s = pdf.groupby("batch_id", sort=False)[value_alias].sum(
-                    min_count=1
+            if fast_agg is not None:
+                # C-speed per-batch aggregation (sum/count/min/max) with
+                # SQL null-skipping semantics — kills the per-ROW python
+                # fold on hot keys. Only order-free-exact semigroups are
+                # in the table, so results match the fold bitwise.
+                s, conv = fast_agg(
+                    pdf.groupby("batch_id", sort=False)[value_alias]
                 )
                 for b, v in s.items():
-                    d = None if pd.isna(v) else int(v)
-                    fresh[int(b)] = _merge_fresh(fresh.get(int(b)), d)
+                    fresh[int(b)] = _merge_fresh(fresh.get(int(b)), conv(v))
                 continue
             if not commutative:
                 pdf = pdf.sort_values(TIME_COL, kind="stable")
@@ -372,17 +405,16 @@ def stateful_summer(
             # then keep NULL KEYS (dropna=False), which Spark's own
             # groupBy(*keys) keeps in per-key mode
             pdf = pdf[pdf["batch_id"].notna()]
-            if exact_sum:
-                # sum_long: one C-speed groupby-sum over the whole bucket
-                # — no per-key sub-frame materialization, no per-row
-                # python fold; min_count=1 = SQL null-skipping semantics
-                s = pdf.groupby(gcols, sort=False, dropna=False)[
-                    value_alias
-                ].sum(min_count=1)
+            if fast_agg is not None:
+                # one C-speed groupby aggregation over the whole bucket —
+                # no per-key sub-frame materialization, no per-row python
+                # fold; SQL null-skipping semantics (all-null → None)
+                s, conv = fast_agg(
+                    pdf.groupby(gcols, sort=False, dropna=False)[value_alias]
+                )
                 for gk, v in s.items():
-                    d = None if pd.isna(v) else int(v)
                     cell = cell_of(gk)
-                    fresh[cell] = _merge_fresh(fresh.get(cell), d)
+                    fresh[cell] = _merge_fresh(fresh.get(cell), conv(v))
                 continue
             if not commutative:
                 pdf = pdf.sort_values(TIME_COL, kind="stable")

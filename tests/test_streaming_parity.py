@@ -2265,6 +2265,36 @@ def test_summer_null_values_match_batch_sql(spark, tmp_path):
                         key=repr)
         assert (None, 1) in a_rows and (1, 4) in a_rows, (tag, a_rows)
 
+    # the other _PANDAS_FAST_AGG members (count/min/max) must match the
+    # batch planner on the same null-bearing corpus, per-key and bucketed
+    for sgn in ["count", "min", "max"]:
+        def spipe(s, sgn=sgn):
+            return s.sum_by_key("key", "value", semigroup=sgn,
+                                batcher=sb.of_days(1))
+
+        want = {
+            (r.key, r.batch_id): r.delta
+            for r in to_dataframe(spark, spipe(bsource(bdf, time_col="ts"))).collect()
+        }
+        for tag, kb in [("pk", None), ("bk", 2)]:
+            s = stream_source(src, "key string, tsec double, value long",
+                              time_col="tsec", max_files_per_trigger=1)
+            q = (StreamPlanner(spark, summer_key_buckets=kb)
+                 .plan(spipe(s)).start_to_memory(spark, f"fa_{sgn}_{tag}"))
+            q.awaitTermination(120)
+            got = {}
+            for r in spark.sql(f"SELECT * FROM fa_{sgn}_{tag}").collect():
+                if r.delta is not None:
+                    k = (r.key, r.batch_id)
+                    if sgn == "count":
+                        got[k] = got.get(k, 0) + r.delta
+                    elif sgn == "min":
+                        got[k] = min(got.get(k, r.delta), r.delta)
+                    else:
+                        got[k] = max(got.get(k, r.delta), r.delta)
+            assert got == {k: v for k, v in want.items()
+                           if v is not None}, (sgn, tag)
+
     # general-semigroup path (noncommutative concat): a NULL value must
     # be skipped, not fed to py_merge (str + NaN = TypeError pre-fix)
     csrc = _write_chunks(
