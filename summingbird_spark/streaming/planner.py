@@ -359,15 +359,20 @@ class StreamPlanner(BatchPlanner):
             probe_df = _ProbePlanner(self.spark, self.options).compile(
                 node.parents[0]
             )
-        except _NoProbeTwin as e:
+            parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            chosen = auto_key_buckets(probe_df, list(node.keys), parts)
+        except Exception as e:  # noqa: BLE001 — a SIZING probe must never
+            # kill the plan: no batch twin (_NoProbeTwin), a service whose
+            # loader is stream-only, an AnalysisException from a
+            # batch-incompatible prefix — all degrade to the static
+            # default out loud
             warnings.warn(
-                f"summer_key_buckets='auto': {e}; using the static default "
-                "64 — pass an int to silence this",
+                f"summer_key_buckets='auto' probe failed ({type(e).__name__}:"
+                f" {e}); using the static default 64 — pass an int to"
+                " silence this",
                 RuntimeWarning,
             )
             return 64
-        parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        chosen = auto_key_buckets(probe_df, list(node.keys), parts)
         self.last_auto_key_buckets = chosen  # introspection/test hook
         return chosen
 
