@@ -527,3 +527,25 @@ def test_misra_gries_semigroup_guarantees(spark):
     )
     [r] = df.select(sg.merge(F.col("a"), F.col("b")).alias("m")).collect()
     assert dict(r.m) == sg.py_merge(a, b)
+
+
+def test_quantile_sketch_numpy_agg_bitwise_matches_fold():
+    """The r12 numpy py_agg override (binning + bincount) must equal the
+    base sequential lift-and-merge fold EXACTLY — bin counts are
+    order-free integers, so any divergence is a binning bug (int()
+    truncation-toward-zero vs floor at the clamped edges is the trap)."""
+    import random
+
+    from summingbird_spark.core.semigroup import (
+        QuantileSketchSemigroup,
+        Semigroup,
+    )
+
+    sg = QuantileSketchSemigroup(0.0, 100.0, bins=50)
+    rnd = random.Random(21)
+    vals = [round(rnd.uniform(-30, 130), 3) for _ in range(5000)]
+    vals += [0.0, 99.999, 100.0, -0.001, 2.0, 1.9999999]  # edges
+    got = sg.py_agg(list(vals))
+    want = Semigroup.py_agg(sg, list(vals))  # base per-row fold
+    assert got == want
+    assert sum(got.values()) == len(vals)
