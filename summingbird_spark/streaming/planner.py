@@ -291,7 +291,9 @@ class StreamPlanner(BatchPlanner):
             out = streaming_self_loop(
                 with_delta, node.on, "__loop_delta__", svc.out_col,
                 semigroup=svc.resolved_semigroup(), order_by=svc.order_by,
-                key_buckets=getattr(svc, "key_buckets", 64),
+                key_buckets=self._resolve_key_buckets(
+                    getattr(svc, "key_buckets", 64), node.parents[0], node.on
+                ),
             )
             return out.drop("__loop_delta__")
         if isinstance(node.service, TemporalService):
@@ -305,7 +307,9 @@ class StreamPlanner(BatchPlanner):
                 value_cols=svc.value_cols, mode=svc.mode,
                 semigroup=svc.semigroup,
                 max_age_seconds=svc.max_age_seconds,
-                key_buckets=getattr(svc, "key_buckets", 64),
+                key_buckets=self._resolve_key_buckets(
+                    getattr(svc, "key_buckets", 64), node.parents[0], node.on
+                ),
             )
         if isinstance(node.service, BufferService):
             svc = node.service
@@ -341,33 +345,34 @@ class StreamPlanner(BatchPlanner):
         # option class, scoped by .name() markers — Options.getFirst),
         # then the planner-wide default
         kb = self._opt("summer_key_buckets", self.summer_key_buckets)
-        if kb == "auto":
-            kb = self._auto_summer_buckets(node)
+        kb = self._resolve_key_buckets(kb, node.parents[0], node.keys)
         return stateful_summer(base, node.keys, va, sg, key_buckets=kb)
 
-    def _auto_summer_buckets(self, node: g.Summer) -> "int | None":
-        """Resolve ``summer_key_buckets='auto'``: one plan-time
-        approx_count_distinct over the summer's keys, evaluated on the
-        BATCH twin of the stream's stateless prefix (see class docstring).
-        Falls back to 64 (static default) when any upstream source lacks
-        a batch twin."""
+    def _resolve_key_buckets(self, kb, parent: g.Producer, keys) -> "int | None":
+        """Resolve a ``key_buckets`` setting: ints/None pass through;
+        ``"auto"`` runs one plan-time approx_count_distinct over ``keys``
+        evaluated on the BATCH twin of ``parent``'s stateless prefix (see
+        class docstring). Used by the summer AND the temporal/loop
+        services (their state is keyed by the join key, so the left
+        side's key cardinality is the right estimate). Falls back to 64
+        (static default) on ANY probe failure — a sizing heuristic must
+        never kill the plan: no batch twin (_NoProbeTwin), a stream-only
+        service loader in the prefix, an AnalysisException from a
+        batch-incompatible prefix — all degrade out loud."""
+        if kb != "auto":
+            return kb
         import warnings
 
         from .stateful import auto_key_buckets
 
+        keys = [keys] if isinstance(keys, str) else list(keys)
         try:
-            probe_df = _ProbePlanner(self.spark, self.options).compile(
-                node.parents[0]
-            )
+            probe_df = _ProbePlanner(self.spark, self.options).compile(parent)
             parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-            chosen = auto_key_buckets(probe_df, list(node.keys), parts)
-        except Exception as e:  # noqa: BLE001 — a SIZING probe must never
-            # kill the plan: no batch twin (_NoProbeTwin), a service whose
-            # loader is stream-only, an AnalysisException from a
-            # batch-incompatible prefix — all degrade to the static
-            # default out loud
+            chosen = auto_key_buckets(probe_df, keys, parts)
+        except Exception as e:  # noqa: BLE001
             warnings.warn(
-                f"summer_key_buckets='auto' probe failed ({type(e).__name__}:"
+                f"key_buckets='auto' probe failed ({type(e).__name__}:"
                 f" {e}); using the static default 64 — pass an int to"
                 " silence this",
                 RuntimeWarning,

@@ -2444,6 +2444,18 @@ def test_summer_key_buckets_auto_sizes_from_cardinality(spark, tmp_path):
         pl2.plan(_pipeline(raw))
     assert any("auto" in str(x.message) for x in rec)
 
+    # 'auto' resolves for the temporal services too (state keyed by the
+    # join key → left-side cardinality probe); tiny corpus floors at 8
+    lsrc = stream_source(small, SCHEMA, time_col="ts")
+    svc = sb.TemporalService(
+        lambda sp: sp.read.schema(SCHEMA).parquet(large)
+        .select("key", F.col("ts").alias("rts"), F.col("value").alias("rv")),
+        time_col="rts", mode="latest", key_buckets="auto",
+    )
+    pl3 = StreamPlanner(spark)
+    pl3.plan(lsrc.left_join(svc, on="key"))
+    assert pl3.last_auto_key_buckets == 8
+
     # kernel-level guard: 'auto' must not reach stateful_summer directly
     from summingbird_spark.core import semigroup as sg_mod
     from summingbird_spark.streaming.stateful import stateful_summer
