@@ -549,3 +549,49 @@ def test_quantile_sketch_numpy_agg_bitwise_matches_fold():
     want = Semigroup.py_agg(sg, list(vals))  # base per-row fold
     assert got == want
     assert sum(got.values()) == len(vals)
+
+
+def test_pandas_fast_agg_table_matches_fold_fuzz():
+    """Every _PANDAS_FAST_AGG member must equal the null-skipping python
+    fold (lift + py_merge over non-null values; all-null group → None)
+    on randomized groups across dtype edges: int64, float64-with-NaN
+    (nullable bigint shape), negatives, single-row and all-null groups.
+    These are the C-speed kernels the streaming summer dispatches to —
+    any divergence is a silent cross-path inconsistency."""
+    import random
+
+    import pandas as pd
+
+    from summingbird_spark.core import semigroup as sg_mod
+    from summingbird_spark.streaming.stateful import _PANDAS_FAST_AGG
+
+    rnd = random.Random(99)
+    for trial in range(30):
+        n_groups = rnd.randrange(1, 12)
+        rows = []
+        for gi in range(n_groups):
+            size = rnd.choice([1, 2, 7, 40])
+            all_null = rnd.random() < 0.2
+            for _ in range(size):
+                v = (None if (all_null or rnd.random() < 0.25)
+                     else rnd.randrange(-1000, 1000))
+                rows.append((f"g{gi}", v))
+        pdf = pd.DataFrame(rows, columns=["batch_id", "v"])
+        # float64-with-NaN shape on odd trials (the Arrow nullable path)
+        if trial % 2:
+            pdf["v"] = pdf["v"].astype("float64")
+        for name, fa in _PANDAS_FAST_AGG.items():
+            sg = sg_mod.get(name)
+            s, conv = fa(pdf.groupby("batch_id", sort=False)["v"])
+            got = {k: conv(v) for k, v in s.items()}
+            want = {}
+            for gk, grp in pdf.groupby("batch_id", sort=False):
+                vals = [x for x in grp["v"]
+                        if x is not None and not (isinstance(x, float) and x != x)]
+                want[gk] = sg.py_agg(vals) if vals else None
+            # fast path emits python scalars; fold may produce numpy —
+            # normalize via int() where non-null numeric
+            norm = lambda d: {k: (None if v is None else
+                                  int(v) if float(v) == int(v) else float(v))
+                              for k, v in d.items()}
+            assert norm(got) == norm(want), (trial, name)
