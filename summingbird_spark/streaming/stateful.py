@@ -129,28 +129,49 @@ def integral_key_cols(df: DataFrame, keys: list[str]) -> list[str]:
     ]
 
 
-def guard_int_keys(pdf: pd.DataFrame, int_keys: list[str]) -> None:
+def guard_int_keys(
+    pdf: pd.DataFrame, int_keys: list[str], int_values: list[str] = ()
+) -> None:
     """Fail loudly where silent corruption would start: a nullable
-    integral key column arrives in pandas as float64 when the batch also
+    integral column arrives in pandas as float64 when the batch also
     carries a NULL for it, and values beyond ±2^53 are already rounded by
-    that conversion — wrong state identity AND wrong emitted key (ADVICE
-    r11). Per-key mode never round-trips keys through pandas and is
-    immune, so the error names the escape hatch."""
-    for k in int_keys:
-        col = pdf[k]
-        if col.dtype.kind != "f":
-            continue
-        import numpy as np
+    that conversion (ADVICE r11). For KEY columns that means wrong state
+    identity and wrong emitted keys — per-key mode never round-trips keys
+    through pandas, so the error names that escape hatch. For sum_long
+    VALUE columns (``int_values``) it means wrong sums where the batch
+    planner's JVM F.sum is exact — both per-key and bucketed kernels read
+    values through pandas, so the remedy is upstream (no same-batch
+    NULLs, or a decimal/string carrier)."""
+    import numpy as np
 
+    def _max_exceeds(col) -> bool:
+        if col.dtype.kind != "f":
+            return False
         vals = col.to_numpy()
         finite = np.isfinite(vals)
-        if finite.any() and float(np.abs(vals[finite]).max()) >= _F64_EXACT_INT:
+        return bool(
+            finite.any()
+            and float(np.abs(vals[finite]).max()) >= _F64_EXACT_INT
+        )
+
+    for k in int_keys:
+        if _max_exceeds(pdf[k]):
             raise ValueError(
                 f"bucketed streaming state: integral key column {k!r} holds "
                 "values at or beyond 2^53 in a micro-batch that also carries "
                 "NULLs for it — the Arrow→pandas float64 round-trip corrupts "
                 "such keys silently. Use key_buckets=None (per-key state "
                 "never passes keys through pandas) for this stream."
+            )
+    for c in int_values:
+        if _max_exceeds(pdf[c]):
+            raise ValueError(
+                f"streaming stateful kernel: integral value column {c!r} "
+                "holds values at or beyond 2^53 in a micro-batch that also "
+                "carries NULLs for it — the Arrow→pandas float64 round-trip "
+                "corrupts such values silently (the batch planner's JVM "
+                "aggregation is exact). Keep NULLs out of this column's "
+                "micro-batches or use a decimal carrier."
             )
 
 
@@ -346,10 +367,13 @@ def stateful_summer(
             rows.append(make_row(cell, prev, d))
         return rows
 
+    int_vals = integral_key_cols(base, [value_alias])
+
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         totals: dict = pickle.loads(bytes(state.get[0])) if state.exists else {}
         fresh: dict = {}
         for pdf in pdfs:
+            guard_int_keys(pdf, [], int_vals)
             if fast_agg is not None:
                 # C-speed per-batch aggregation (sum/count/min/max) with
                 # SQL null-skipping semantics — kills the per-ROW python
@@ -399,7 +423,7 @@ def stateful_summer(
             return (sentinel_key_tuple(kvals, fvals, flagged_pos), int(b))
 
         for pdf in pdfs:
-            guard_int_keys(pdf, int_keys)
+            guard_int_keys(pdf, int_keys, int_vals)
             # per-key mode's pdf.groupby("batch_id") silently drops
             # null-batch rows (dropna default) — match it explicitly,
             # then keep NULL KEYS (dropna=False), which Spark's own

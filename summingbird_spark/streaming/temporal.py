@@ -124,9 +124,12 @@ def streaming_as_of_join(
     if not is_latest and mode != "sum":
         raise ValueError(f"unknown as-of mode {mode!r}")
 
+    int_vals_pk = integral_key_cols(u, value_cols)
+
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         st = pickle.loads(bytes(state.get[0])) if state.exists else None
         pdf = pd.concat(list(pdfs), ignore_index=True)
+        guard_int_keys(pdf, [], int_vals_pk)
         out, st = _asof_group(
             pdf, st, left_cols, value_cols, is_latest, sg, max_age_seconds
         )
@@ -142,6 +145,7 @@ def streaming_as_of_join(
     out_names = [n for n, _ in out_fields]
     u2, flag_names, flagged_pos = bucket_by_key_hash(u, on, int(key_buckets))
     int_keys = integral_key_cols(u, on)
+    int_vals = integral_key_cols(u, value_cols)
     n_on = len(on)
     exact_int = getattr(sg, "name", None) == "sum_long"
 
@@ -152,7 +156,7 @@ def streaming_as_of_join(
         # hashing into this bucket
         states: dict = pickle.loads(bytes(state.get[0])) if state.exists else {}
         pdf = pd.concat(list(pdfs), ignore_index=True)
-        guard_int_keys(pdf, int_keys)
+        guard_int_keys(pdf, int_keys, int_vals)
         if is_latest or exact_int:
             # vectorized ACROSS keys: the 10× scale probe measured the
             # per-key pandas slicing of the old groupby loop at ~1.5 ms/key
@@ -661,9 +665,13 @@ def streaming_self_loop(
         out[out_col] = seen
         return out, st
 
+    int_vals_pk = integral_key_cols(df, [delta_col])
+
     def fn(key, pdfs, state: GroupState):
         st = pickle.loads(bytes(state.get[0])) if state.exists else None
-        out, st = _loop_group(pd.concat(list(pdfs), ignore_index=True), st)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        guard_int_keys(pdf, [], int_vals_pk)
+        out, st = _loop_group(pdf, st)
         state.update((pickle.dumps(st),))
         yield out
 
@@ -674,13 +682,14 @@ def streaming_self_loop(
 
     b2, flag_names, flagged_pos = bucket_by_key_hash(df, on, int(key_buckets))
     int_keys = integral_key_cols(df, on)
+    int_vals = integral_key_cols(df, [delta_col])
     n_on = len(on)
 
     def fn_bucketed(bucket, pdfs, state: GroupState):
         # state: {key_tuple: running fold} for every key in this bucket
         states: dict = pickle.loads(bytes(state.get[0])) if state.exists else {}
         pdf = pd.concat(list(pdfs), ignore_index=True)
-        guard_int_keys(pdf, int_keys)
+        guard_int_keys(pdf, int_keys, int_vals)
         if not exact_int:
             # general semigroups: per-key sequential fold by definition.
             # __knan__ companions in the group key keep a NaN key distinct

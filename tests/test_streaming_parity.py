@@ -2177,6 +2177,29 @@ def test_bucketed_state_guards_unrepresentable_int_keys(spark, tmp_path):
         if q.exception() is not None:
             raise q.exception()
 
+    # the VALUE-side twin (r12): a bigint value column at/beyond 2^53
+    # alongside a NULL value in the same batch corrupts the sum where
+    # batch F.sum is exact — must raise, in PER-KEY mode too
+    vsrc = _write_chunks(
+        tmp_path, "bigv", "key string, tsec double, value bigint",
+        [[("a", 1000.0, big), ("a", 1001.0, None)]], spark,
+    )
+    vbase = (
+        spark.readStream.schema("key string, tsec double, value bigint")
+        .option("maxFilesPerTrigger", "1").parquet(vsrc)
+        .withColumn(TIME_COL, F.timestamp_seconds(F.col("tsec")))
+        .select("key", F.lit(100).cast("bigint").alias("batch_id"),
+                F.col(TIME_COL), "value")
+    )
+    vout = stateful_summer(vbase, ["key"], "value", sg_mod.get("sum_long"),
+                           key_buckets=None)
+    vq = (vout.writeStream.format("memory").queryName("bigv_sum")
+          .outputMode("update").trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="2\\^53"):
+        vq.awaitTermination(120)
+        if vq.exception() is not None:
+            raise vq.exception()
+
     # sanity: same shape with IN-RANGE keys + NULL passes and keeps both
     src2 = _write_chunks(
         tmp_path, "okk", "key bigint, tsec double, value long",
