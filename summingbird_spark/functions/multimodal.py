@@ -204,9 +204,19 @@ def extract_features(
     else:
         raise ValueError(f"unknown decoder {decoder!r}")
 
+    # a NULL payload (corrupt corpus row — they exist at 100 TB) yields an
+    # all-null feature row with the id retained, like a SQL expression
+    # would; bytes(None) would crash the whole task
+    null_row = {f.split()[0]: None for f in
+                (p.strip() for p in schema.split(","))
+                if f.split()[0] != id_col}
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode(p) for p in pdf[payload_col]]
+            feats = [
+                dict(null_row) if p is None else decode(p)
+                for p in pdf[payload_col]
+            ]
             out = pd.DataFrame(feats)
             out.insert(0, id_col, pdf[id_col].values)
             yield out
@@ -229,6 +239,8 @@ def frame_sample(
         for pdf in batches:
             ids, nos, frames = [], [], []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:  # NULL payload explodes to zero frames,
+                    continue   # like SQL explode(NULL)
                 p = bytes(p)
                 for no, off in enumerate(range(0, len(p), every_n_bytes)):
                     ids.append(i)
@@ -331,7 +343,9 @@ def resize_images(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            outs = [one(p) for p in pdf[payload_col]]
+            # NULL payloads null-propagate (see multimodal_features)
+            outs = [(None, None, None) if p is None else one(p)
+                    for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),

@@ -765,16 +765,27 @@ def quantize_embeddings(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            mat = np.stack(
-                [np.asarray(a, dtype=np.float32) for a in pdf[vec_col]]
-            )
-            # float32 max-abs widened to float64: exact, matches the SQL side
-            scales = np.abs(mat).max(axis=1).astype(np.float64)
-            safe = np.where(scales == 0.0, 1.0, scales)
-            q = np.floor(mat.astype(np.float64) / safe[:, None] * 127.0 + 0.5)
-            q = np.where((scales == 0.0)[:, None], 0.0, q).astype(np.int64)
+            # NULL embeddings (corrupt corpus rows — they exist at scale)
+            # null-propagate like a SQL expression would: scale/q NULL,
+            # id retained. np.asarray(None) would crash the whole task.
+            ok = pdf[vec_col].notna().to_numpy()
+            scale_out = np.full(len(pdf), np.nan, dtype=np.float64)
+            q_out: list = [None] * len(pdf)
+            if ok.any():
+                mat = np.stack(
+                    [np.asarray(a, dtype=np.float32)
+                     for a in pdf[vec_col].to_numpy()[ok]]
+                )
+                # float32 max-abs widened to float64: exact, matches SQL
+                scales = np.abs(mat).max(axis=1).astype(np.float64)
+                safe = np.where(scales == 0.0, 1.0, scales)
+                q = np.floor(mat.astype(np.float64) / safe[:, None] * 127.0 + 0.5)
+                q = np.where((scales == 0.0)[:, None], 0.0, q).astype(np.int64)
+                scale_out[ok] = scales
+                for pos, row in zip(np.flatnonzero(ok), q):
+                    q_out[pos] = row
             yield pd.DataFrame(
-                {id_col: pdf[id_col], "scale": scales, "q": list(q)}
+                {id_col: pdf[id_col], "scale": scale_out, "q": q_out}
             )
 
     return df.select(id_col, vec_col).mapInPandas(
@@ -851,13 +862,25 @@ def quantized_topk(
     qq = quantize_embeddings(queries, id_col, vec_col)
     m = k * oversample
 
-    qrows = sorted(qq.collect(), key=lambda r: r[id_col])
+    # a query with a NULL embedding has no quantized form — drop it here
+    # (it would np.stack-crash below); it simply returns no rows
+    qrows = sorted((r for r in qq.collect() if r["q"] is not None),
+                   key=lambda r: r[id_col])
+    if not qrows:
+        id_field = corpus.schema[id_col].dataType.simpleString()
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id {id_field}, rank long, {id_col} {id_field}, "
+                "sim double",
+        )
     Q = np.stack([np.asarray(r["q"], dtype=np.int64) for r in qrows])
     qids = np.asarray([r[id_col] for r in qrows], dtype=np.int64)
     qnorm = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
 
     def _score(batches):
         for pdf in batches:
+            # rows whose quantized vector is NULL (null source embedding)
+            # cannot score — skip them, mirroring SQL null semantics
+            pdf = pdf[pdf["q"].notna()]
             if len(pdf) == 0:
                 continue
             C = np.stack([np.asarray(a, dtype=np.int64) for a in pdf["q"]])

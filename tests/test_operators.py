@@ -220,6 +220,22 @@ def test_multimodal_feature_and_frames(spark):
     with pytest.raises(NotImplementedError):
         extract_features(media, decoder="pil")
 
+    # NULL payloads (corrupt corpus rows) null-propagate, never crash
+    # the task (bytes(None) did, r12): features all-null with id kept,
+    # frame sampling explodes to zero frames, resize emits null payload
+    from summingbird_spark.functions.multimodal import resize_images
+
+    withnull = media.select("doc_id", "payload").unionByName(
+        spark.createDataFrame([(3, None)], "doc_id long, payload binary")
+    )
+    nf = {r.doc_id: r for r in extract_features(withnull).collect()}
+    assert nf[3].n_bytes is None and nf[3].checksum is None
+    assert nf[1].n_bytes == 100  # non-null rows unaffected
+    got_frames = frame_sample(withnull, every_n_bytes=64, frame_len=8)
+    assert got_frames.where("doc_id = 3").count() == 0
+    rz = {r.doc_id: r for r in resize_images(withnull, (4, 4)).collect()}
+    assert rz[3].payload is None and rz[3].width is None
+
 
 def _recall_at_5(exact_rows, approx_rows, n_queries):
     exact = {}

@@ -94,3 +94,35 @@ def test_quantize_streaming_batch_parity(spark, tmp_path):
         for r in spark.sql("SELECT * FROM quant_stream").collect()
     }
     assert got == batch
+
+
+def test_quantize_null_embedding_null_propagates(spark):
+    """A NULL embedding (corrupt corpus row) must null-propagate like a
+    SQL expression — scale/q NULL, id retained — not crash the task
+    (np.asarray(None) did, r12). The quantized top-k scorer skips such
+    rows instead of dying on them."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -1.0]), (1, None), (2, [0.5, 0.25])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert out[1].scale is None and out[1].q is None
+    assert out[0].q == [127, -127] and out[2].q == [127, 64]
+
+    # scorer consumes the quantized table incl. the NULL row — skips it
+    from summingbird_spark.functions.similarity import quantized_topk
+
+    queries = spark.createDataFrame(
+        [(100, [1.0, -0.9])], "vec_id long, embedding array<float>"
+    )
+    got = quantized_topk(df, queries, k=2).collect()
+    ids = {r.vec_id for r in got}
+    assert 1 not in ids and len(got) == 2
+
+    # a query with a NULL embedding yields no rows (and no crash)
+    nullq = spark.createDataFrame(
+        [(200, None)], "vec_id long, embedding array<float>"
+    )
+    assert quantized_topk(df, nullq, k=2).count() == 0
