@@ -143,13 +143,21 @@ def lsh_table_signatures(
     from pyspark.sql.types import ArrayType, LongType
 
     def sig(v):
-        M = np.stack(v.to_numpy())  # batch × dim (fixed-dim embeddings)
-        rng = np.random.default_rng(0xC0FFEE)  # deterministic planes
-        P = rng.standard_normal((M.shape[1], tables * planes))
-        bits = (M @ P) > 0
-        weights = (1 << np.arange(planes - 1, -1, -1)).astype(np.int64)
-        B = bits.reshape(len(M), tables, planes).astype(np.int64) @ weights
-        return pd.Series([row.tolist() for row in B])
+        # NULL embeddings (corrupt corpus rows) get a NULL signature —
+        # they simply never enter a bucket; np.stack(None) would crash
+        arr = v.to_numpy()
+        ok = np.array([a is not None for a in arr], dtype=bool)
+        out: list = [None] * len(arr)
+        if ok.any():
+            M = np.stack(arr[ok])  # batch × dim (fixed-dim embeddings)
+            rng = np.random.default_rng(0xC0FFEE)  # deterministic planes
+            P = rng.standard_normal((M.shape[1], tables * planes))
+            bits = (M @ P) > 0
+            weights = (1 << np.arange(planes - 1, -1, -1)).astype(np.int64)
+            B = bits.reshape(len(M), tables, planes).astype(np.int64) @ weights
+            for pos, row in zip(np.flatnonzero(ok), B):
+                out[pos] = row.tolist()
+        return pd.Series(out)
 
     return pandas_udf(sig, ArrayType(LongType()))(vec_col)
 
@@ -318,12 +326,22 @@ def pairwise_cosine_verify(
     def pair_cos_fn(va, vb):
         if len(va) == 0:
             return pd.Series([], dtype="float64")
-        A = np.stack(va.to_numpy()).astype(np.float64)
-        B = np.stack(vb.to_numpy()).astype(np.float64)
-        s = (A * B).sum(axis=1) / (
-            np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        # a pair with a NULL vector has NULL similarity (SQL semantics;
+        # downstream >= threshold comparisons then exclude it)
+        a_arr, b_arr = va.to_numpy(), vb.to_numpy()
+        ok = np.array(
+            [x is not None and y is not None for x, y in zip(a_arr, b_arr)],
+            dtype=bool,
         )
-        return pd.Series(np.round(s, round_to))
+        out = np.full(len(a_arr), np.nan, dtype=np.float64)
+        if ok.any():
+            A = np.stack(a_arr[ok]).astype(np.float64)
+            B = np.stack(b_arr[ok]).astype(np.float64)
+            s = (A * B).sum(axis=1) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+            out[ok] = np.round(s, round_to)
+        return pd.Series(out)
 
     pair_cos = pandas_udf(pair_cos_fn, "double")
     va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"))
@@ -454,8 +472,8 @@ def embedding_near_dup_pairs(
         empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                               "id_b": pd.Series([], dtype="int64"),
                               "sim": pd.Series([], dtype="float64")})
-        a_pdf = pdf[pdf["__blk__"] == ti]
-        b_pdf = pdf[pdf["__blk__"] == tj]
+        a_pdf = pdf[(pdf["__blk__"] == ti) & pdf[vec_col].notna()]
+        b_pdf = pdf[(pdf["__blk__"] == tj) & pdf[vec_col].notna()]
         if len(a_pdf) == 0 or len(b_pdf) == 0:
             return empty
         A = np.stack(a_pdf[vec_col].to_numpy()).astype(np.float64)
@@ -951,6 +969,9 @@ def gram_stats(df: DataFrame, vec_col: str = "embedding"):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            pdf = pdf[pdf[vec_col].notna()]  # NULLs contribute nothing
+            if len(pdf) == 0:
+                continue
             x = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
             g = x.T @ x if g is None else g + x.T @ x
             s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
@@ -1037,10 +1058,17 @@ def pca_project(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            x = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
-            y = (x - m) @ c.T
+            # NULL embeddings project to NULL (SQL semantics), not a crash
+            arr = pdf[vec_col].to_numpy()
+            ok = np.array([a is not None for a in arr], dtype=bool)
+            outs: list = [None] * len(arr)
+            if ok.any():
+                x = np.vstack(arr[ok]).astype("float64")
+                y = (x - m) @ c.T
+                for pos, row in zip(np.flatnonzero(ok), y):
+                    outs[pos] = list(row)
             pdf = pdf.copy()
-            pdf[out_col] = list(y)
+            pdf[out_col] = outs
             yield pdf
 
     schema = ", ".join(

@@ -760,3 +760,41 @@ def test_kmeans_train_rejects_ragged_vectors(spark):
     )
     with pytest.raises(ValueError, match="ragged|positions"):
         kmeans_train(df, k=2, n_iter=1)
+
+
+def test_similarity_kernels_null_propagate_corrupt_embeddings(spark):
+    """NULL embeddings (corrupt corpus rows — they exist at 100 TB) must
+    null-propagate through every numpy kernel instead of crashing the
+    task on np.stack(None) (r12): LSH signatures NULL (never bucketed),
+    near-dup pairs exclude null rows (both block and lsh methods),
+    gram/PCA skip them, projection yields NULL."""
+    from pyspark.sql import functions as F
+
+    from summingbird_spark.functions.similarity import (
+        embedding_near_dup_pairs,
+        lsh_table_signatures,
+        pca_project,
+        pca_train,
+    )
+
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.999, 0.01, 0.0]), (2, None),
+            (3, [0.0, 1.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    sigs = {r.vec_id: r.s for r in emb.select(
+        "vec_id", lsh_table_signatures(F.col("embedding"), 2, 4).alias("s")
+    ).collect()}
+    assert sigs[2] is None and sigs[0] is not None
+
+    for method in ["block", "lsh"]:
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_dup_pairs(
+                emb, 0.9, method=method, **({"blocks": 2} if method == "block" else {})
+            ).collect()
+        }
+        assert pairs == {(0, 1)}, method
+
+    comp, mu = pca_train(emb, k=2)  # gram_stats skips the NULL row
+    proj = {r.vec_id: r.pca for r in pca_project(emb, comp, mu).collect()}
+    assert proj[2] is None and proj[0] is not None and len(proj[0]) == 2
