@@ -5848,7 +5848,7 @@ def q_tpch_q22_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
 _GRADE_ORDER = [
     # §2.1 DSL operator coverage
     "wordcount", "map_filter", "option_map", "flat_map_values_explode",
-    "collect_keys_values", "named_shards_sum", "also_write_sum",
+    "named_shards_sum", "also_write_sum",
     "keyed_pipeline", "sum_by_key", "sum_by_key_batched", "prev_delta_sum",
     "noncommutative_concat", "left_join_service", "flat_map_keys_rollup",
     "merge_streams", "either_counts",
@@ -5872,10 +5872,17 @@ _GRADE_ORDER = [
     # differential probes; r12: native stateful SESSIONIZATION
     # (stream_session_window) — session merging across micro-batches +
     # the sentinel watermark flush, the most failure-prone machinery the
-    # external gate had never hash-checked (VERDICT r11 item 2)
+    # external gate had never hash-checked (VERDICT r11 item 2);
+    # r13: stream_asof_running — its as-of kernel was REWRITTEN in r12
+    # (_asof_bucket_vectorized, streaming/temporal.py) and the frozen-
+    # window discipline's own rule (rotate when the implementation
+    # changes) points at it (VERDICT r12 item 3). collect_keys_values
+    # rotates below: its operators (collectKeys/collectValues) are also
+    # exercised in-window by keyed_pipeline and option_map, and it has
+    # been externally green + implementation-unchanged since r3.
     "stream_sum_by_key", "stream_session_window",
     "stream_dedup", "stream_buffer_join",
-    "stream_loop_join", "stream_quantile_by_key",
+    "stream_loop_join", "stream_quantile_by_key", "stream_asof_running",
     # analytics
     "tpch_q1_pricing",
     # §1.3 sketch family, externally graded at last (r9; VERDICT r8
@@ -5922,7 +5929,15 @@ _GRADE_ORDER = [
     # stream_session_window takes its slot: the r11-born native
     # session_window stateful agg had only in-repo oracle grading.
     "buffer_join_clicks",
-    "map_values", "loop_join_compound", "stream_asof_running",
+    # r13 swap (VERDICT r12 item 3): stream_asof_running rotates IN
+    # (see window comment above); collect_keys_values rotates here —
+    # externally green + implementation-unchanged since r3, operators
+    # family-covered in-window. stream_asof_windowed shares the rewritten
+    # r12 kernel with the now-in-window running row; it stays below
+    # (one-swap budget) with in-repo hash grading + the per-key↔bucketed
+    # differential fuzz.
+    "collect_keys_values",
+    "map_values", "loop_join_compound",
     "stream_asof_windowed",
     # r11 below-window addition (its session twin graded in-window since
     # r12): watermarked tumbling-window aggregation over the
