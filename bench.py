@@ -276,53 +276,106 @@ def main() -> None:
 
     import statistics
 
-    # median of 3, INTERLEAVED: three full passes over the suite, median
-    # per query across passes. The first pass's codegen-compile cost lands
-    # in the discarded tail, and — unlike three back-to-back runs — a
-    # multi-minute host-load burst (observed: noisy-neighbor spikes
-    # inflating single queries 10-20x) hits each query's samples minutes
-    # apart, so it can poison at most one of the three.
-    samples: dict[str, list[float]] = {name: [] for name in all_queries}
-    calib_samples: list[float] = []
-    calib_io_samples: list[float] = []
-    for _ in range(3):
-        # calibration rides INSIDE each pass (leading it) so its three
-        # samples see the same load epochs the queries do; it is NOT part
-        # of the suite total — it's the denominator for comparing rounds
-        try:
-            calib_samples.append(run_one(_calibration))
-        except Exception as e:
-            print(f"bench error in calibration: {e}", file=sys.stderr)
-        try:
-            calib_io_samples.append(run_one(_calibration_io))
-        except Exception as e:
-            print(f"bench error in io calibration: {e}", file=sys.stderr)
-        for name, fn in all_queries.items():
+    def sweep() -> dict:
+        # median of 3, INTERLEAVED: three full passes over the suite,
+        # median per query across passes. The first pass's codegen-compile
+        # cost lands in the discarded tail, and — unlike three back-to-back
+        # runs — a multi-minute host-load burst (observed: noisy-neighbor
+        # spikes inflating single queries 10-20x) hits each query's
+        # samples minutes apart, so it can poison at most one of the three.
+        samples: dict[str, list[float]] = {name: [] for name in all_queries}
+        calib_samples: list[float] = []
+        calib_io_samples: list[float] = []
+        for _ in range(3):
+            # calibration rides INSIDE each pass (leading it) so its three
+            # samples see the same load epochs the queries do; it is NOT
+            # part of the suite total — it's the denominator for comparing
+            # rounds
             try:
-                samples[name].append(run_one(fn))
-            except Exception as e:  # keep the bench line parseable on error
-                print(f"bench error in {name}: {e}", file=sys.stderr)
-    timings: dict[str, float] = {
-        name: round(statistics.median(ts), 3) if ts else -1.0
-        for name, ts in samples.items()
-    }
-    # min-of-3 alongside the median: on a host with multi-minute
-    # noisy-neighbor bursts the minimum approximates the code's true cost
-    # while the median carries the environment — reporting both keeps the
-    # headline honest AND diagnosable (a median >> min row is load, a
-    # median ≈ min regression is code)
-    timings_min: dict[str, float] = {
-        name: round(min(ts), 3) if ts else -1.0 for name, ts in samples.items()
-    }
+                calib_samples.append(run_one(_calibration))
+            except Exception as e:
+                print(f"bench error in calibration: {e}", file=sys.stderr)
+            try:
+                calib_io_samples.append(run_one(_calibration_io))
+            except Exception as e:
+                print(f"bench error in io calibration: {e}", file=sys.stderr)
+            for name, fn in all_queries.items():
+                try:
+                    samples[name].append(run_one(fn))
+                except Exception as e:  # keep the bench line parseable
+                    print(f"bench error in {name}: {e}", file=sys.stderr)
+        timings = {
+            name: round(statistics.median(ts), 3) if ts else -1.0
+            for name, ts in samples.items()
+        }
+        # min-of-3 alongside the median: on a host with multi-minute
+        # noisy-neighbor bursts the minimum approximates the code's true
+        # cost while the median carries the environment — reporting both
+        # keeps the headline honest AND diagnosable (a median >> min row
+        # is load, a median ≈ min regression is code)
+        timings_min = {
+            name: round(min(ts), 3) if ts else -1.0
+            for name, ts in samples.items()
+        }
+        return {
+            "timings": timings,
+            "timings_min": timings_min,
+            "calib_sec": round(statistics.median(calib_samples), 3)
+            if calib_samples else -1.0,
+            "calib_min3": round(min(calib_samples), 3)
+            if calib_samples else -1.0,
+            "calib_io_sec": round(statistics.median(calib_io_samples), 3)
+            if calib_io_samples else -1.0,
+            "calib_io_min3": round(min(calib_io_samples), 3)
+            if calib_io_samples else -1.0,
+        }
 
-    calib_sec = round(statistics.median(calib_samples), 3) if calib_samples else -1.0
-    calib_min3 = round(min(calib_samples), 3) if calib_samples else -1.0
-    calib_io_sec = (
-        round(statistics.median(calib_io_samples), 3) if calib_io_samples else -1.0
+    # disk-noise gate (r13, VERDICT r12 item 4): calib_io_sec DETECTED the
+    # r12 disk contention (+22% with calib_sec flat) but nothing acted on
+    # it, so the graded artifact silently carried a ~20% noise tax. Read
+    # the committed prior capture's calib_io_sec BEFORE overwriting the
+    # sidecar; if this sweep's io calibration inflated >15% over it,
+    # re-run the sweep ONCE and keep the capture with the lower calib_io
+    # (the quieter disk epoch). Only the graded sf0.1 artifact gets the
+    # gate — iteration runs at other SFs stay single-sweep.
+    repo_detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
-    calib_io_min3 = (
-        round(min(calib_io_samples), 3) if calib_io_samples else -1.0
+    graded_run = os.path.realpath(sf_dir) == os.path.realpath(
+        "/root/testdata/sf0.1"
     )
+    calib_io_prev = -1.0
+    if graded_run:
+        try:
+            with open(repo_detail_path) as f:
+                calib_io_prev = float(json.load(f).get("calib_io_sec", -1.0))
+        except (OSError, ValueError):
+            pass
+
+    res = sweep()
+    reran = False
+    if (
+        graded_run
+        and calib_io_prev > 0
+        and res["calib_io_sec"] > 1.15 * calib_io_prev
+    ):
+        print(
+            f"bench: calib_io_sec {res['calib_io_sec']} > 1.15x prior "
+            f"{calib_io_prev} — disk contention suspected, re-running "
+            "sweep once",
+            file=sys.stderr,
+        )
+        res2 = sweep()
+        reran = True
+        if 0 < res2["calib_io_sec"] < res["calib_io_sec"]:
+            res = res2
+
+    timings = res["timings"]
+    timings_min = res["timings_min"]
+    calib_sec = res["calib_sec"]
+    calib_min3 = res["calib_min3"]
+    calib_io_sec = res["calib_io_sec"]
+    calib_io_min3 = res["calib_io_min3"]
     shutil.rmtree(_io_calib_root, ignore_errors=True)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
@@ -348,6 +401,8 @@ def main() -> None:
         "calib_min3_sec": calib_min3,
         "calib_io_sec": calib_io_sec,
         "calib_io_min3_sec": calib_io_min3,
+        "calib_io_prev": calib_io_prev,
+        "reran": reran,
         # named split fields (VERDICT r6 item 6) duplicating the two
         # attribution rows above for direct lookup
         "embedding_ivf_topk_probe_sec": timings.get("embedding_ivf_topk_probe", -1.0),
@@ -371,9 +426,8 @@ def main() -> None:
     # with numbers at the wrong scale; those land in /tmp instead.
     # realpath, not normpath: a symlinked or relative spelling of the
     # canonical dir is still the graded corpus (ADVICE r10).
-    if os.path.realpath(sf_dir) == os.path.realpath("/root/testdata/sf0.1"):
-        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   "BENCH_DETAIL.json")
+    if graded_run:
+        detail_path = repo_detail_path
     else:
         tag = os.path.basename(str(sf_dir).rstrip("/")) or "custom"
         detail_path = f"/tmp/BENCH_DETAIL_{tag}.json"
@@ -408,6 +462,8 @@ def main() -> None:
                 "stream_warmup_sec": stream_warmup_sec,
                 "calib_sec": calib_sec,
                 "calib_io_sec": calib_io_sec,
+                "calib_io_prev": calib_io_prev,
+                "reran": reran,
                 "detail": detail_path if detail_path.startswith("/tmp")
                 else "BENCH_DETAIL.json",
                 "sf": sf,
