@@ -108,6 +108,52 @@ def stream_source(
     return src
 
 
+def guard_state_checkpoint(df: DataFrame, checkpoint: Optional[str]) -> None:
+    """Refuse to start a bucketed-state query against a checkpoint that was
+    created under a DIFFERENT physical key-bucket layout.
+
+    State rows are keyed by ``hash(key) % key_buckets``; Spark's state
+    schema is identical for every bucket count, so resuming a checkpoint
+    with a different count does not error — rows silently land in the
+    wrong buckets and merge with the wrong keys' state. That hazard is
+    mostly theoretical under a pinned int, but ``summer_key_buckets=
+    "auto"`` (the default since r13) re-measures key cardinality at every
+    plan, so a restart after the corpus grew would legitimately choose a
+    different count. This guard makes that loud: the planner records each
+    stateful op's resolved bucket count on the plan, the start helpers
+    write them to ``<checkpoint>/_sbspark_key_buckets.json`` on first
+    start, and any later start against the same checkpoint must match or
+    raises with the pinned value to pass explicitly.
+
+    Local-filesystem checkpoints only (the test/bench shape); scheme'd
+    paths (hdfs://, s3a://…) are skipped — cluster deployments should pin
+    ints per the SCALING.md note."""
+    meta = getattr(df, "_sbspark_state_meta", None)
+    if not meta or not checkpoint or "://" in str(checkpoint):
+        return
+    import json
+    import os
+
+    os.makedirs(checkpoint, exist_ok=True)
+    sidecar = os.path.join(checkpoint, "_sbspark_key_buckets.json")
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            pinned = json.load(f)
+        if pinned != meta:
+            raise ValueError(
+                "checkpoint state-layout mismatch: this checkpoint was "
+                f"created with key-bucket layout {pinned}, but the current "
+                f"plan resolved {meta}. Resuming would silently merge rows "
+                "into the wrong state buckets. Re-plan with the pinned "
+                "values (e.g. StreamPlanner(summer_key_buckets=<pinned "
+                "int>) / key_buckets=<pinned int> on the service) or use "
+                "a fresh checkpoint."
+            )
+        return
+    with open(sidecar, "w") as f:
+        json.dump(meta, f)
+
+
 class StreamPlan:
     """A compiled streaming plan: the tail DataFrame plus sink effects."""
 
@@ -128,6 +174,7 @@ class StreamPlan:
     def start_foreach_batch(self, fn, output_mode: str = "update", checkpoint: Optional[str] = None, trigger_available_now: bool = True):
         q = self.dataframe.writeStream.foreachBatch(fn).outputMode(output_mode)
         if checkpoint:
+            guard_state_checkpoint(self.dataframe, checkpoint)
             q = q.option("checkpointLocation", checkpoint)
         if trigger_available_now:
             q = q.trigger(availableNow=True)
@@ -195,8 +242,9 @@ class StreamPlanner(BatchPlanner):
     partitions that is 8 groups/partition — enough to balance, few enough
     that the per-group pandas↔Arrow round-trip amortizes over many keys.
     ``None`` restores per-key state (finest eviction granularity; pays
-    one framework round-trip per key per trigger). ``"auto"`` (opt-in)
-    sizes buckets from MEASURED key cardinality at plan time — it
+    one framework round-trip per key per trigger). ``"auto"`` (the
+    DEFAULT since r13) sizes buckets from MEASURED key cardinality at
+    plan time — it
     compiles the summer's stateless prefix against each file source's
     batch twin (``stream_source`` attaches one) and runs one
     column-pruned ``approx_count_distinct`` scan, then applies
@@ -204,26 +252,48 @@ class StreamPlanner(BatchPlanner):
     (``stateful.auto_key_buckets`` — the data-driven analog of the
     reference deriving Summer shards from parallelism ×
     SummerBatchMultiplier, StormTopologyBuilder.scala:291-298). A
-    10⁸-key deployment on the static default would rewrite ~1.5M-key
+    10⁸-key deployment on the static 64 would rewrite ~1.5M-key
     pickle dicts per touched bucket per trigger; auto picks ~2×10⁵
-    buckets instead. Falls back to the static default (with a warning)
-    when a source has no batch twin (e.g. a live queue)."""
+    buckets instead. Falls back to the static 64 (with a warning)
+    when a source has no batch twin (e.g. a live queue).
+
+    CHECKPOINT COMPATIBILITY — read before flipping settings on a live
+    job: the bucket count is baked into the physical state layout
+    (state key = hash(k) % buckets), and Spark cannot detect a count
+    change across restarts (the schema is identical) — rows would
+    silently merge into the wrong buckets. Under ``"auto"`` a restart
+    after the corpus grew re-measures cardinality and may legitimately
+    pick a new count, so every start helper that takes a checkpoint pins
+    the resolved layout in ``<checkpoint>/_sbspark_key_buckets.json``
+    and refuses a mismatched resume (``guard_state_checkpoint``). To
+    resume a pre-r13 checkpoint (created under the old static default),
+    pass ``summer_key_buckets=64`` explicitly; to resume an auto
+    checkpoint after growth, pass the pinned int from the sidecar (or
+    ``planner.last_auto_key_buckets`` of the original run)."""
 
     def __init__(
         self,
         spark,
         options=None,
         cache_fanout: bool = False,
-        summer_key_buckets: "int | str | None" = 64,
+        summer_key_buckets: "int | str | None" = "auto",
     ):
         super().__init__(spark, options, cache_fanout)
         self.summer_key_buckets = summer_key_buckets
+        #: resolved physical bucket count per stateful op, in compile
+        #: order — the state layout fingerprint guard_state_checkpoint
+        #: pins to a checkpoint
+        self.resolved_key_buckets: list = []
 
     def plan(self, node: g.Producer) -> StreamPlan:
         from ..batch.batcher import ensure_utc
 
         ensure_utc(self.spark)
         df = self.compile(node)
+        if self.resolved_key_buckets:
+            df._sbspark_state_meta = {
+                "key_buckets": self.resolved_key_buckets
+            }
         return StreamPlan(df, self._writes)
 
     def _compile(self, node: g.Producer) -> DataFrame:
@@ -358,14 +428,25 @@ class StreamPlanner(BatchPlanner):
         (static default) on ANY probe failure — a sizing heuristic must
         never kill the plan: no batch twin (_NoProbeTwin), a stream-only
         service loader in the prefix, an AnalysisException from a
-        batch-incompatible prefix — all degrade out loud."""
+        batch-incompatible prefix — all degrade out loud.
+
+        Every resolution (auto or not) is appended to
+        ``self.resolved_key_buckets`` — the plan's state-layout
+        fingerprint that ``guard_state_checkpoint`` pins per checkpoint."""
+        keys = [keys] if isinstance(keys, str) else list(keys)
+
+        def record(resolved):
+            self.resolved_key_buckets.append(
+                {"keys": keys, "key_buckets": resolved}
+            )
+            return resolved
+
         if kb != "auto":
-            return kb
+            return record(None if kb is None else int(kb))
         import warnings
 
         from .stateful import auto_key_buckets
 
-        keys = [keys] if isinstance(keys, str) else list(keys)
         try:
             probe_df = _ProbePlanner(self.spark, self.options).compile(parent)
             parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
@@ -377,9 +458,9 @@ class StreamPlanner(BatchPlanner):
                 " silence this",
                 RuntimeWarning,
             )
-            return 64
+            return record(64)
         self.last_auto_key_buckets = chosen  # introspection/test hook
-        return chosen
+        return record(chosen)
 
 
 class CumulativeCounters:

@@ -156,6 +156,9 @@ def run_summer_to_store(
         finally:
             batch_df.unpersist()
 
+    from .planner import guard_state_checkpoint
+
+    guard_state_checkpoint(stream_df, checkpoint)
     q = (
         stream_df.writeStream.foreachBatch(sink)
         .outputMode("update")

@@ -2446,9 +2446,16 @@ def test_summer_key_buckets_auto_sizes_from_cardinality(spark, tmp_path):
     chosen = {}
     for tag, path in [("small", small), ("large", large)]:
         src = stream_source(path, SCHEMA, time_col="ts")
-        pl = StreamPlanner(spark, summer_key_buckets="auto")
+        # DEFAULT planner: 'auto' is the default since r13 (VERDICT r12
+        # item 5) — the sizing below must be what every caller gets
+        pl = StreamPlanner(spark)
+        assert pl.summer_key_buckets == "auto"
         pl.plan(_pipeline(src))
         chosen[tag] = pl.last_auto_key_buckets
+        # the plan records the resolved layout for the checkpoint guard
+        assert pl.resolved_key_buckets == [
+            {"keys": ["key"], "key_buckets": chosen[tag]}
+        ]
     assert chosen["small"] == 8  # floored
     assert 20 <= chosen["large"] <= 29  # ~24, approx_count_distinct slack
     assert chosen["small"] != chosen["large"]
@@ -2490,6 +2497,47 @@ def test_summer_key_buckets_auto_sizes_from_cardinality(spark, tmp_path):
     with pytest.raises(ValueError, match="auto"):
         stateful_summer(base, ["key"], "value", sg_mod.get("sum_long"),
                         key_buckets="auto")
+
+
+def test_checkpoint_guard_pins_key_bucket_layout(spark, stream_dir, tmp_path):
+    """A checkpoint created under one physical key-bucket layout must
+    refuse a resume under another (guard_state_checkpoint): the state key
+    is hash(k) % buckets, Spark's state schema is identical for every
+    count, so a mismatched resume silently merges rows into the WRONG
+    keys' state. Matters since r13 because the default is 'auto' — a
+    restart after corpus growth can legitimately re-size. Same layout →
+    resumes fine; different layout → loud ValueError with the pinned
+    value; the sidecar lands next to Spark's own checkpoint files."""
+    import os
+
+    from summingbird_spark.streaming.planner import StreamPlanner
+
+    src = stream_source(stream_dir, SCHEMA, time_col="ts")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start(kb):
+        plan = StreamPlanner(spark, summer_key_buckets=kb).plan(_pipeline(src))
+        q = plan.start_foreach_batch(
+            lambda bdf, bid: bdf.write.format("noop").mode("overwrite").save(),
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+
+    start(4)
+    assert os.path.exists(os.path.join(ckpt, "_sbspark_key_buckets.json"))
+    start(4)  # same layout resumes cleanly
+    with pytest.raises(ValueError, match="state-layout mismatch"):
+        start(8)
+    # run_summer_to_store guards the same sidecar
+    from summingbird_spark.streaming.store import (
+        OnlineStore,
+        run_summer_to_store,
+    )
+
+    plan = StreamPlanner(spark, summer_key_buckets=8).plan(_pipeline(src))
+    store = OnlineStore(str(tmp_path / "store"), ["key"], "sum_long")
+    with pytest.raises(ValueError, match="state-layout mismatch"):
+        run_summer_to_store(plan.dataframe, store, ckpt)
 
 
 def test_summer_key_buckets_per_name_option(spark, stream_dir, tmp_path):
