@@ -115,6 +115,43 @@ def ensure_events_replica(spark, factor: int) -> str:
     return out
 
 
+def auto_bucket_probe(spark, sf_dir: str):
+    """End-to-end probe of the DEFAULT ``summer_key_buckets='auto'`` path
+    at this replica factor (VERDICT r12 item 7): plans a user_id summer
+    over the replica's events with the default planner, records the
+    bucket count auto CHOSE (it should track the ~10x disjoint-key
+    cardinality), then runs the stream to completion and reports wall +
+    peak state rows — the claim under test is that auto re-sizes so the
+    exponent stays flat instead of per-bucket dicts growing 10x."""
+    import shutil
+    import tempfile
+
+    import summingbird_spark as sb
+    from summingbird_spark.streaming.planner import StreamPlanner, stream_source
+
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    src = stream_source(os.path.join(sf_dir, "events.parquet"), schema,
+                        time_col="ts")
+    p = src.sum_by_key("user_id", "value", semigroup="sum",
+                       batcher=sb.of_days(1))
+    pl = StreamPlanner(spark)  # DEFAULT planner — 'auto' since r13
+    plan = pl.plan(p)
+    chosen = pl.last_auto_key_buckets
+    work = tempfile.mkdtemp(prefix="sbspark-autoprobe-")
+    t0 = time.perf_counter()
+    q = plan.start_foreach_batch(lambda bdf, bid: bdf.write.format("noop")
+                                 .mode("overwrite").save(),
+                                 checkpoint=f"{work}/ckpt")
+    q.awaitTermination(600)
+    wall = time.perf_counter() - t0
+    lp = q.lastProgress or {}
+    ops = lp.get("stateOperators") or [{}]
+    peak = ops[0].get("numRowsTotal")
+    shutil.rmtree(work, ignore_errors=True)
+    return chosen, wall, peak
+
+
 def stream_main(factors: list[int]) -> None:
     from pyspark.sql import SparkSession
 
@@ -134,13 +171,23 @@ def stream_main(factors: list[int]) -> None:
     # r12: the as-of family joins the probe (VERDICT r11 item 1 — its
     # bucket kernel is now vectorized across keys like the loop join's)
     # and the native-window rows (item 4 — JVM session/tumbling state,
-    # expected wall-flat like the buffer join)
+    # expected wall-flat like the buffer join).
+    # r13 (VERDICT r12 item 2): the Python-carrier summer rows join —
+    # stream_moments_by_key / stream_quantile_by_key were the only graded
+    # streaming family without a measured exponent, and their kernels
+    # just changed (vectorized avg/moments fast-agg, bincount sketch).
     probes = ["stream_buffer_join", "stream_sum_by_key", "stream_loop_join",
               "stream_asof_running", "stream_asof_windowed",
-              "stream_session_window", "stream_tumbling_window"]
+              "stream_session_window", "stream_tumbling_window",
+              "stream_moments_by_key", "stream_quantile_by_key"]
     rows: list[tuple] = []
+    auto_rows: list[tuple] = []
     for f in factors:
         sf_dir = ensure_events_replica(spark, f)
+        auto_rows.append((f,) + auto_bucket_probe(spark, sf_dir))
+        print(f"# factor {f}: auto_key_buckets chose {auto_rows[-1][1]} "
+              f"({auto_rows[-1][2]:.2f}s wall, peak state "
+              f"{auto_rows[-1][3]})", flush=True)
         n = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
         print(f"# factor {f}: {n} events in {sf_dir}", flush=True)
         for name in probes:
@@ -179,6 +226,18 @@ def stream_main(factors: list[int]) -> None:
             else:
                 exp = math.log(t2 / t1) / math.log(f2 / f1)
                 print(f"# {name}: wall exponent {f1}x->{f2}x = {exp:.2f}")
+    print()
+    print("| auto_key_buckets (default path) | factor | chosen buckets | "
+          "sec | peak state |")
+    print("|---|---|---|---|---|")
+    for f, chosen, wall, peak in auto_rows:
+        print(f"| summer user_id sum | {f} | {chosen} | {wall:.2f} | {peak} |")
+    if len(auto_rows) >= 2 and auto_rows[0][2] and auto_rows[-1][2]:
+        (f1, _, t1, _), (f2, _, t2, _) = auto_rows[0], auto_rows[-1]
+        if f1 != f2:
+            exp = math.log(t2 / t1) / math.log(f2 / f1)
+            print(f"# auto summer: wall exponent {f1}x->{f2}x = {exp:.2f}, "
+                  f"buckets {auto_rows[0][1]} -> {auto_rows[-1][1]}")
     spark.stop()
 
 
