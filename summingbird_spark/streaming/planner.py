@@ -202,6 +202,18 @@ class _NoProbeTwin(LookupError):
     """A streaming source in the probed prefix has no batch twin."""
 
 
+#: session-lifetime memo for the 'auto' cardinality probe, keyed by
+#: (probe plan's semanticHash, keys, state partitions). Re-planning the
+#: same pipeline over the same files (bench passes, re-started queries in
+#: one driver) costs one driver-side analysis instead of a ~0.5 s scan.
+#: Deliberately NOT invalidated on corpus growth within a session: a
+#: long-lived driver re-planning against the same checkpoint must keep
+#: the same bucket count anyway (guard_state_checkpoint pins it); a new
+#: process starts with an empty memo and re-measures.
+_AUTO_PROBE_CACHE: dict = {}
+_AUTO_PROBE_CACHE_MAX = 256
+
+
 class _ProbePlanner(BatchPlanner):
     """Compiles a streaming DAG's prefix against each file source's BATCH
     twin (``Source.probe_loader``, attached by ``stream_source``) — the
@@ -450,7 +462,18 @@ class StreamPlanner(BatchPlanner):
         try:
             probe_df = _ProbePlanner(self.spark, self.options).compile(parent)
             parts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-            chosen = auto_key_buckets(probe_df, keys, parts)
+            try:
+                memo_key = (probe_df.semanticHash(), tuple(keys), parts)
+            except Exception:  # noqa: BLE001 — memo is best-effort
+                memo_key = None
+            if memo_key is not None and memo_key in _AUTO_PROBE_CACHE:
+                chosen = _AUTO_PROBE_CACHE[memo_key]
+            else:
+                chosen = auto_key_buckets(probe_df, keys, parts)
+                if memo_key is not None:
+                    if len(_AUTO_PROBE_CACHE) >= _AUTO_PROBE_CACHE_MAX:
+                        _AUTO_PROBE_CACHE.clear()
+                    _AUTO_PROBE_CACHE[memo_key] = chosen
         except Exception as e:  # noqa: BLE001
             warnings.warn(
                 f"key_buckets='auto' probe failed ({type(e).__name__}:"
