@@ -260,7 +260,7 @@ class StreamPlanner(BatchPlanner):
     compiles the summer's stateless prefix against each file source's
     batch twin (``stream_source`` attaches one) and runs one
     column-pruned ``approx_count_distinct`` scan, then applies
-    ``buckets = clamp(keys/500, 8, state_partitions×4096)``
+    ``buckets = clamp(keys/100, 8, state_partitions×4096)``
     (``stateful.auto_key_buckets`` — the data-driven analog of the
     reference deriving Summer shards from parallelism ×
     SummerBatchMultiplier, StormTopologyBuilder.scala:291-298). A

@@ -197,7 +197,13 @@ def emit_key_values(kt) -> tuple:
 #: write amplification; floor 8 keeps small streams spread over state
 #: partitions; cap 4096 groups per state partition bounds the per-trigger
 #: group count (the tax) even at 10⁹ keys.
-AUTO_KEYS_PER_BUCKET = 500
+#: target ~100 keys per bucket (r13 re-tune): the r12 amplification
+#: table's WALL column dips at 64-256 buckets for a 5k keyset (~20-80
+#: keys/bucket) and a controlled sf0.1 A/B read 8 buckets ~5-10% slower
+#: than 32/64 for a ~3.5k keyset; bytes/trigger at 10% key-touch barely
+#: moves 16→256 buckets (18-22 KB), so wall decides. The r12 value (500)
+#: optimized amplification alone.
+AUTO_KEYS_PER_BUCKET = 100
 AUTO_MIN_BUCKETS = 8
 AUTO_GROUPS_PER_PARTITION_CAP = 4096
 
@@ -377,7 +383,7 @@ def stateful_summer(
     Sizing: a touched bucket re-serializes its WHOLE key dict each
     trigger, so write amplification ≈ keys-per-bucket ÷ keys touched —
     the tradeoff against the per-group tax. Target ~10²-10³ logical keys
-    per bucket (buckets ≈ |keys|/500), floored at a few groups per state
+    per bucket (buckets ≈ |keys|/100), floored at a few groups per state
     partition; the default 64 fits 10³-10⁵-key streams. Hot-key caveat:
     one bucket's group is one task either way (same bound per-key mode
     has).

@@ -2426,7 +2426,7 @@ def test_bucketed_summer_restart_recovers_state(spark, tmp_path):
 def test_summer_key_buckets_auto_sizes_from_cardinality(spark, tmp_path):
     """summer_key_buckets='auto' sizes the physical state buckets from
     MEASURED key cardinality at plan time (one approx_count_distinct over
-    the file source's batch twin), clamp(keys/500, 8, parts×4096) — the
+    the file source's batch twin), clamp(keys/100, 8, parts×4096) — the
     data-driven analog of the reference deriving shards from parallelism
     (StormTopologyBuilder.scala:291-298). Two corpus sizes must choose
     DIFFERENT bucket counts; sourceless DAGs fall back to 64 + warning."""
@@ -2440,8 +2440,8 @@ def test_summer_key_buckets_auto_sizes_from_cardinality(spark, tmp_path):
         spark.createDataFrame(rows, SCHEMA).write.parquet(str(d))
         return str(d)
 
-    small = corpus("small", 1_200)    # ceil(1200/500)=3 → floor 8
-    large = corpus("large", 12_000)   # ceil(12000/500)=24 (±approx error)
+    small = corpus("small", 300)      # ceil(300/100)=3 → floor 8
+    large = corpus("large", 12_000)   # ceil(12000/100)=120 (±approx error)
 
     chosen = {}
     for tag, path in [("small", small), ("large", large)]:
@@ -2457,7 +2457,7 @@ def test_summer_key_buckets_auto_sizes_from_cardinality(spark, tmp_path):
             {"keys": ["key"], "key_buckets": chosen[tag]}
         ]
     assert chosen["small"] == 8  # floored
-    assert 20 <= chosen["large"] <= 29  # ~24, approx_count_distinct slack
+    assert 108 <= chosen["large"] <= 132  # ~120, approx_count_distinct slack
     assert chosen["small"] != chosen["large"]
 
     # a source with no batch twin (plain g.Source over readStream) falls
