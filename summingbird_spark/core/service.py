@@ -105,7 +105,7 @@ class TemporalService(Service):
         semigroup="sum",
         value_cols: Optional[Sequence[str]] = None,
         max_age_seconds: Optional[float] = None,
-        key_buckets: "int | None" = 64,
+        key_buckets: "int | str | None" = "auto",
     ):
         if mode not in ("latest", "sum"):
             raise ValueError(f"TemporalService mode {mode!r}: 'latest' or 'sum'")
@@ -116,8 +116,11 @@ class TemporalService(Service):
         self.value_cols = list(value_cols) if value_cols else None
         self.max_age_seconds = max_age_seconds
         # streaming-planner state granularity (hash(on)%buckets; None =
-        # per-key) — see streaming.temporal.streaming_as_of_join; ignored
-        # by the batch planner (one-shuffle union+window, no state)
+        # per-key; "auto" — default since r13, same policy as the summer
+        # — sizes from the LEFT side's measured join-key cardinality,
+        # falling back to 64 when the left has no batch twin) — see
+        # streaming.temporal.streaming_as_of_join; ignored by the batch
+        # planner (one-shuffle union+window, no state)
         self.key_buckets = key_buckets
 
 
@@ -149,7 +152,7 @@ class StoreService(Service):
         semigroup=None,
         out_col: str = "joined",
         order_by: Optional[Sequence[str]] = None,
-        key_buckets: "int | None" = 64,
+        key_buckets: "int | str | None" = "auto",
     ):
         super().__init__(loader=None, broadcast=False)
         self.store = store
@@ -157,7 +160,9 @@ class StoreService(Service):
         self.semigroup = semigroup
         self.out_col = out_col
         self.order_by = list(order_by) if order_by else []
-        self.key_buckets = key_buckets  # streaming state granularity
+        # streaming state granularity; "auto" (default since r13) sizes
+        # from the left stream's measured key cardinality like the summer
+        self.key_buckets = key_buckets
 
     def resolved_semigroup(self):
         if self.semigroup is not None:
