@@ -105,7 +105,7 @@ class TemporalService(Service):
         semigroup="sum",
         value_cols: Optional[Sequence[str]] = None,
         max_age_seconds: Optional[float] = None,
-        key_buckets: "int | str | None" = "auto",
+        key_buckets: "int | str | None" = 64,
     ):
         if mode not in ("latest", "sum"):
             raise ValueError(f"TemporalService mode {mode!r}: 'latest' or 'sum'")
@@ -116,11 +116,19 @@ class TemporalService(Service):
         self.value_cols = list(value_cols) if value_cols else None
         self.max_age_seconds = max_age_seconds
         # streaming-planner state granularity (hash(on)%buckets; None =
-        # per-key; "auto" — default since r13, same policy as the summer
-        # — sizes from the LEFT side's measured join-key cardinality,
-        # falling back to 64 when the left has no batch twin) — see
-        # streaming.temporal.streaming_as_of_join; ignored by the batch
-        # planner (one-shuffle union+window, no state)
+        # per-key; "auto" sizes from the LEFT side's measured join-key
+        # cardinality like the summer). The default stays a PINNED 64,
+        # unlike the summer's 'auto': this kernel is vectorized ACROSS
+        # keys within a bucket, so its wall optimum is keys-INDEPENDENT —
+        # measured flat at 64-256 buckets from 1.4k to 145k keys and
+        # strictly worse beyond (512: +40%, 1508: +90% at a 145k-key
+        # all-touched trigger; the ~3-6 ms/group framework tax dominates
+        # once buckets exceed needed parallelism). 'auto' only pays off
+        # for low per-trigger touch fractions over huge keysets (write
+        # amplification), which is a deployment property no plan-time
+        # probe can see — opt in explicitly. See SCALING.md round-13.
+        # Ignored by the batch planner (one-shuffle union+window, no
+        # state).
         self.key_buckets = key_buckets
 
 
@@ -152,7 +160,7 @@ class StoreService(Service):
         semigroup=None,
         out_col: str = "joined",
         order_by: Optional[Sequence[str]] = None,
-        key_buckets: "int | str | None" = "auto",
+        key_buckets: "int | str | None" = 64,
     ):
         super().__init__(loader=None, broadcast=False)
         self.store = store
@@ -160,8 +168,10 @@ class StoreService(Service):
         self.semigroup = semigroup
         self.out_col = out_col
         self.order_by = list(order_by) if order_by else []
-        # streaming state granularity; "auto" (default since r13) sizes
-        # from the left stream's measured key cardinality like the summer
+        # streaming state granularity; pinned 64 by default (NOT 'auto'):
+        # the loop-join kernel vectorizes across keys within a bucket, so
+        # its wall optimum is keys-independent — see TemporalService's
+        # key_buckets note and SCALING.md round-13 for the measurement.
         self.key_buckets = key_buckets
 
     def resolved_semigroup(self):

@@ -2499,6 +2499,32 @@ def test_summer_key_buckets_auto_sizes_from_cardinality(spark, tmp_path):
                         key_buckets="auto")
 
 
+def test_auto_probe_memo_keyed_by_plan_not_path(spark, tmp_path):
+    """The session memo for the 'auto' cardinality probe must key on the
+    probed PLAN (semanticHash), not the source path: two pipelines over
+    the same files whose stateless prefixes pass different key subsets
+    must each get their own measurement (a path-keyed memo would serve
+    the first pipeline's count to the second and mis-size its state)."""
+    from summingbird_spark.streaming.planner import StreamPlanner, stream_source
+
+    rows = [(ts(i % 50), f"user{i % 2000}", i % 7) for i in range(6000)]
+    d = tmp_path / "memo_corpus"
+    spark.createDataFrame(rows, SCHEMA).write.parquet(str(d))
+
+    def plan_with_filter(pred):
+        src = stream_source(str(d), SCHEMA, time_col="ts")
+        pl = StreamPlanner(spark)
+        pl.plan(src.filter(pred).sum_by_key(
+            "key", "value", semigroup="sum_long", batcher=sb.of_days(1)))
+        return pl.last_auto_key_buckets
+
+    full = plan_with_filter("value >= 0")      # ~2000 keys → ~20 buckets
+    narrow = plan_with_filter("value = 0")     # ~1/7 of keys → fewer
+    assert full != narrow, (full, narrow)
+    # and re-planning the identical pipeline hits the memo (same choice)
+    assert plan_with_filter("value >= 0") == full
+
+
 def test_checkpoint_guard_pins_key_bucket_layout(spark, stream_dir, tmp_path):
     """A checkpoint created under one physical key-bucket layout must
     refuse a resume under another (guard_state_checkpoint): the state key
