@@ -670,3 +670,28 @@ def test_fast_agg_hot_key_million_rows():
     dt = time.perf_counter() - t0
     assert dt < 5.0, dt
     assert len(pickle.dumps(sketch)) < 128 * 1024  # O(bins), not O(rows)
+
+
+def test_fast_agg_dispatch_skips_decimal_values(spark):
+    """avg/moments fast-agg kernels run float64 math, so a DECIMAL value
+    column must keep the exact python fold (silently casting a decimal
+    through float would change both type and precision); integral and
+    float columns dispatch. sum/count/min/max are order-free-exact at any
+    dtype and always dispatch."""
+    from pyspark.sql import functions as F
+
+    from summingbird_spark.core import semigroup as sg_mod
+    from summingbird_spark.streaming.stateful import resolve_fast_agg
+
+    df = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("bigint").alias("v_int"),
+        F.col("id").cast("double").alias("v_dbl"),
+        F.col("id").cast("decimal(20,4)").alias("v_dec"),
+    )
+    for name in ("avg", "moments"):
+        sg = sg_mod.get(name)
+        assert resolve_fast_agg(sg, df, "v_int")[0] is not None
+        assert resolve_fast_agg(sg, df, "v_dbl")[0] is not None
+        assert resolve_fast_agg(sg, df, "v_dec")[0] is None  # exact fold
+    assert resolve_fast_agg(sg_mod.get("min"), df, "v_dec")[0] is not None
