@@ -330,44 +330,92 @@ def main() -> None:
             if calib_io_samples else -1.0,
         }
 
-    # disk-noise gate (r13, VERDICT r12 item 4): calib_io_sec DETECTED the
-    # r12 disk contention (+22% with calib_sec flat) but nothing acted on
-    # it, so the graded artifact silently carried a ~20% noise tax. Read
-    # the committed prior capture's calib_io_sec BEFORE overwriting the
-    # sidecar; if this sweep's io calibration inflated >15% over it,
-    # re-run the sweep ONCE and keep the capture with the lower calib_io
-    # (the quieter disk epoch). Only the graded sf0.1 artifact gets the
-    # gate — iteration runs at other SFs stay single-sweep.
-    repo_detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    # host-noise gate (r13, VERDICT r12 item 4; de-ratcheted + widened in
+    # r14, VERDICT r13 items 3/7): if this sweep's io OR cpu calibration
+    # inflated >15% over the quiet baseline, re-run the sweep ONCE and
+    # keep the quieter capture. The baseline is the MINIMUM calibration
+    # across ALL committed round artifacts (BENCH_r*.json compact lines +
+    # the current BENCH_DETAIL.json), not the last artifact: baselining
+    # on the last capture let one committed noisy run ratchet the
+    # threshold up until the gate could never fire again (r13's contended
+    # 0.967 io capture would have become the baseline). Gating on BOTH
+    # discriminators catches the two observed contention flavors — disk
+    # (calib_io inflated, calib flat; r12) and CPU burst (calib inflated;
+    # r13 showed them coexisting). Only the graded sf0.1 artifact gets
+    # the gate — iteration runs at other SFs stay single-sweep.
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    repo_detail_path = os.path.join(repo_root, "BENCH_DETAIL.json")
     graded_run = os.path.realpath(sf_dir) == os.path.realpath(
         "/root/testdata/sf0.1"
     )
-    calib_io_prev = -1.0
-    if graded_run:
-        try:
-            with open(repo_detail_path) as f:
-                calib_io_prev = float(json.load(f).get("calib_io_sec", -1.0))
-        except (OSError, ValueError):
-            pass
+
+    def _quiet_baselines():
+        """min calib_io_sec / calib_sec over every committed artifact.
+
+        The io list is seeded with 0.629 s — the best committed quiet
+        capture (BENCH_DETAIL @ 602fbbd, r13; VERDICT r13 item 3 blesses
+        pinning it) — because the repo-root BENCH_DETAIL.json gets
+        overwritten by each official capture, so a contended official run
+        would otherwise erase the quiet evidence the gate needs. The cpu
+        list is NOT seeded: in-session quiet cpu (0.467) sits far below
+        every official capture (0.688-0.799 across r10-r13), so pinning
+        it would fire the gate on every official run."""
+        import glob
+
+        io_vals, cpu_vals = [0.629], []
+
+        def _harvest(doc):
+            for dest, key in ((io_vals, "calib_io_sec"), (cpu_vals, "calib_sec")):
+                try:
+                    v = float(doc.get(key, -1.0))
+                except (TypeError, ValueError):
+                    continue
+                if v > 0:
+                    dest.append(v)
+
+        for path in sorted(glob.glob(os.path.join(repo_root, "BENCH_r*.json"))) + [
+            repo_detail_path
+        ]:
+            try:
+                with open(path) as f:
+                    doc = json.load(f)
+            except (OSError, ValueError):
+                continue
+            # round artifacts wrap the compact stdout line under "parsed"
+            # (may be null when a round's tail capture failed to parse)
+            if isinstance(doc, dict):
+                _harvest(doc.get("parsed") or doc)
+        return (
+            min(io_vals) if io_vals else -1.0,
+            min(cpu_vals) if cpu_vals else -1.0,
+        )
+
+    calib_io_prev, calib_cpu_prev = (
+        _quiet_baselines() if graded_run else (-1.0, -1.0)
+    )
+
+    def _noise_score(r):
+        """max contention ratio vs the quiet baselines (1.0 = quiet)."""
+        ratios = [1.0]
+        if calib_io_prev > 0 and r["calib_io_sec"] > 0:
+            ratios.append(r["calib_io_sec"] / calib_io_prev)
+        if calib_cpu_prev > 0 and r["calib_sec"] > 0:
+            ratios.append(r["calib_sec"] / calib_cpu_prev)
+        return max(ratios)
 
     res = sweep()
     reran = False
-    if (
-        graded_run
-        and calib_io_prev > 0
-        and res["calib_io_sec"] > 1.15 * calib_io_prev
-    ):
+    if graded_run and _noise_score(res) > 1.15:
         print(
-            f"bench: calib_io_sec {res['calib_io_sec']} > 1.15x prior "
-            f"{calib_io_prev} — disk contention suspected, re-running "
-            "sweep once",
+            f"bench: calibration {res['calib_io_sec']}s io / "
+            f"{res['calib_sec']}s cpu vs quiet baseline {calib_io_prev}/"
+            f"{calib_cpu_prev} (x{_noise_score(res):.2f}) — host "
+            "contention suspected, re-running sweep once",
             file=sys.stderr,
         )
         res2 = sweep()
         reran = True
-        if 0 < res2["calib_io_sec"] < res["calib_io_sec"]:
+        if _noise_score(res2) < _noise_score(res):
             res = res2
 
     timings = res["timings"]
@@ -402,6 +450,7 @@ def main() -> None:
         "calib_io_sec": calib_io_sec,
         "calib_io_min3_sec": calib_io_min3,
         "calib_io_prev": calib_io_prev,
+        "calib_cpu_prev": calib_cpu_prev,
         "reran": reran,
         # named split fields (VERDICT r6 item 6) duplicating the two
         # attribution rows above for direct lookup
@@ -463,6 +512,7 @@ def main() -> None:
                 "calib_sec": calib_sec,
                 "calib_io_sec": calib_io_sec,
                 "calib_io_prev": calib_io_prev,
+                "calib_cpu_prev": calib_cpu_prev,
                 "reran": reran,
                 "detail": detail_path if detail_path.startswith("/tmp")
                 else "BENCH_DETAIL.json",

@@ -79,8 +79,149 @@ def run_one(spark, src_dir: str, semigroup: str) -> dict:
     }
 
 
+def make_shared_bucket_corpus(spark, n_hot: int, n_cold: int,
+                              key_buckets: int) -> str:
+    """Two chunk files: chunk 0 primes the state with ``n_cold`` cold keys
+    that hash into the SAME physical bucket as the hot key (bucket =
+    pmod(xxhash64(key, 42), key_buckets) — the summer's layout); chunk 1
+    is the hot trigger, ``n_hot`` rows on the one celebrity key. With
+    maxFilesPerTrigger=1 the hot trigger then re-serializes a bucket dict
+    holding all the cold entries — the write-amplification shape.
+    ``n_cold=0`` gives the isolated twin with the same 2-trigger
+    lifecycle (chunk 0 = one celeb row)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    out = os.path.join(ROOT, f"shared_h{n_hot}_c{n_cold}_b{key_buckets}")
+    if os.path.exists(os.path.join(out, "chunk1.parquet")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    celeb_bucket = spark.sql(
+        f"SELECT pmod(xxhash64('celeb', 42), {key_buckets}) AS b"
+    ).collect()[0].b
+    if n_cold:
+        cold = (
+            spark.range(200_000)
+            .select(F.concat(F.lit("cold"), F.col("id")).alias("key"))
+            .where(
+                F.pmod(F.xxhash64(F.col("key"), F.lit(42)), key_buckets)
+                == celeb_bucket
+            )
+            .limit(n_cold)
+            .select(
+                F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+                "key",
+                F.lit(1).cast("long").alias("value"),
+            )
+        )
+        assert cold.count() == n_cold
+    else:
+        cold = spark.createDataFrame(
+            [("2024-01-01 00:00:00", "celeb", 1)], "ts string, key string, value long"
+        ).select(F.col("ts").cast("timestamp"), "key", "value")
+    hot = spark.range(n_hot).select(
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("id") % 86_000)).alias("ts"),
+        F.lit("celeb").alias("key"),
+        (F.col("id") % 1000 - 500).alias("value"),
+    )
+    for i, df in enumerate([cold, hot]):
+        tmp = os.path.join(ROOT, "__chunk")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        [f] = glob.glob(os.path.join(tmp, "*.parquet"))
+        shutil.move(f, os.path.join(out, f"chunk{i}.parquet"))
+        shutil.rmtree(tmp)
+        # chunk order = mtime order for the file source
+        t = time.time() + i
+        os.utime(os.path.join(out, f"chunk{i}.parquet"), (t, t))
+    return out
+
+
+def run_shared(spark, src_dir: str, semigroup: str, key_buckets: int) -> dict:
+    """2-trigger run (maxFilesPerTrigger=1); returns the HOT trigger's
+    stateful update time + end-state size."""
+    import summingbird_spark as sb
+    from summingbird_spark.streaming.planner import StreamPlanner, stream_source
+
+    schema = "ts timestamp, key string, value long"
+    src = stream_source(src_dir, schema, time_col="ts",
+                        max_files_per_trigger=1)
+    p = src.sum_by_key("key", "value", semigroup=semigroup,
+                       batcher=sb.of_days(1))
+    plan = StreamPlanner(spark, summer_key_buckets=key_buckets).plan(p)
+    work = tempfile.mkdtemp(prefix="sbspark-hotkey-")
+    t0 = time.perf_counter()
+    q = plan.start_foreach_batch(
+        lambda bdf, bid: bdf.write.format("noop").mode("overwrite").save(),
+        checkpoint=f"{work}/ckpt",
+    )
+    q.awaitTermination(600)
+    wall = time.perf_counter() - t0
+    hot = {}
+    for pr in q.recentProgress:
+        if pr.get("numInputRows", 0) > 100_000:  # the hot trigger
+            op = (pr.get("stateOperators") or [{}])[0]
+            hot = {
+                "update_ms": op.get("allUpdatesTimeMs"),
+                "commit_ms": op.get("commitTimeMs"),
+                "state_rows": op.get("numRowsTotal"),
+                "state_bytes": op.get("memoryUsedBytes"),
+            }
+    shutil.rmtree(work, ignore_errors=True)
+    hot["wall_sec"] = wall
+    return hot
+
+
+def main_shared() -> None:
+    """--shared: the celebrity key in a POPULATED bucket (VERDICT r13
+    item 4). The r13 probe isolated the hot key in its own bucket; the
+    100-TB shape is a viral key hashed into a bucket with ~10^3 cold
+    keys, where the hot trigger re-serializes the whole bucket dict (the
+    measured write-amplification tax) and the groupby must not degrade.
+    Reference anchor: KeyValueShards.summerIdFor = hash(k) % shards
+    (online/executor/FinalFlatMap.scala:49-52) — same collision shape."""
+    from pyspark.sql import SparkSession
+
+    n_hot, n_cold, kb = 1_000_000, 1_000, 8
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    print(f"hot={n_hot} rows on 1 key; shared bucket holds {n_cold} cold "
+          f"keys; key_buckets={kb}", flush=True)
+    print("| semigroup | bucket | hot-trigger update ms | commit ms "
+          "| state rows | state bytes |")
+    print("|---|---|---|---|---|---|")
+    for sg in ["sum_long", "moments"]:
+        res = {}
+        for tag, nc in [("isolated", 0), ("shared", n_cold)]:
+            src = make_shared_bucket_corpus(spark, n_hot, nc, kb)
+            r = run_shared(spark, src, sg, kb)   # warm
+            r = run_shared(spark, src, sg, kb)
+            res[tag] = r
+            print(f"| {sg} | {tag} | {r['update_ms']} | {r['commit_ms']} "
+                  f"| {r['state_rows']} | {r['state_bytes']} |", flush=True)
+        if res["isolated"].get("update_ms"):
+            amp = res["shared"]["update_ms"] / max(1, res["isolated"]["update_ms"])
+            print(f"# {sg}: shared/isolated hot-trigger update ratio = "
+                  f"{amp:.2f}x", flush=True)
+    spark.stop()
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
+
+    if "--shared" in sys.argv:
+        return main_shared()
 
     sizes = [int(x) for x in sys.argv[1:]] or [10_000, 1_000_000]
     spark = (

@@ -124,7 +124,12 @@ class BatchPlanner:
         self.options = options
         self.cache_fanout = cache_fanout
         self._memo: dict = {}
-        self._writes: list = []
+        # write effects keyed by the Written node's STRUCTURAL key, not a
+        # planner-lifetime list: plan() collects the entries reachable
+        # from ITS root, so reusing one planner for a second plan() call
+        # neither leaks the first DAG's sinks into the second plan nor
+        # loses memo-hit sinks (ADVICE r13 planner-reuse class)
+        self._writes_by_node: dict = {}
         self._fanout: dict = {}
         self._name_stack: list[str] = []
         self.observations: dict[str, object] = {}
@@ -138,9 +143,32 @@ class BatchPlanner:
         b_mod.ensure_utc(self.spark)
         self._fanout = dependants(node, keyfn=self._skey)
         df = self.compile(node)
-        plan = BatchPlan(df, self._writes)
+        plan = BatchPlan(df, self._collect_compiled(node, self._writes_by_node))
         plan.observations = self.observations
         return plan
+
+    def _collect_compiled(self, node: g.Producer, table: dict) -> list:
+        """Collect per-plan artifacts recorded during compile (keyed by
+        structural key in ``table``) for the nodes reachable from THIS
+        plan's root, in deterministic post-order — i.e. compile order.
+        Robust to planner reuse (a second plan() on the same planner sees
+        only its own DAG's entries) and to memo hits (an already-compiled
+        subtree's entries are still collected)."""
+        out, seen, stack = [], set(), [(node, False)]
+        while stack:
+            n, expanded = stack.pop()
+            key = self._skey(n)
+            if expanded:
+                if key in table:
+                    out.append(table[key])
+                continue
+            if key in seen:
+                continue
+            seen.add(key)
+            stack.append((n, True))
+            for p in reversed(n.parents):
+                stack.append((p, False))
+        return out
 
     def _opt(self, key: str, default=None):
         if self.options is None:
@@ -227,7 +255,7 @@ class BatchPlanner:
 
         if isinstance(node, g.Written):
             df = self.compile(node.parents[0])
-            self._writes.append((node.sink, df))
+            self._writes_by_node[self._skey(node)] = (node.sink, df)
             return df
 
         if isinstance(node, g.Also):

@@ -5880,15 +5880,27 @@ _GRADE_ORDER = [
     # rotates below: its operators (collectKeys/collectValues) are also
     # exercised in-window by keyed_pipeline and option_map, and it has
     # been externally green + implementation-unchanged since r3.
+    # r14: stream_asof_windowed — it shares the r12-rewritten
+    # _asof_bucket_vectorized kernel with stream_asof_running (external
+    # since r13) but adds the retraction buffer over per-group numpy
+    # slices, the part the rewrite made trickiest; the discipline's rule
+    # (rotate when the implementation changed) plus VERDICT r13 item 2
+    # point at it. quantile_sketch_values rotates below: externally green
+    # + implementation-unchanged since r9, and the sketch family keeps
+    # TWO in-window rows (heavy_hitters_value_buckets batch + the same
+    # QuantileSketchSemigroup fold through the harder streaming summer /
+    # store lifecycle in stream_quantile_by_key).
     "stream_sum_by_key", "stream_session_window",
     "stream_dedup", "stream_buffer_join",
     "stream_loop_join", "stream_quantile_by_key", "stream_asof_running",
+    "stream_asof_windowed",
     # analytics
     "tpch_q1_pricing",
     # §1.3 sketch family, externally graded at last (r9; VERDICT r8
     # item 1): mergeable quantiles (QTree idiom) and Misra-Gries heavy
     # hitters, each graded by its falsifiable error-bound contract
-    "quantile_sketch_values", "heavy_hitters_value_buckets",
+    # (quantile_sketch_values rotated below in r14 — see window comment)
+    "heavy_hitters_value_buckets",
     # LLM pipeline: text analysis
     "text_stats", "lang_id", "quality_scores", "doc_fingerprint",
     "bpe_tokens",
@@ -5938,7 +5950,11 @@ _GRADE_ORDER = [
     # differential fuzz.
     "collect_keys_values",
     "map_values", "loop_join_compound",
-    "stream_asof_windowed",
+    # r14 swap (VERDICT r13 item 2): stream_asof_windowed rotates IN (see
+    # window comment above); quantile_sketch_values rotates here —
+    # externally green + implementation-unchanged since r9, sketch family
+    # keeps heavy_hitters + stream_quantile_by_key in-window.
+    "quantile_sketch_values",
     # r11 below-window addition (its session twin graded in-window since
     # r12): watermarked tumbling-window aggregation over the
     # sentinel-flushed ordered replay (batch tumbling_window online twin)

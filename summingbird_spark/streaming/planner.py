@@ -27,6 +27,8 @@ Column programs); differences:
 
 from __future__ import annotations
 
+import logging
+
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,6 +54,8 @@ ROCKSDB_STATE_STORE = (
 )
 
 _PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+_logger = logging.getLogger(__name__)
 
 
 class state_store_provider:
@@ -108,7 +112,79 @@ def stream_source(
     return src
 
 
-def guard_state_checkpoint(df: DataFrame, checkpoint: Optional[str]) -> None:
+_SIDECAR_NAME = "_sbspark_key_buckets.json"
+
+
+def _layout(doc) -> list:
+    """The layout-relevant projection of a state-meta / sidecar document:
+    (keys, bucket count) per stateful op, in compile order. Provenance
+    fields (``auto``) are ignored so sidecars written by older releases
+    (which lacked them) still compare equal when the layout matches."""
+    return [
+        [list(e.get("keys", [])), e.get("key_buckets")]
+        for e in (doc or {}).get("key_buckets", [])
+    ]
+
+
+def _all_pinned(meta) -> bool:
+    """True iff every bucket count in ``meta`` came from an explicit int
+    (or None = per-key state) — i.e. the layout is deterministic across
+    restarts regardless of corpus size. Entries missing the provenance
+    flag are treated as NOT pinned (conservative)."""
+    return all(
+        e.get("auto") is False for e in (meta or {}).get("key_buckets", [])
+    )
+
+
+def _checkpoint_fs(spark, checkpoint: str):
+    """Resolve a checkpoint URI through the Hadoop FileSystem API — one
+    code path for bare local paths, ``file://``, ``hdfs://``, ``s3a://``…
+    (whatever connectors the cluster classpath provides)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(str(checkpoint))
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath, jvm
+
+
+def _fs_read_text(spark, fs, jpath) -> str:
+    # NB: a py4j-allocated byte[] does NOT see Java-side mutation, so a
+    # readFully-into-buffer idiom silently returns zeros — read through a
+    # JVM-side reader instead (commons-io is on Spark's classpath; the
+    # BufferedReader loop is the no-extra-deps fallback)
+    jvm = spark._jvm
+    stm = fs.open(jpath)
+    try:
+        try:
+            return jvm.org.apache.commons.io.IOUtils.toString(stm, "UTF-8")
+        except Exception:  # noqa: BLE001 — commons-io missing/changed API
+            rdr = jvm.java.io.BufferedReader(
+                jvm.java.io.InputStreamReader(stm, "UTF-8")
+            )
+            lines = []
+            while True:
+                ln = rdr.readLine()
+                if ln is None:
+                    break
+                lines.append(ln)
+            return "\n".join(lines)
+    finally:
+        stm.close()
+
+
+def _fs_write_text(fs, jpath, text: str) -> None:
+    out = fs.create(jpath, True)  # overwrite=True
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def guard_state_checkpoint(
+    df: Optional[DataFrame],
+    checkpoint: Optional[str],
+    meta: Optional[dict] = None,
+    spark: Optional[SparkSession] = None,
+) -> None:
     """Refuse to start a bucketed-state query against a checkpoint that was
     created under a DIFFERENT physical key-bucket layout.
 
@@ -125,41 +201,129 @@ def guard_state_checkpoint(df: DataFrame, checkpoint: Optional[str]) -> None:
     start, and any later start against the same checkpoint must match or
     raises with the pinned value to pass explicitly.
 
-    Local-filesystem checkpoints only (the test/bench shape); scheme'd
-    paths (hdfs://, s3a://…) are skipped — cluster deployments should pin
-    ints per the SCALING.md note."""
-    meta = getattr(df, "_sbspark_state_meta", None)
-    if not meta or not checkpoint or "://" in str(checkpoint):
+    Every checkpoint URI the cluster's Hadoop classpath can reach is
+    guarded — the sidecar is read/written through the Hadoop FileSystem
+    API, so ``hdfs://`` / ``s3a://`` checkpoints get the same pin bare
+    local paths do (the reference never re-sizes shards under a live
+    topology either: shard count is fixed per topology,
+    summingbird-storm/.../StormTopologyBuilder.scala:291-298). Rules:
+
+    * sidecar present, layout matches → resume.
+    * sidecar present, layout differs, checkpoint has committed batches
+      (an ``offsets/`` / ``state/`` / ``commits/`` dir exists) → raise.
+    * sidecar present, layout differs, checkpoint EMPTY → the sidecar
+      came from a start that failed before any batch committed; it pins
+      nothing — replace it.
+    * no sidecar, checkpoint has committed batches → the checkpoint
+      predates the guard (or was written by the pre-r14 guard that
+      skipped scheme'd paths) and its layout is unknown. If every bucket
+      count in the current plan is explicitly pinned, the layout is
+      deterministic — adopt and pin it. If ANY came from ``"auto"``,
+      refuse: adopting would be exactly the silent wrong-bucket merge
+      this guard exists to prevent (pre-r13 checkpoints were created
+      under the old static default — pass ``summer_key_buckets=64``).
+    * no sidecar, empty checkpoint → first start; write the sidecar.
+    * the FileSystem for the scheme is unreachable → raise if any count
+      is auto-resolved (an unpinnable checkpoint must not depend on a
+      re-measured layout); warn and proceed when everything is pinned.
+
+    ``meta`` defaults to ``df._sbspark_state_meta`` (attached by
+    ``StreamPlanner.plan``); plans with no bucketed state are no-ops."""
+    if meta is None and df is not None:
+        meta = getattr(df, "_sbspark_state_meta", None)
+    if not meta or not checkpoint:
         return
     import json
-    import os
+    import warnings
 
-    os.makedirs(checkpoint, exist_ok=True)
-    sidecar = os.path.join(checkpoint, "_sbspark_key_buckets.json")
-    if os.path.exists(sidecar):
-        with open(sidecar) as f:
-            pinned = json.load(f)
-        if pinned != meta:
+    spark = spark or (df.sparkSession if df is not None else None)
+    if spark is None:
+        raise ValueError("guard_state_checkpoint needs a df or a spark")
+    try:
+        fs, root, jvm = _checkpoint_fs(spark, checkpoint)
+        Path = jvm.org.apache.hadoop.fs.Path
+        sidecar = Path(root, _SIDECAR_NAME)
+        has_sidecar = fs.exists(sidecar)
+        # Spark writes offsets/<n> at the start of the FIRST micro-batch;
+        # any of these dirs means the checkpoint has run under SOME layout
+        has_state = any(
+            fs.exists(Path(root, d)) for d in ("offsets", "state", "commits")
+        )
+        pinned = (
+            json.loads(_fs_read_text(spark, fs, sidecar))
+            if has_sidecar
+            else None
+        )
+    except Exception as e:  # noqa: BLE001 — unreachable scheme/filesystem
+        if not _all_pinned(meta):
+            raise ValueError(
+                f"cannot pin state layout on checkpoint {checkpoint!r} "
+                f"({type(e).__name__}: {e}) and the plan resolved at least "
+                "one key-bucket count via 'auto' — a restart after corpus "
+                "growth would silently re-size buckets and merge rows into "
+                "the wrong keys' state. Pin explicit ints "
+                "(StreamPlanner(summer_key_buckets=<int>) / "
+                "key_buckets=<int> on the service) or use a reachable "
+                "checkpoint URI."
+            ) from e
+        warnings.warn(
+            f"state-layout sidecar unreachable on {checkpoint!r} "
+            f"({type(e).__name__}); proceeding because every bucket count "
+            "is explicitly pinned (deterministic layout)",
+            RuntimeWarning,
+        )
+        return
+
+    if has_sidecar:
+        if _layout(pinned) != _layout(meta):
+            if not has_state:
+                # sidecar from a start that never committed a batch —
+                # it pins a layout that never materialized; replace it
+                _fs_write_text(fs, sidecar, json.dumps(meta))
+                return
             raise ValueError(
                 "checkpoint state-layout mismatch: this checkpoint was "
-                f"created with key-bucket layout {pinned}, but the current "
-                f"plan resolved {meta}. Resuming would silently merge rows "
-                "into the wrong state buckets. Re-plan with the pinned "
-                "values (e.g. StreamPlanner(summer_key_buckets=<pinned "
-                "int>) / key_buckets=<pinned int> on the service) or use "
-                "a fresh checkpoint."
+                f"created with key-bucket layout {_layout(pinned)}, but the "
+                f"current plan resolved {_layout(meta)}. Resuming would "
+                "silently merge rows into the wrong state buckets. Re-plan "
+                "with the pinned values (e.g. StreamPlanner("
+                "summer_key_buckets=<pinned int>) / key_buckets=<pinned "
+                "int> on the service) or use a fresh checkpoint."
             )
         return
-    with open(sidecar, "w") as f:
-        json.dump(meta, f)
+    if has_state:
+        if _all_pinned(meta):
+            # explicit ints are restart-deterministic — same contract the
+            # pre-sidecar era relied on; adopt the layout and pin it
+            _fs_write_text(fs, sidecar, json.dumps(meta))
+            return
+        raise ValueError(
+            f"checkpoint {checkpoint!r} contains committed state but no "
+            "state-layout sidecar (it predates the layout guard), and the "
+            "current plan resolved at least one key-bucket count via "
+            "'auto'. Adopting the re-measured layout could silently merge "
+            "rows into the wrong state buckets. Pin the count the "
+            "checkpoint was created under (pre-r13 default: "
+            "StreamPlanner(summer_key_buckets=64) / key_buckets=64 on the "
+            "service) or use a fresh checkpoint."
+        )
+    fs.mkdirs(root)
+    _fs_write_text(fs, sidecar, json.dumps(meta))
 
 
 class StreamPlan:
-    """A compiled streaming plan: the tail DataFrame plus sink effects."""
+    """A compiled streaming plan: the tail DataFrame plus sink effects.
 
-    def __init__(self, df: DataFrame, writes: list):
+    ``state_meta`` is the plan's resolved key-bucket layout (None for
+    plans with no bucketed state); every start helper that takes a
+    checkpoint pins it there via ``guard_state_checkpoint``."""
+
+    def __init__(self, df: DataFrame, writes: list, state_meta=None):
         self.dataframe = df
         self.writes = writes
+        self.state_meta = state_meta if state_meta is not None else getattr(
+            df, "_sbspark_state_meta", None
+        )
 
     def start_to_memory(self, spark, name: str, output_mode: str = "update", trigger_available_now: bool = True):
         q = (
@@ -174,7 +338,7 @@ class StreamPlan:
     def start_foreach_batch(self, fn, output_mode: str = "update", checkpoint: Optional[str] = None, trigger_available_now: bool = True):
         q = self.dataframe.writeStream.foreachBatch(fn).outputMode(output_mode)
         if checkpoint:
-            guard_state_checkpoint(self.dataframe, checkpoint)
+            guard_state_checkpoint(self.dataframe, checkpoint, meta=self.state_meta)
             q = q.option("checkpointLocation", checkpoint)
         if trigger_available_now:
             q = q.trigger(availableNow=True)
@@ -182,15 +346,24 @@ class StreamPlan:
 
     def start_writes(self, checkpoint_root: str, output_mode: str = "append", trigger_available_now: bool = True):
         """Start one foreachBatch query per Written sink in the plan
-        (each micro-batch DataFrame is handed to ``sink.write``)."""
+        (each micro-batch DataFrame is handed to ``sink.write``).
+
+        Each sink's per-write checkpoint is layout-guarded with the whole
+        plan's resolved key-bucket fingerprint: a write branch downstream
+        of a stateful op owns that op's state, and pinning the plan-wide
+        layout on every sink keeps a multi-sink plan's checkpoints
+        mutually consistent (one re-sized 'auto' restart refuses on ALL
+        of them rather than corrupting the stateful one)."""
         queries = []
         for i, (sink, wdf) in enumerate(self.writes):
+            ckpt = f"{checkpoint_root}/w{i}"
+            guard_state_checkpoint(wdf, ckpt, meta=self.state_meta)
             q = (
                 wdf.writeStream.foreachBatch(
                     lambda bdf, bid, s=sink: s.write(bdf)
                 )
                 .outputMode(output_mode)
-                .option("checkpointLocation", f"{checkpoint_root}/w{i}")
+                .option("checkpointLocation", ckpt)
             )
             if trigger_available_now:
                 q = q.trigger(availableNow=True)
@@ -292,9 +465,12 @@ class StreamPlanner(BatchPlanner):
     ):
         super().__init__(spark, options, cache_fanout)
         self.summer_key_buckets = summer_key_buckets
-        #: resolved physical bucket count per stateful op, in compile
-        #: order — the state layout fingerprint guard_state_checkpoint
-        #: pins to a checkpoint
+        #: per stateful node (structural key → resolution entry); plan()
+        #: collects the entries reachable from its root in compile order
+        self._kb_by_node: dict = {}
+        #: resolved physical bucket count per stateful op of the LAST
+        #: plan() call, in compile order — the state layout fingerprint
+        #: guard_state_checkpoint pins to a checkpoint
         self.resolved_key_buckets: list = []
 
     def plan(self, node: g.Producer) -> StreamPlan:
@@ -302,11 +478,27 @@ class StreamPlanner(BatchPlanner):
 
         ensure_utc(self.spark)
         df = self.compile(node)
+        # collected from THIS root's DAG (not a planner-lifetime
+        # accumulator): planner reuse cannot leak another plan's entries
+        # into the fingerprint, and memo-hit stateful subtrees still
+        # contribute theirs (ADVICE r13)
+        self.resolved_key_buckets = self._collect_compiled(
+            node, self._kb_by_node
+        )
+        meta = None
         if self.resolved_key_buckets:
-            df._sbspark_state_meta = {
-                "key_buckets": self.resolved_key_buckets
-            }
-        return StreamPlan(df, self._writes)
+            meta = {"key_buckets": self.resolved_key_buckets}
+            df._sbspark_state_meta = meta
+            _logger.info(
+                "stream plan resolved state layout: %s",
+                [(e["keys"], e["key_buckets"]) for e in
+                 self.resolved_key_buckets],
+            )
+        return StreamPlan(
+            df,
+            self._collect_compiled(node, self._writes_by_node),
+            state_meta=meta,
+        )
 
     def _compile(self, node: g.Producer) -> DataFrame:
         if isinstance(node, g.Observed):
@@ -321,7 +513,7 @@ class StreamPlanner(BatchPlanner):
             # streaming WrittenProducer: pass-through + a foreachBatch
             # effect started by StreamPlan.start_writes (StormSink analog)
             df = self.compile(node.parents[0])
-            self._writes.append((node.sink, df))
+            self._writes_by_node[self._skey(node)] = (node.sink, df)
             return df
         if isinstance(node, g.LeftJoin):
             return self._compile_left_join_streaming(node)
@@ -374,7 +566,8 @@ class StreamPlanner(BatchPlanner):
                 with_delta, node.on, "__loop_delta__", svc.out_col,
                 semigroup=svc.resolved_semigroup(), order_by=svc.order_by,
                 key_buckets=self._resolve_key_buckets(
-                    getattr(svc, "key_buckets", 64), node.parents[0], node.on
+                    getattr(svc, "key_buckets", 64), node.parents[0],
+                    node.on, node=node,
                 ),
             )
             return out.drop("__loop_delta__")
@@ -390,7 +583,8 @@ class StreamPlanner(BatchPlanner):
                 semigroup=svc.semigroup,
                 max_age_seconds=svc.max_age_seconds,
                 key_buckets=self._resolve_key_buckets(
-                    getattr(svc, "key_buckets", 64), node.parents[0], node.on
+                    getattr(svc, "key_buckets", 64), node.parents[0],
+                    node.on, node=node,
                 ),
             )
         if isinstance(node.service, BufferService):
@@ -427,10 +621,12 @@ class StreamPlanner(BatchPlanner):
         # option class, scoped by .name() markers — Options.getFirst),
         # then the planner-wide default
         kb = self._opt("summer_key_buckets", self.summer_key_buckets)
-        kb = self._resolve_key_buckets(kb, node.parents[0], node.keys)
+        kb = self._resolve_key_buckets(kb, node.parents[0], node.keys, node=node)
         return stateful_summer(base, node.keys, va, sg, key_buckets=kb)
 
-    def _resolve_key_buckets(self, kb, parent: g.Producer, keys) -> "int | None":
+    def _resolve_key_buckets(
+        self, kb, parent: g.Producer, keys, node: g.Producer = None
+    ) -> "int | None":
         """Resolve a ``key_buckets`` setting: ints/None pass through;
         ``"auto"`` runs one plan-time approx_count_distinct over ``keys``
         evaluated on the BATCH twin of ``parent``'s stateless prefix (see
@@ -442,15 +638,19 @@ class StreamPlanner(BatchPlanner):
         service loader in the prefix, an AnalysisException from a
         batch-incompatible prefix — all degrade out loud.
 
-        Every resolution (auto or not) is appended to
-        ``self.resolved_key_buckets`` — the plan's state-layout
-        fingerprint that ``guard_state_checkpoint`` pins per checkpoint."""
+        Every resolution is recorded against the stateful ``node``'s
+        structural key (with an ``auto`` provenance flag — the guard's
+        adoption rules distinguish restart-deterministic pinned layouts
+        from re-measured ones); ``plan()`` collects its DAG's entries
+        into ``self.resolved_key_buckets``, the state-layout fingerprint
+        ``guard_state_checkpoint`` pins per checkpoint."""
         keys = [keys] if isinstance(keys, str) else list(keys)
+        is_auto = kb == "auto"
 
         def record(resolved):
-            self.resolved_key_buckets.append(
-                {"keys": keys, "key_buckets": resolved}
-            )
+            entry = {"keys": keys, "key_buckets": resolved, "auto": is_auto}
+            if node is not None:
+                self._kb_by_node[self._skey(node)] = entry
             return resolved
 
         if kb != "auto":
@@ -471,8 +671,9 @@ class StreamPlanner(BatchPlanner):
             else:
                 chosen = auto_key_buckets(probe_df, keys, parts)
                 if memo_key is not None:
-                    if len(_AUTO_PROBE_CACHE) >= _AUTO_PROBE_CACHE_MAX:
-                        _AUTO_PROBE_CACHE.clear()
+                    while len(_AUTO_PROBE_CACHE) >= _AUTO_PROBE_CACHE_MAX:
+                        # drop-oldest (insertion-ordered dict), not clear()
+                        del _AUTO_PROBE_CACHE[next(iter(_AUTO_PROBE_CACHE))]
                     _AUTO_PROBE_CACHE[memo_key] = chosen
         except Exception as e:  # noqa: BLE001
             warnings.warn(
