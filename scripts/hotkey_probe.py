@@ -99,15 +99,20 @@ def make_shared_bucket_corpus(spark, n_hot: int, n_cold: int,
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
-    celeb_bucket = spark.sql(
-        f"SELECT pmod(xxhash64('celeb', 42), {key_buckets}) AS b"
-    ).collect()[0].b
+    # the summer's layout is pmod(xxhash64(key), buckets) — xxhash64 with
+    # its DEFAULT seed; adding a literal arg would hash an extra column
+    # and compute a different (wrong) bucket
+    celeb_bucket = (
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit("celeb")), F.lit(key_buckets)).alias("b"))
+        .collect()[0].b
+    )
     if n_cold:
         cold = (
             spark.range(200_000)
             .select(F.concat(F.lit("cold"), F.col("id")).alias("key"))
             .where(
-                F.pmod(F.xxhash64(F.col("key"), F.lit(42)), key_buckets)
+                F.pmod(F.xxhash64(F.col("key")), F.lit(key_buckets))
                 == celeb_bucket
             )
             .limit(n_cold)
