@@ -1,0 +1,272 @@
+"""Checkpoint state observability: decode a summer checkpoint's live
+state into a queryable DataFrame, and audit bucket skew — without
+stopping the job.
+
+Spark 4's ``statestore`` data source reads any streaming checkpoint's
+state store as (key, value, partition_id) rows through the public
+reader API. Our stateful summer keeps its state as ONE binary cell per
+physical group — per-key mode: group = the key columns, cell =
+``{batch_id: running total}``; bucketed mode (the default layout):
+group = ``__kb__ = xxhash64(keys) % buckets``, cell =
+``{(key_tuple, batch_id): running total}`` with ``NAN_KEY`` sentinels
+for float-NaN key values (streaming/stateful.py:461,504). The helpers
+here explode those cells back into logical rows, distributively
+(``mapInPandas`` over the state partitions — no driver collect, so a
+billion-entry state decodes at scan parallelism).
+
+Why it matters at 100 TB:
+
+* **Audit / reconcile**: the decoded totals are exactly the running
+  (key, batch) aggregates the summer would use as ``prev`` for the next
+  trigger — comparable against the OnlineStore or a batch recompute
+  without replaying the corpus.
+* **Skew + sizing**: ``state_skew_report`` shows keys and bytes per
+  bucket straight from the checkpoint, the ground truth the
+  ``summer_key_buckets`` sizing heuristic estimates at plan time
+  (hash imbalance or a carrier blow-up shows up HERE first).
+* **Migration escrow**: before re-bucketing at a new ``key_buckets``
+  (guarded by ``guard_state_checkpoint``), the export preserves the old
+  checkpoint's exact in-flight totals for verification of the replayed
+  generation — the round-14 migration test's "merged totals equal a
+  one-shot run" check, runnable against production checkpoints.
+
+The reference exposed its online state only through the store's public
+read path (summingbird-online MergeableStore); Spark's checkpoint
+reader lets us do better — state introspection is a first-class query.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .stateful import NAN_KEY
+
+#: state-source column carrying our pickled cell (applyInPandasWithState
+#: wraps the user state tuple in a groupState struct; our state schema is
+#: the 1-tuple ("state binary"))
+_STATE_COL = "value.groupState.state"
+
+
+def _load_statestore(
+    spark: SparkSession,
+    checkpoint: str,
+    batch_id: Optional[int] = None,
+    operator_id: int = 0,
+) -> DataFrame:
+    r = spark.read.format("statestore")
+    if batch_id is not None:
+        r = r.option("batchId", int(batch_id))
+    if operator_id:
+        r = r.option("operatorId", int(operator_id))
+    return r.load(checkpoint)
+
+
+def read_summer_state(
+    spark: SparkSession,
+    checkpoint: str,
+    key_schema: str,
+    value_type: str = "double",
+    batch_id: Optional[int] = None,
+    operator_id: int = 0,
+) -> DataFrame:
+    """Decode a stateful-summer checkpoint into logical state rows.
+
+    Returns a DataFrame ``(<key cols...>, batch_id bigint, value
+    <value_type>)`` — one row per in-flight (key, BatchID) running
+    total. ``key_schema`` is the summer's key columns as DDL (e.g.
+    ``"key string"`` or ``"user_id bigint, country string"``) in the
+    same order the pipeline declared them; ``value_type`` is the
+    carrier's SQL type (``"binary"`` keeps the pickled python carrier
+    verbatim — the escape hatch for non-SQL carriers like sketch maps).
+
+    Both physical layouts are handled transparently: the state key
+    struct having a single ``__kb__`` field marks the bucketed layout
+    (cells hold key tuples); anything else is per-key mode (the state
+    key IS the logical key; cells hold ``{batch_id: total}``).
+    ``NAN_KEY`` sentinels are restored to float NaN exactly as the
+    summer's own emission path does. ``batch_id=None`` reads the latest
+    committed state; pass an older committed batch for point-in-time
+    reads (the state source's time travel).
+    """
+    import pandas as pd
+
+    st = _load_statestore(spark, checkpoint, batch_id, operator_id)
+    key_fields = [f.split()[0].strip("`") for f in key_schema.split(",")]
+    state_key_cols = st.schema["key"].dataType.fieldNames()
+    bucketed = state_key_cols == ["__kb__"]
+    out_schema = f"{key_schema}, batch_id bigint, value {value_type}"
+    keep_pickled = value_type.strip().lower() == "binary"
+
+    def _emit_value(v):
+        return pickle.dumps(v) if keep_pickled else v
+
+    if bucketed:
+        src = st.select(F.col(_STATE_COL).alias("state"))
+
+        def decode(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in pdfs:
+                rows = []
+                for blob in pdf["state"]:
+                    if blob is None:
+                        continue
+                    for (kt, b), total in pickle.loads(bytes(blob)).items():
+                        kv = tuple(
+                            float("nan") if v is NAN_KEY else v for v in kt
+                        )
+                        rows.append((*kv, int(b), _emit_value(total)))
+                yield pd.DataFrame(
+                    rows, columns=[*key_fields, "batch_id", "value"]
+                )
+
+        return src.mapInPandas(decode, out_schema)
+
+    # per-key layout: logical key lives in the state KEY struct
+    src = st.select(
+        *[F.col(f"key.{c}").alias(n) for c, n in zip(state_key_cols, key_fields)],
+        F.col(_STATE_COL).alias("state"),
+    )
+
+    def decode_perkey(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                blob = rec[-1]
+                if blob is None:
+                    continue
+                for b, total in pickle.loads(bytes(blob)).items():
+                    rows.append((*rec[:-1], int(b), _emit_value(total)))
+            yield pd.DataFrame(rows, columns=[*key_fields, "batch_id", "value"])
+
+    return src.mapInPandas(decode_perkey, out_schema)
+
+
+def read_keyed_state(
+    spark: SparkSession,
+    checkpoint: str,
+    key_schema: str,
+    batch_id: Optional[int] = None,
+    operator_id: int = 0,
+) -> DataFrame:
+    """Decode a TEMPORAL/LOOP-join checkpoint into one row per logical
+    join key: ``(<key cols...>, state binary)`` where ``state`` is the
+    per-key kernel state pickled verbatim (mode-dependent: latest
+    pointer, running carrier, or a windowed retraction buffer —
+    streaming/temporal.py:155,689). Use this for audits that only need
+    key residency / per-key state sizes, or unpickle the blob for the
+    mode you know you ran. Layout detection mirrors
+    ``read_summer_state``: a single ``__kb__`` state-key field means the
+    bucketed ``{key_tuple: kernel state}`` layout; otherwise the state
+    key IS the logical key and the cell is that key's kernel state."""
+    import pandas as pd
+
+    st = _load_statestore(spark, checkpoint, batch_id, operator_id)
+    key_fields = [f.split()[0].strip("`") for f in key_schema.split(",")]
+    state_key_cols = st.schema["key"].dataType.fieldNames()
+    bucketed = state_key_cols == ["__kb__"]
+    out_schema = f"{key_schema}, state binary"
+
+    if bucketed:
+        src = st.select(F.col(_STATE_COL).alias("state"))
+
+        def decode(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in pdfs:
+                rows = []
+                for blob in pdf["state"]:
+                    if blob is None:
+                        continue
+                    for kt, kstate in pickle.loads(bytes(blob)).items():
+                        kv = tuple(
+                            float("nan") if v is NAN_KEY else v for v in kt
+                        )
+                        rows.append((*kv, pickle.dumps(kstate)))
+                yield pd.DataFrame(rows, columns=[*key_fields, "state"])
+
+        return src.mapInPandas(decode, out_schema)
+
+    return st.select(
+        *[
+            F.col(f"key.{c}").alias(n)
+            for c, n in zip(state_key_cols, key_fields)
+        ],
+        F.col(_STATE_COL).alias("state"),
+    )
+
+
+def state_skew_report(
+    spark: SparkSession,
+    checkpoint: str,
+    batch_id: Optional[int] = None,
+    operator_id: int = 0,
+) -> DataFrame:
+    """Per-physical-group state audit for ANY of the engine's Python
+    stateful kernels (summer, temporal as-of, loop join): one row per
+    state group (bucket or key) with ``state_bytes`` (serialized cell
+    size), ``entries`` (in-flight cells — (key, batch) totals for the
+    summer, resident keys for the temporal kernels), and
+    ``logical_keys`` (distinct keys resident). ``bucket`` is the
+    ``__kb__`` value in bucketed mode, NULL in per-key mode.
+
+    This is the measured ground truth behind bucket sizing: hash
+    imbalance shows as a heavy ``logical_keys`` tail, a carrier blow-up
+    (e.g. an unbounded set semigroup) as ``state_bytes`` outliers with
+    ordinary key counts — each actionable (re-bucket via the guarded
+    migration path / cap the carrier) before it becomes an executor OOM.
+    Pure scan + decode at state-partition parallelism.
+    """
+    import pandas as pd
+
+    st = _load_statestore(spark, checkpoint, batch_id, operator_id)
+    state_key_cols = st.schema["key"].dataType.fieldNames()
+    bucketed = state_key_cols == ["__kb__"]
+    src = st.select(
+        (F.col("key.__kb__") if bucketed else F.lit(None).cast("bigint"))
+        .alias("bucket"),
+        F.col(_STATE_COL).alias("state"),
+    )
+
+    def audit(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                bucket, blob = rec.bucket, rec.state
+                if blob is None:
+                    continue
+                cells = pickle.loads(bytes(blob))
+                if isinstance(cells, dict):
+                    # summer cell keys are ((key_tuple), batch_id);
+                    # temporal/loop cell keys are the key tuple itself
+                    keys = {
+                        c[0]
+                        if isinstance(c, tuple) and c
+                        and isinstance(c[0], tuple)
+                        else c
+                        for c in cells
+                    } if bucketed else {None}
+                    n_entries = len(cells)
+                else:
+                    # per-key temporal layout: the whole cell is ONE
+                    # key's kernel state
+                    keys, n_entries = {None}, 1
+                rows.append(
+                    (
+                        None if bucket is None or pd.isna(bucket)
+                        else int(bucket),
+                        len(bytes(blob)),
+                        n_entries,
+                        len(keys),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["bucket", "state_bytes", "entries", "logical_keys"],
+            )
+
+    return src.mapInPandas(
+        audit,
+        "bucket bigint, state_bytes bigint, entries bigint, "
+        "logical_keys bigint",
+    )
