@@ -462,9 +462,15 @@ class StreamPlanner(BatchPlanner):
         options=None,
         cache_fanout: bool = False,
         summer_key_buckets: "int | str | None" = "auto",
+        summer_bootstrap_dir: Optional[str] = None,
     ):
         super().__init__(spark, options, cache_fanout)
         self.summer_key_buckets = summer_key_buckets
+        #: replay-free state carry-in for a FRESH checkpoint (re-bucket
+        #: migration): dir written by state_tools.export_summer_bootstrap
+        #: at this planner's (int) summer_key_buckets; each bucket's
+        #: first trigger seeds its totals from it. Also a per-name option.
+        self.summer_bootstrap_dir = summer_bootstrap_dir
         #: per stateful node (structural key → resolution entry); plan()
         #: collects the entries reachable from its root in compile order
         self._kb_by_node: dict = {}
@@ -622,7 +628,10 @@ class StreamPlanner(BatchPlanner):
         # then the planner-wide default
         kb = self._opt("summer_key_buckets", self.summer_key_buckets)
         kb = self._resolve_key_buckets(kb, node.parents[0], node.keys, node=node)
-        return stateful_summer(base, node.keys, va, sg, key_buckets=kb)
+        bd = self._opt("summer_bootstrap_dir", self.summer_bootstrap_dir)
+        return stateful_summer(
+            base, node.keys, va, sg, key_buckets=kb, bootstrap_dir=bd
+        )
 
     def _resolve_key_buckets(
         self, kb, parent: g.Producer, keys, node: g.Producer = None

@@ -144,6 +144,136 @@ def read_summer_state(
     return src.mapInPandas(decode_perkey, out_schema)
 
 
+def export_summer_bootstrap(
+    spark: SparkSession,
+    checkpoint: str,
+    out_path: str,
+    key_schema: str,
+    new_key_buckets: int,
+    batch_id: Optional[int] = None,
+    operator_id: int = 0,
+) -> int:
+    """Export a summer checkpoint's state as a REPLAY-FREE carry-in for
+    a fresh checkpoint at a different bucket count — the migration path
+    for an 'auto'-sized job whose corpus outgrew its pinned layout
+    without re-reading 100 TB of history.
+
+    Decodes every in-flight (key, BatchID) running total from
+    ``checkpoint`` (either physical layout), re-routes each cell to its
+    bucket under ``new_key_buckets`` using the summer's own hash
+    (``bucket_by_key_hash`` — bit-identical routing to what the new
+    pipeline will compute at ingest), and writes one partition dir per
+    new bucket (``<out_path>/__kb__=<i>/``) of verbatim pickled
+    (cell key, total) pairs. Start the new generation with
+    ``StreamPlanner(summer_key_buckets=<new_key_buckets>,
+    summer_bootstrap_dir=<out_path>)`` pointed at the GO-FORWARD source
+    (new files / new offsets — the old corpus is already folded into the
+    export); each bucket's first trigger seeds its state from its
+    partition and ``prev`` continues exactly where the old generation
+    stopped.
+
+    ``key_schema`` must repeat the pipeline's key columns with their
+    EXACT Spark types (``xxhash64`` is type-sensitive: a bigint and an
+    int of the same value route to different buckets). Returns the
+    number of exported state cells; ``out_path`` is overwritten.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, FloatType
+
+    from .stateful import bucket_by_key_hash, sentinel_key_tuple
+
+    if int(new_key_buckets) <= 0:
+        raise ValueError(f"new_key_buckets must be positive; got {new_key_buckets!r}")
+    st = _load_statestore(spark, checkpoint, batch_id, operator_id)
+    key_fields = [f.split()[0].strip("`") for f in key_schema.split(",")]
+    state_key_cols = st.schema["key"].dataType.fieldNames()
+    bucketed = state_key_cols == ["__kb__"]
+    mid_schema = f"{key_schema}, cell binary, total binary"
+
+    if bucketed:
+        src = st.select(F.col(_STATE_COL).alias("state"))
+
+        def decode(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in pdfs:
+                rows = []
+                for blob in pdf["state"]:
+                    if blob is None:
+                        continue
+                    for cell, total in pickle.loads(bytes(blob)).items():
+                        kt = cell[0]
+                        kv = tuple(
+                            float("nan") if v is NAN_KEY else v for v in kt
+                        )
+                        rows.append(
+                            (*kv, pickle.dumps(cell), pickle.dumps(total))
+                        )
+                yield pd.DataFrame(
+                    rows, columns=[*key_fields, "cell", "total"]
+                )
+
+        mid = src.mapInPandas(decode, mid_schema)
+    else:
+        # per-key layout: synthesize the bucketed cell keys the NEW
+        # kernel will use. Float/double key columns need the NaN-vs-NULL
+        # distinction carried OUT of the JVM (pandas conflates both), so
+        # companion isnan flags ride along exactly as at ingest.
+        src = st.select(
+            *[
+                F.col(f"key.{c}").alias(n)
+                for c, n in zip(state_key_cols, key_fields)
+            ],
+            F.col(_STATE_COL).alias("state"),
+        )
+        flagged_pos = [
+            i
+            for i, n in enumerate(key_fields)
+            if isinstance(src.schema[n].dataType, (DoubleType, FloatType))
+        ]
+        flag_cols = [f"__knan_{key_fields[p]}__" for p in flagged_pos]
+        for p, fc in zip(flagged_pos, flag_cols):
+            src = src.withColumn(fc, F.isnan(F.col(key_fields[p])))
+        nk = len(key_fields)
+
+        def decode_pk(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in pdfs:
+                rows = []
+                for rec in pdf.itertuples(index=False):
+                    kvals, blob = rec[:nk], rec[nk]
+                    fvals = rec[nk + 1:]
+                    if blob is None:
+                        continue
+                    kt = sentinel_key_tuple(kvals, fvals, flagged_pos)
+                    kv = tuple(
+                        float("nan") if v is NAN_KEY else v for v in kt
+                    )
+                    for b, total in pickle.loads(bytes(blob)).items():
+                        rows.append(
+                            (
+                                *kv,
+                                pickle.dumps((kt, int(b))),
+                                pickle.dumps(total),
+                            )
+                        )
+                yield pd.DataFrame(
+                    rows, columns=[*key_fields, "cell", "total"]
+                )
+
+        mid = src.mapInPandas(decode_pk, mid_schema)
+
+    routed, _flags, _pos = bucket_by_key_hash(
+        mid, key_fields, int(new_key_buckets)
+    )
+    (
+        routed.select("__kb__", "cell", "total")
+        .repartition("__kb__")
+        .write.mode("overwrite")
+        .partitionBy("__kb__")
+        .parquet(out_path)
+    )
+    return spark.read.parquet(out_path).count()
+
+
 def read_keyed_state(
     spark: SparkSession,
     checkpoint: str,

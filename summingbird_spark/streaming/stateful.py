@@ -357,6 +357,30 @@ def resolve_fast_agg(sg, base: DataFrame, value_alias: str):
     return fa, v_int
 
 
+def _load_bootstrap_bucket(bootstrap_dir: str, bucket: int) -> dict:
+    """Worker-side load of one bucket's carried-in state cells from a
+    ``state_tools.export_summer_bootstrap`` layout
+    (``<dir>/__kb__=<bucket>/*.parquet`` of pickled (cell, total) pairs).
+    A missing partition dir = an empty bucket (hash gaps are normal);
+    any OTHER read error propagates — silently dropping carried-in
+    totals would be the exact corruption bootstrap exists to avoid."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    part = os.path.join(bootstrap_dir, f"__kb__={bucket}")
+    try:
+        t = pq.read_table(part, columns=["cell", "total"])
+    except FileNotFoundError:
+        return {}
+    return {
+        pickle.loads(bytes(c)): pickle.loads(bytes(v))
+        for c, v in zip(
+            t.column("cell").to_pylist(), t.column("total").to_pylist()
+        )
+    }
+
+
 def stateful_summer(
     base: DataFrame,
     keys: list[str],
@@ -364,10 +388,24 @@ def stateful_summer(
     sg,
     evict_before_batch: Optional[int] = None,
     key_buckets: Optional[int] = None,
+    bootstrap_dir: Optional[str] = None,
 ) -> DataFrame:
     """base columns: keys..., batch_id, __time__, <value_alias>.
     Returns a streaming DataFrame (keys..., batch_id, prev, delta) with one
     row per (key, batch) per trigger that saw data for it.
+
+    ``bootstrap_dir``: replay-free state carry-in for a FRESH checkpoint
+    (the re-bucket migration path): each bucket's FIRST trigger — the
+    one with no committed state yet — seeds its totals from
+    ``<bootstrap_dir>/__kb__=<bucket>/`` (written by
+    ``state_tools.export_summer_bootstrap`` at THIS bucket count), so
+    ``prev`` values continue from the exported generation without
+    replaying its corpus. Exactly-once by construction: after the first
+    commit the state exists and the bootstrap is never re-read, and an
+    epoch replayed after a crash-before-commit re-reads it idempotently.
+    Requires bucketed mode (an int ``key_buckets`` matching the export).
+    The dir must be reachable from the workers (shared filesystem, or
+    any URI pyarrow can open).
 
     ``key_buckets``: when set, state is keyed by ``hash(keys) % buckets``
     instead of per-key — the reference's shard grouping (FinalFlatMap
@@ -402,6 +440,23 @@ def stateful_summer(
         )
     if key_buckets is not None and int(key_buckets) <= 0:
         raise ValueError(f"key_buckets must be positive or None; got {key_buckets!r}")
+    if bootstrap_dir is not None:
+        if key_buckets is None:
+            raise ValueError(
+                "bootstrap_dir requires bucketed state (an int key_buckets "
+                "matching the export's new_key_buckets); per-key mode has "
+                "one state group per key — re-run the export at a bucket "
+                "count instead"
+            )
+        import os as _os
+
+        if "://" not in str(bootstrap_dir) and not _os.path.isdir(
+            str(bootstrap_dir)
+        ):
+            raise ValueError(
+                f"bootstrap_dir {bootstrap_dir!r} does not exist — a "
+                "mistyped path would silently start from empty state"
+            )
     sg = sg_mod.get(sg)
     key_types = [(f.name, f.dataType.simpleString()) for f in base.schema.fields if f.name in keys]
     vt = base.schema[value_alias].dataType.simpleString()
@@ -501,7 +556,14 @@ def stateful_summer(
     ) -> Iterator[pd.DataFrame]:
         # state: {(key_tuple, batch_id): running total} for every logical
         # key hashing into this bucket
-        totals: dict = pickle.loads(bytes(state.get[0])) if state.exists else {}
+        if state.exists:
+            totals: dict = pickle.loads(bytes(state.get[0]))
+        elif bootstrap_dir is not None:
+            # fresh checkpoint carry-in (re-bucket migration): seed this
+            # bucket from the exported generation's totals
+            totals = _load_bootstrap_bucket(str(bootstrap_dir), int(bucket[0]))
+        else:
+            totals = {}
         fresh: dict = {}
         gcols = [*key_names, *flag_names, "batch_id"]
 

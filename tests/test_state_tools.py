@@ -179,6 +179,154 @@ def test_read_keyed_state_temporal_loop(spark, tmp_path):
         assert all(r.state_bytes > 0 for r in rep)
 
 
+def test_replay_free_rebucket_migration(spark, tmp_path):
+    """The 100-TB migration path end-to-end: generation A runs at one
+    bucket count; its state is exported re-routed under a NEW count
+    (export_summer_bootstrap); generation B starts a FRESH checkpoint at
+    the new count over ONLY the go-forward corpus, seeded by the export
+    — no replay of A's data — and (1) its first emissions see prev =
+    exactly where A stopped, (2) the final state equals a one-shot batch
+    recompute over A ∪ B."""
+    from summingbird_spark.streaming.state_tools import (
+        export_summer_bootstrap,
+    )
+
+    def day(d, h):
+        return dt.datetime(2024, 1, 1 + d, h)
+
+    # generation A: two triggers, keys k0..k4 + NULL, two daily batches
+    tmp_path.joinpath("a").mkdir()
+    tmp_path.joinpath("b").mkdir()
+    src_a = _write_chunks(
+        spark, tmp_path.joinpath("a"),
+        [
+            [(day(0, i), f"k{i % 5}", i + 1) for i in range(10)]
+            + [(day(0, 3), None, 50)],
+            [(day(1, i), f"k{i % 5}", 2 * i) for i in range(10)],
+        ],
+    )
+    ck_a = str(tmp_path / "ck_a")
+    _run_summer(spark, src_a, ck_a, kb=5)
+
+    boot = str(tmp_path / "boot")
+    n = export_summer_bootstrap(spark, ck_a, boot, "key string",
+                                new_key_buckets=3)
+    truth_a = _batch_truth(spark, src_a)
+    assert n == len(truth_a)  # every in-flight cell exported
+
+    # generation B: go-forward corpus ONLY (k0/k2 continue, NULL
+    # continues, k9 is new); final touch-all chunk (value 0) drives every
+    # key through its bucket so the whole carried-in state materializes
+    all_keys = [f"k{i}" for i in range(5)] + [None, "k9"]
+    src_b = _write_chunks(
+        spark, tmp_path.joinpath("b"),
+        [
+            [(day(1, 20), "k0", 100), (day(2, 1), "k2", 7),
+             (day(2, 2), None, 11), (day(2, 3), "k9", 13)],
+            [(day(2, 12), k, 0) for k in all_keys],
+        ],
+    )
+    ck_b = str(tmp_path / "ck_b")
+    out_b = str(tmp_path / "out_b")
+    src = stream_source(src_b, SCHEMA, time_col="ts",
+                        max_files_per_trigger=1)
+    p = src.sum_by_key("key", "value", semigroup="sum_long",
+                       batcher=sb.of_days(1))
+    plan = StreamPlanner(spark, summer_key_buckets=3,
+                         summer_bootstrap_dir=boot).plan(p)
+    q = plan.start_foreach_batch(
+        lambda bdf, bid: bdf.withColumn("bid", F.lit(bid))
+        .write.mode("append").parquet(out_b),
+        checkpoint=ck_b,
+    )
+    q.awaitTermination(120)
+
+    rows_b = spark.read.parquet(out_b).collect()
+    # (1) prev continuity: k0's day-1 delta in gen B folds onto gen A's
+    # day-1 total — WITHOUT gen A's corpus being replayed
+    day1 = [r for r in rows_b if r.key == "k0" and r.bid == 0
+            and r.prev is not None]
+    assert len(day1) == 1
+    assert day1[0].prev == truth_a[("k0", day1[0].batch_id)]
+    assert day1[0].delta == 100
+
+    # (2) end state == one-shot truth over A ∪ B
+    union_truth = {}
+    for srcd in (src_a, src_b):
+        for cell, v in _batch_truth(spark, srcd).items():
+            union_truth[cell] = union_truth.get(cell, 0) + v
+    got = {
+        (r.key, r.batch_id): r.value
+        for r in read_summer_state(spark, ck_b, "key string",
+                                   value_type="bigint").collect()
+    }
+    assert got == union_truth
+    # degeneracy: k3 was never in B's real events — its cells are present
+    # purely via the carried-in bootstrap (truth check already above)
+    assert any(k == "k3" for k, _ in got)
+
+    # a mistyped bootstrap dir fails loudly at plan time
+    with pytest.raises(ValueError, match="bootstrap_dir"):
+        StreamPlanner(spark, summer_key_buckets=3,
+                      summer_bootstrap_dir=str(tmp_path / "nope")).plan(p)
+
+
+def test_export_bootstrap_distinguishes_nan_from_null_float_key(
+    spark, tmp_path
+):
+    """Exporting a PER-KEY checkpoint with a float key column must carry
+    the NaN-vs-NULL distinction into the synthesized bucketed cell keys
+    (pandas conflates both to NaN; the companion-flag path restores
+    NAN_KEY), and both must route to the SAME bucket — exactly the
+    ingest-path hash normalization."""
+    import math
+    import pickle
+
+    from summingbird_spark.streaming.state_tools import (
+        export_summer_bootstrap,
+    )
+    from summingbird_spark.streaming.stateful import NAN_KEY
+
+    sch = "ts timestamp, key double, value long"
+    rows = [
+        (ts(0), 1.5, 10),
+        (ts(1), float("nan"), 20),
+        (ts(2), None, 30),
+        (ts(3), float("nan"), 2),
+    ]
+    src = tmp_path / "fsrc"
+    src.mkdir()
+    spark.createDataFrame(rows, sch).coalesce(1).write.parquet(
+        str(src / "c0")
+    )
+    stream = stream_source(str(src / "c0"), sch, time_col="ts")
+    p = stream.sum_by_key("key", "value", semigroup="sum_long",
+                          batcher=sb.of_days(1))
+    ck = str(tmp_path / "fck")
+    plan = StreamPlanner(spark, summer_key_buckets=None).plan(p)
+    q = plan.start_foreach_batch(
+        lambda bdf, bid: bdf.write.format("noop").mode("overwrite").save(),
+        checkpoint=ck,
+    )
+    q.awaitTermination(120)
+
+    boot = str(tmp_path / "fboot")
+    n = export_summer_bootstrap(spark, ck, boot, "key double",
+                                new_key_buckets=4)
+    assert n == 3  # 1.5, NaN, NULL — three logical keys, one batch each
+
+    raw = spark.read.parquet(boot).collect()
+    cells = {}
+    for r in raw:
+        kt, b = pickle.loads(bytes(r.cell))
+        cells[kt] = (r["__kb__"], pickle.loads(bytes(r.total)))
+    # NaN carried as the NAN_KEY sentinel, NULL as None — distinct cells
+    # with the right totals, in the SAME bucket
+    assert cells[(NAN_KEY,)][1] == 22 and cells[(None,)][1] == 30
+    assert cells[(NAN_KEY,)][0] == cells[(None,)][0]
+    assert cells[(1.5,)][1] == 10
+
+
 def test_state_skew_report_reconciles(spark, corpus, tmp_path):
     ckpt = str(tmp_path / "ck_skew")
     _run_summer(spark, corpus, ckpt, 3)

@@ -2703,6 +2703,106 @@ def test_start_writes_guards_state_layout(spark, stream_dir, tmp_path):
         start(8)
 
 
+def test_stream_tumbling_window_semantics(spark, tmp_path):
+    """Pins the three behaviors the graded stream_tumbling_window row
+    depends on (its external swap candidate for the next window rotate):
+    (1) windows accumulate across micro-batches and the stream's append
+    output equals the batch tumbling aggregation of the NON-late rows;
+    (2) a row arriving after the watermark passed its window's end is
+    dropped (the append-mode late-data bound — eviction, not input
+    filtering); (3) an end-of-stream far-future sentinel advances the
+    watermark so the final real window flushes (availableNow never
+    flushes state on its own)."""
+    import glob
+    import os
+    import shutil
+
+    day = dt.datetime(2024, 1, 1)
+
+    def t(day_off, hour):
+        return day + dt.timedelta(days=day_off, hours=hour)
+
+    sch = "ts timestamp, etype string, value long"
+    chunks = [
+        # day 0 events
+        [(t(0, 1), "a", 1), (t(0, 5), "b", 2), (t(0, 9), "a", 3)],
+        # day 1 events, including an in-batch latecomer (t(1,2) after
+        # t(1,8) — disorder inside a trigger must not matter)
+        [(t(1, 8), "a", 10), (t(1, 2), "b", 20), (t(1, 7), "a", 30)],
+        # two more day-1 triggers so the watermark (max - 1h) advances
+        # THROUGH the commit lag (watermark set at a batch's end takes
+        # effect one batch later) far past the day-0 window end
+        [(t(1, 9), "b", 50)],
+        [(t(1, 10), "a", 60)],
+        # a day-0 straggler: every candidate watermark is now past the
+        # day-0 window end, so this row must be DROPPED; the far-future
+        # sentinel advances the watermark so day 1 flushes
+        [(t(0, 6), "a", 999), (t(40, 0), "__sentinel__", 0)],
+    ]
+    src = tmp_path / "tw_src"
+    src.mkdir()
+    for i, rows in enumerate(chunks):
+        tmp = tmp_path / f"__tw{i}"
+        spark.createDataFrame(rows, sch).coalesce(1).write.parquet(str(tmp))
+        [f] = glob.glob(str(tmp / "*.parquet"))
+        dst = str(src / f"chunk{i}.parquet")
+        shutil.move(f, dst)
+        shutil.rmtree(str(tmp))
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+    )
+    agg = stream.groupBy(F.window("ts", "1 day"), "etype").agg(
+        F.sum("value").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    out = tmp_path / "tw_out"
+    q = (
+        agg.writeStream.foreachBatch(
+            lambda bdf, _b: bdf.select(
+                "etype", F.unix_millis("window.start").alias("w_ms"),
+                "total", "n",
+            ).write.mode("append").parquet(str(out))
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "tw_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.etype, r.w_ms): (r.total, r.n)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+
+    # batch truth over the rows that are NOT late (straggler excluded)
+    # and not the sentinel (its window never emits — watermark never
+    # passes it)
+    live = [r for c in chunks for r in c
+            if r[1] != "__sentinel__" and r[2] != 999]
+    truth = {
+        (r.etype, r.w_ms): (r.total, r.n)
+        for r in spark.createDataFrame(live, sch)
+        .groupBy(F.window("ts", "1 day"), "etype")
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+        .select("etype", F.unix_millis("window.start").alias("w_ms"),
+                "total", "n")
+        .collect()
+    }
+    assert got == truth
+    # the day-1 window DID flush (sentinel advanced the watermark)...
+    day1_ms = int(
+        t(1, 0).replace(tzinfo=dt.timezone.utc).timestamp() * 1000
+    )
+    assert ("a", day1_ms) in got and got[("a", day1_ms)] == (100, 3)
+    assert got[("b", day1_ms)] == (70, 2)
+    # ...and the dropped straggler's 999 contaminates no window
+    assert all(v[0] < 999 for v in got.values())
+
+
 def test_auto_resize_migration_across_checkpoint_generation(spark, tmp_path):
     """The DOCUMENTED recovery path for an 'auto'-bucketed job whose
     corpus grew across a restart (VERDICT r13 item 6), end to end:
