@@ -400,3 +400,53 @@ def state_skew_report(
         "bucket bigint, state_bytes bigint, entries bigint, "
         "logical_keys bigint",
     )
+
+
+def suggest_key_buckets(
+    spark: SparkSession,
+    checkpoint: str,
+    batch_id: Optional[int] = None,
+    operator_id: int = 0,
+) -> dict:
+    """Close the sizing loop from MEASURED state to a recommended bucket
+    count: where plan-time ``summer_key_buckets='auto'`` estimates key
+    cardinality with one approx_count_distinct scan of the corpus, this
+    reads the checkpoint's actual resident keys (``state_skew_report``)
+    and applies the same clamp (``auto_key_buckets``'s
+    keys/target → [floor, partitions × cap]). Returns::
+
+        {"resident_keys": ..., "current_buckets": ...,  # None = per-key
+         "suggested_buckets": ..., "max_bucket_keys": ...,
+         "max_bucket_bytes": ...}
+
+    Use it before ``export_summer_bootstrap`` to pick the new
+    generation's count from ground truth rather than a fresh estimate —
+    e.g. migrate when ``max_bucket_keys`` drifts far above the
+    ``AUTO_KEYS_PER_BUCKET`` target (corpus growth under a pinned
+    layout) or ``max_bucket_bytes`` nears the state-store comfort zone
+    (carrier growth)."""
+    from .stateful import (
+        AUTO_GROUPS_PER_PARTITION_CAP,
+        AUTO_KEYS_PER_BUCKET,
+        AUTO_MIN_BUCKETS,
+    )
+
+    rows = state_skew_report(
+        spark, checkpoint, batch_id=batch_id, operator_id=operator_id
+    ).collect()
+    bucketed = any(r.bucket is not None for r in rows)
+    resident = (
+        sum(r.logical_keys for r in rows) if bucketed else len(rows)
+    )
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    want = -(-int(resident) // max(1, AUTO_KEYS_PER_BUCKET))  # ceil
+    cap = max(AUTO_MIN_BUCKETS, parts * AUTO_GROUPS_PER_PARTITION_CAP)
+    return {
+        "resident_keys": int(resident),
+        "current_buckets": len(rows) if bucketed else None,
+        "suggested_buckets": max(AUTO_MIN_BUCKETS, min(want, cap)),
+        "max_bucket_keys": max(
+            (r.logical_keys for r in rows), default=0
+        ),
+        "max_bucket_bytes": max((r.state_bytes for r in rows), default=0),
+    }

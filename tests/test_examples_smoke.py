@@ -81,3 +81,13 @@ def test_example_events_daily_totals_cli(tmp_path):
            "--job", "examples.events_daily_totals:build"]
     _run(cli + ["--through-time", "2024-01-20"], extra_env=env)
     _run(cli + ["--batches", "5"], extra_env=env)
+
+
+def test_example_state_migration(tmp_path):
+    out = _run(
+        [sys.executable, "examples/state_migration.py",
+         str(tmp_path / "mig")],
+    )
+    # the script's own checks: guard refusal + replay-free equality
+    assert "guard refused the re-size in place" in out
+    assert "migrated state matches one-shot truth: True" in out

@@ -345,3 +345,25 @@ def test_state_skew_report_reconciles(spark, corpus, tmp_path):
     rep2 = state_skew_report(spark, ck2).collect()
     assert all(r.bucket is None and r.logical_keys == 1 for r in rep2)
     assert sum(r.entries for r in rep2) == len(decoded)
+
+
+def test_suggest_key_buckets_from_residency(spark, corpus, tmp_path):
+    """suggest_key_buckets applies the auto clamp to MEASURED resident
+    keys (not a corpus estimate) and reports the skew extremes."""
+    from summingbird_spark.streaming.state_tools import suggest_key_buckets
+    from summingbird_spark.streaming.stateful import AUTO_MIN_BUCKETS
+
+    ck = str(tmp_path / "ck_sug")
+    _run_summer(spark, corpus, ck, kb=3)
+    rec = suggest_key_buckets(spark, ck)
+    assert rec["resident_keys"] == 6  # k0..k4 + NULL
+    assert rec["current_buckets"] == 3
+    assert rec["suggested_buckets"] == AUTO_MIN_BUCKETS  # floors at 8
+    assert rec["max_bucket_keys"] >= 2  # 6 keys over 3 buckets
+    assert rec["max_bucket_bytes"] > 0
+
+    ck2 = str(tmp_path / "ck_sug_pk")
+    _run_summer(spark, corpus, ck2, kb=None)
+    rec2 = suggest_key_buckets(spark, ck2)
+    assert rec2["current_buckets"] is None
+    assert rec2["resident_keys"] == 6
