@@ -415,7 +415,14 @@ def main() -> None:
         )
         res2 = sweep()
         reran = True
-        if _noise_score(res2) < _noise_score(res):
+        # only adopt the re-run when its OWN calibration sampled
+        # successfully — an unmeasured (-1) calibration scores a vacuous
+        # 1.0 and would replace the capture with one of unknown noise
+        if (
+            res2["calib_io_sec"] > 0
+            and res2["calib_sec"] > 0
+            and _noise_score(res2) < _noise_score(res)
+        ):
             res = res2
 
     timings = res["timings"]

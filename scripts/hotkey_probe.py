@@ -215,7 +215,7 @@ def main_shared() -> None:
             res[tag] = r
             print(f"| {sg} | {tag} | {r['update_ms']} | {r['commit_ms']} "
                   f"| {r['state_rows']} | {r['state_bytes']} |", flush=True)
-        if res["isolated"].get("update_ms"):
+        if res["isolated"].get("update_ms") and res["shared"].get("update_ms"):
             amp = res["shared"]["update_ms"] / max(1, res["isolated"]["update_ms"])
             print(f"# {sg}: shared/isolated hot-trigger update ratio = "
                   f"{amp:.2f}x", flush=True)

@@ -147,10 +147,28 @@ class BatchPlanner:
         plan.observations = self.observations
         return plan
 
+    def _aux_children(self, n: g.Producer) -> list:
+        """Producer subtrees a node compiles that are NOT in ``parents``:
+        a LeftJoin's service when the service IS a Producer or wraps one
+        (``_resolve_service`` compiles ``service`` / ``service._loader``
+        with this planner). Without these, a Written sink or stateful op
+        living inside a service-wrapped changelog DAG would be compiled —
+        and recorded — but invisible to the per-plan collection below
+        (dropped sink starts / an unguarded state-layout entry)."""
+        svc = getattr(n, "service", None)
+        if isinstance(svc, g.Producer):
+            return [svc]
+        if svc is not None and isinstance(
+            getattr(svc, "_loader", None), g.Producer
+        ):
+            return [svc._loader]
+        return []
+
     def _collect_compiled(self, node: g.Producer, table: dict) -> list:
         """Collect per-plan artifacts recorded during compile (keyed by
         structural key in ``table``) for the nodes reachable from THIS
         plan's root, in deterministic post-order — i.e. compile order.
+        Reaches service-wrapped Producer subtrees too (_aux_children).
         Robust to planner reuse (a second plan() on the same planner sees
         only its own DAG's entries) and to memo hits (an already-compiled
         subtree's entries are still collected)."""
@@ -166,7 +184,7 @@ class BatchPlanner:
                 continue
             seen.add(key)
             stack.append((n, True))
-            for p in reversed(n.parents):
+            for p in reversed([*n.parents, *self._aux_children(n)]):
                 stack.append((p, False))
         return out
 

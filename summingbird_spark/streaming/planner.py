@@ -171,7 +171,26 @@ def _fs_read_text(spark, fs, jpath) -> str:
         stm.close()
 
 
-def _fs_write_text(fs, jpath, text: str) -> None:
+def _fs_write_text(fs, jpath, text: str, jvm=None) -> None:
+    """Write via a temp file + rename so a crash mid-write cannot leave a
+    half-written file at the final path (a truncated sidecar on a live
+    checkpoint would read as corrupt and block resumes). The
+    delete+rename pair is not one atomic op on every filesystem, but its
+    failure modes are benign: either the old file or NO file remains —
+    and a missing sidecar re-derives deterministically for pinned plans
+    and refuses loudly for 'auto' ones."""
+    if jvm is not None:
+        tmp = jvm.org.apache.hadoop.fs.Path(str(jpath) + "._tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        if fs.exists(jpath):
+            fs.delete(jpath, False)
+        if not fs.rename(tmp, jpath):
+            raise IOError(f"rename {tmp} -> {jpath} failed")
+        return
     out = fs.create(jpath, True)  # overwrite=True
     try:
         out.write(bytearray(text.encode("utf-8")))
@@ -249,11 +268,6 @@ def guard_state_checkpoint(
         has_state = any(
             fs.exists(Path(root, d)) for d in ("offsets", "state", "commits")
         )
-        pinned = (
-            json.loads(_fs_read_text(spark, fs, sidecar))
-            if has_sidecar
-            else None
-        )
     except Exception as e:  # noqa: BLE001 — unreachable scheme/filesystem
         if not _all_pinned(meta):
             raise ValueError(
@@ -275,11 +289,31 @@ def guard_state_checkpoint(
         return
 
     if has_sidecar:
-        if _layout(pinned) != _layout(meta):
+        # a sidecar EXISTS: a read/parse failure here is corruption of
+        # the pin itself, NOT an unreachable filesystem (we just listed
+        # it) — lumping it into the fallback above would let an
+        # all-pinned plan resume a live checkpoint with NO layout check,
+        # the exact silent wrong-bucket merge this guard prevents.
+        try:
+            pinned = json.loads(_fs_read_text(spark, fs, sidecar))
+        except Exception as e:  # noqa: BLE001 — corrupt/truncated sidecar
+            if has_state:
+                raise ValueError(
+                    f"checkpoint {checkpoint!r} has committed state but "
+                    f"its state-layout sidecar is unreadable "
+                    f"({type(e).__name__}: {e}) — cannot verify the "
+                    "bucket layout it was created under. Restore the "
+                    "sidecar (_sbspark_key_buckets.json), or delete it "
+                    "and re-start with the explicitly pinned counts the "
+                    "checkpoint ran with (the guard re-pins pinned "
+                    "plans), or use a fresh checkpoint."
+                ) from e
+            pinned = None  # stillborn checkpoint: replace below
+        if pinned is None or _layout(pinned) != _layout(meta):
             if not has_state:
                 # sidecar from a start that never committed a batch —
                 # it pins a layout that never materialized; replace it
-                _fs_write_text(fs, sidecar, json.dumps(meta))
+                _fs_write_text(fs, sidecar, json.dumps(meta), jvm)
                 return
             raise ValueError(
                 "checkpoint state-layout mismatch: this checkpoint was "
@@ -295,7 +329,7 @@ def guard_state_checkpoint(
         if _all_pinned(meta):
             # explicit ints are restart-deterministic — same contract the
             # pre-sidecar era relied on; adopt the layout and pin it
-            _fs_write_text(fs, sidecar, json.dumps(meta))
+            _fs_write_text(fs, sidecar, json.dumps(meta), jvm)
             return
         raise ValueError(
             f"checkpoint {checkpoint!r} contains committed state but no "
@@ -308,7 +342,7 @@ def guard_state_checkpoint(
             "service) or use a fresh checkpoint."
         )
     fs.mkdirs(root)
-    _fs_write_text(fs, sidecar, json.dumps(meta))
+    _fs_write_text(fs, sidecar, json.dumps(meta), jvm)
 
 
 class StreamPlan:

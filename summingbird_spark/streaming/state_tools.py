@@ -51,12 +51,35 @@ from .stateful import NAN_KEY
 _STATE_COL = "value.groupState.state"
 
 
+def _key_fields(key_schema: str) -> list:
+    """Field names from a key-column DDL string, parsed by Spark's own
+    DDL parser — a naive comma split breaks on parameterized/nested
+    types (``decimal(10,2)``, ``struct<...>``)."""
+    from pyspark.sql.types import StructType
+
+    return [f.name for f in StructType.fromDDL(key_schema).fields]
+
+
 def _load_statestore(
     spark: SparkSession,
     checkpoint: str,
     batch_id: Optional[int] = None,
     operator_id: int = 0,
 ) -> DataFrame:
+    try:
+        # the statestore source has executors resolve the session's
+        # StateStoreCoordinator RPC endpoint, which Spark creates lazily
+        # at the FIRST streaming query — force it into existence so a
+        # fresh (read-only) session can decode a checkpoint without ever
+        # having run a stream (otherwise: RpcEndpointNotFoundException
+        # wrapped in CANNOT_LOAD_STATE_STORE)
+        (
+            spark._jsparkSession.sessionState()
+            .streamingQueryManager()
+            .stateStoreCoordinator()
+        )
+    except Exception:  # noqa: BLE001 — best-effort; reader may still work
+        pass
     r = spark.read.format("statestore")
     if batch_id is not None:
         r = r.option("batchId", int(batch_id))
@@ -95,7 +118,7 @@ def read_summer_state(
     import pandas as pd
 
     st = _load_statestore(spark, checkpoint, batch_id, operator_id)
-    key_fields = [f.split()[0].strip("`") for f in key_schema.split(",")]
+    key_fields = _key_fields(key_schema)
     state_key_cols = st.schema["key"].dataType.fieldNames()
     bucketed = state_key_cols == ["__kb__"]
     out_schema = f"{key_schema}, batch_id bigint, value {value_type}"
@@ -186,7 +209,7 @@ def export_summer_bootstrap(
     if int(new_key_buckets) <= 0:
         raise ValueError(f"new_key_buckets must be positive; got {new_key_buckets!r}")
     st = _load_statestore(spark, checkpoint, batch_id, operator_id)
-    key_fields = [f.split()[0].strip("`") for f in key_schema.split(",")]
+    key_fields = _key_fields(key_schema)
     state_key_cols = st.schema["key"].dataType.fieldNames()
     bucketed = state_key_cols == ["__kb__"]
     mid_schema = f"{key_schema}, cell binary, total binary"
@@ -294,7 +317,7 @@ def read_keyed_state(
     import pandas as pd
 
     st = _load_statestore(spark, checkpoint, batch_id, operator_id)
-    key_fields = [f.split()[0].strip("`") for f in key_schema.split(",")]
+    key_fields = _key_fields(key_schema)
     state_key_cols = st.schema["key"].dataType.fieldNames()
     bucketed = state_key_cols == ["__kb__"]
     out_schema = f"{key_schema}, state binary"
@@ -424,29 +447,64 @@ def suggest_key_buckets(
     e.g. migrate when ``max_bucket_keys`` drifts far above the
     ``AUTO_KEYS_PER_BUCKET`` target (corpus growth under a pinned
     layout) or ``max_bucket_bytes`` nears the state-store comfort zone
-    (carrier growth)."""
+    (carrier growth).
+
+    ``current_buckets`` is the CONFIGURED layout read from the
+    checkpoint's pin sidecar when readable (populated-group counts would
+    under-report whenever a bucket is empty); None means per-key or no
+    readable pin. The report itself reduces to five aggregates
+    Spark-side — no per-group driver collect, so a per-key checkpoint
+    with 10⁹ resident keys still answers at scan parallelism."""
+    import json
+
+    from .planner import (
+        _SIDECAR_NAME,
+        _checkpoint_fs,
+        _fs_read_text,
+    )
     from .stateful import (
         AUTO_GROUPS_PER_PARTITION_CAP,
         AUTO_KEYS_PER_BUCKET,
         AUTO_MIN_BUCKETS,
     )
 
-    rows = state_skew_report(
-        spark, checkpoint, batch_id=batch_id, operator_id=operator_id
-    ).collect()
-    bucketed = any(r.bucket is not None for r in rows)
-    resident = (
-        sum(r.logical_keys for r in rows) if bucketed else len(rows)
+    agg = (
+        state_skew_report(
+            spark, checkpoint, batch_id=batch_id, operator_id=operator_id
+        )
+        .agg(
+            F.count(F.lit(1)).alias("groups"),
+            F.count("bucket").alias("bucketed_groups"),
+            F.sum("logical_keys").alias("keys_bucketed"),
+            F.max("logical_keys").alias("max_keys"),
+            F.max("state_bytes").alias("max_bytes"),
+        )
+        .first()
     )
+    bucketed = (agg["bucketed_groups"] or 0) > 0
+    resident = int(
+        (agg["keys_bucketed"] or 0) if bucketed else (agg["groups"] or 0)
+    )
+    current = None
+    try:
+        fs, root, jvm = _checkpoint_fs(spark, checkpoint)
+        side = jvm.org.apache.hadoop.fs.Path(root, _SIDECAR_NAME)
+        if fs.exists(side):
+            entries = json.loads(_fs_read_text(spark, fs, side)).get(
+                "key_buckets", []
+            )
+            counts = {e.get("key_buckets") for e in entries} - {None}
+            if len(counts) == 1:
+                current = counts.pop()
+    except Exception:  # noqa: BLE001 — advisory field; report None
+        current = None
     parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    want = -(-int(resident) // max(1, AUTO_KEYS_PER_BUCKET))  # ceil
+    want = -(-resident // max(1, AUTO_KEYS_PER_BUCKET))  # ceil
     cap = max(AUTO_MIN_BUCKETS, parts * AUTO_GROUPS_PER_PARTITION_CAP)
     return {
-        "resident_keys": int(resident),
-        "current_buckets": len(rows) if bucketed else None,
+        "resident_keys": resident,
+        "current_buckets": current if bucketed else None,
         "suggested_buckets": max(AUTO_MIN_BUCKETS, min(want, cap)),
-        "max_bucket_keys": max(
-            (r.logical_keys for r in rows), default=0
-        ),
-        "max_bucket_bytes": max((r.state_bytes for r in rows), default=0),
+        "max_bucket_keys": int(agg["max_keys"] or 0),
+        "max_bucket_bytes": int(agg["max_bytes"] or 0),
     }

@@ -357,7 +357,7 @@ def test_suggest_key_buckets_from_residency(spark, corpus, tmp_path):
     _run_summer(spark, corpus, ck, kb=3)
     rec = suggest_key_buckets(spark, ck)
     assert rec["resident_keys"] == 6  # k0..k4 + NULL
-    assert rec["current_buckets"] == 3
+    assert rec["current_buckets"] == 3  # CONFIGURED layout (from the pin)
     assert rec["suggested_buckets"] == AUTO_MIN_BUCKETS  # floors at 8
     assert rec["max_bucket_keys"] >= 2  # 6 keys over 3 buckets
     assert rec["max_bucket_bytes"] > 0
@@ -367,3 +367,21 @@ def test_suggest_key_buckets_from_residency(spark, corpus, tmp_path):
     rec2 = suggest_key_buckets(spark, ck2)
     assert rec2["current_buckets"] is None
     assert rec2["resident_keys"] == 6
+
+    # sparse layout: 64 configured buckets, only ~6 populated — the
+    # report must state the CONFIGURED count, not the populated one
+    ck3 = str(tmp_path / "ck_sug_sparse")
+    _run_summer(spark, corpus, ck3, kb=64)
+    rec3 = suggest_key_buckets(spark, ck3)
+    assert rec3["current_buckets"] == 64
+    assert rec3["resident_keys"] == 6
+
+
+def test_key_fields_parses_parameterized_types():
+    """DDL parsing must survive parameterized/nested key types — a naive
+    comma split turns 'decimal(10,2)' into two bogus fields."""
+    from summingbird_spark.streaming.state_tools import _key_fields
+
+    assert _key_fields("amount decimal(10,2), k string") == ["amount", "k"]
+    assert _key_fields("m map<string,int>, a array<int>") == ["m", "a"]
+    assert _key_fields("`key` string") == ["key"]

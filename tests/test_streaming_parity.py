@@ -2896,6 +2896,73 @@ def test_auto_resize_migration_across_checkpoint_generation(spark, tmp_path):
     assert totals(out2) == resumed
 
 
+def test_checkpoint_guard_corrupt_sidecar(spark, stream_dir, tmp_path):
+    """A corrupt/truncated sidecar on a checkpoint WITH committed state
+    must refuse — even for an all-pinned plan (treating it as 'filesystem
+    unreachable' would resume with no layout check at all, the silent
+    wrong-bucket hazard). On a checkpoint with NO committed state the
+    garbage sidecar pins nothing and is replaced."""
+    import json
+    import os
+
+    from summingbird_spark.streaming.planner import StreamPlanner
+
+    src = stream_source(stream_dir, SCHEMA, time_col="ts")
+
+    def start(kb, ckpt):
+        plan = StreamPlanner(spark, summer_key_buckets=kb).plan(_pipeline(src))
+        q = plan.start_foreach_batch(
+            lambda bdf, bid: bdf.write.format("noop").mode("overwrite").save(),
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+
+    ckpt = str(tmp_path / "corrupt_ck")
+    start(4, ckpt)
+    sidecar = os.path.join(ckpt, "_sbspark_key_buckets.json")
+    with open(sidecar, "w") as f:
+        f.write('{"key_buckets": [{"trunc')  # crash-torn write
+    with pytest.raises(ValueError, match="unreadable"):
+        start(4, ckpt)
+
+    ck2 = str(tmp_path / "stillborn_corrupt_ck")
+    os.makedirs(ck2)
+    with open(os.path.join(ck2, "_sbspark_key_buckets.json"), "w") as f:
+        f.write("not json")
+    start(4, ck2)  # no committed state: garbage pin replaced, start OK
+    with open(os.path.join(ck2, "_sbspark_key_buckets.json")) as f:
+        assert json.load(f)["key_buckets"][0]["key_buckets"] == 4
+
+
+def test_service_wrapped_producer_writes_collected(spark, stream_dir, tmp_path):
+    """A Written sink inside a SERVICE-wrapped Producer DAG (compiled via
+    _resolve_service, which is NOT reachable through node.parents) must
+    still appear in plan.writes — the per-node collection has to descend
+    into service subtrees or the sink's query would silently never
+    start."""
+    import glob
+
+    from summingbird_spark.sinks.sinks import ParquetSink
+    from summingbird_spark.streaming.planner import StreamPlanner
+
+    sink = ParquetSink(str(tmp_path / "svc_changelog_out"))
+    # changelog producer with a Written node inside the service
+    changelog = (
+        stream_source(stream_dir, SCHEMA, time_col="ts")
+        .filter("value > 0")
+        .select("key", "ts", rv=F.col("value"))
+        .write(sink)
+    )
+    svc = sb.TemporalService(changelog, time_col="ts", mode="latest",
+                             value_cols=["rv"], key_buckets=2)
+    left = stream_source(stream_dir, SCHEMA, time_col="ts")
+    pl = StreamPlanner(spark)
+    plan = pl.plan(left.left_join(svc, on="key"))
+    assert [s for s, _ in plan.writes] == [sink]
+    # and the temporal entry is in the fingerprint exactly once
+    assert [e["key_buckets"] for e in pl.resolved_key_buckets] == [2]
+
+
 def test_planner_reuse_keeps_fingerprints_per_plan(spark, tmp_path):
     """Reusing one StreamPlanner for several plan() calls must give each
     plan ITS OWN state-layout fingerprint and write list — the pre-r14
