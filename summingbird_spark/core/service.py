@@ -106,6 +106,7 @@ class TemporalService(Service):
         value_cols: Optional[Sequence[str]] = None,
         max_age_seconds: Optional[float] = None,
         key_buckets: "int | str | None" = 64,
+        bootstrap_dir: Optional[str] = None,
     ):
         if mode not in ("latest", "sum"):
             raise ValueError(f"TemporalService mode {mode!r}: 'latest' or 'sum'")
@@ -115,6 +116,10 @@ class TemporalService(Service):
         self.semigroup = semigroup
         self.value_cols = list(value_cols) if value_cols else None
         self.max_age_seconds = max_age_seconds
+        #: replay-free state carry-in for a FRESH checkpoint (re-bucket
+        #: migration): dir from state_tools.export_keyed_bootstrap at
+        #: this service's (int) key_buckets
+        self.bootstrap_dir = bootstrap_dir
         # streaming-planner state granularity (hash(on)%buckets; None =
         # per-key; "auto" sizes from the LEFT side's measured join-key
         # cardinality like the summer). The default stays a PINNED 64,
@@ -161,6 +166,7 @@ class StoreService(Service):
         out_col: str = "joined",
         order_by: Optional[Sequence[str]] = None,
         key_buckets: "int | str | None" = 64,
+        bootstrap_dir: Optional[str] = None,
     ):
         super().__init__(loader=None, broadcast=False)
         self.store = store
@@ -168,6 +174,10 @@ class StoreService(Service):
         self.semigroup = semigroup
         self.out_col = out_col
         self.order_by = list(order_by) if order_by else []
+        #: replay-free state carry-in for a FRESH checkpoint (re-bucket
+        #: migration): dir from state_tools.export_keyed_bootstrap at
+        #: this service's (int) key_buckets
+        self.bootstrap_dir = bootstrap_dir
         # streaming state granularity; pinned 64 by default (NOT 'auto'):
         # the loop-join kernel vectorizes across keys within a bucket, so
         # its wall optimum is keys-independent — see TemporalService's

@@ -609,6 +609,7 @@ class StreamPlanner(BatchPlanner):
                     getattr(svc, "key_buckets", 64), node.parents[0],
                     node.on, node=node,
                 ),
+                bootstrap_dir=getattr(svc, "bootstrap_dir", None),
             )
             return out.drop("__loop_delta__")
         if isinstance(node.service, TemporalService):
@@ -626,6 +627,7 @@ class StreamPlanner(BatchPlanner):
                     getattr(svc, "key_buckets", 64), node.parents[0],
                     node.on, node=node,
                 ),
+                bootstrap_dir=getattr(svc, "bootstrap_dir", None),
             )
         if isinstance(node.service, BufferService):
             svc = node.service

@@ -204,7 +204,7 @@ def export_summer_bootstrap(
 
     from pyspark.sql.types import DoubleType, FloatType
 
-    from .stateful import bucket_by_key_hash, sentinel_key_tuple
+    from .stateful import sentinel_key_tuple
 
     if int(new_key_buckets) <= 0:
         raise ValueError(f"new_key_buckets must be positive; got {new_key_buckets!r}")
@@ -284,6 +284,19 @@ def export_summer_bootstrap(
 
         mid = src.mapInPandas(decode_pk, mid_schema)
 
+    return _write_routed_bootstrap(spark, mid, key_fields,
+                                   new_key_buckets, out_path)
+
+
+def _write_routed_bootstrap(
+    spark, mid: DataFrame, key_fields: list, new_key_buckets: int,
+    out_path: str,
+) -> int:
+    """Shared bootstrap tail: route each (keys..., cell, total) row to
+    its bucket under the NEW count with the kernels' own ingest hash and
+    write one partition dir per bucket."""
+    from .stateful import bucket_by_key_hash
+
     routed, _flags, _pos = bucket_by_key_hash(
         mid, key_fields, int(new_key_buckets)
     )
@@ -295,6 +308,104 @@ def export_summer_bootstrap(
         .parquet(out_path)
     )
     return spark.read.parquet(out_path).count()
+
+
+def export_keyed_bootstrap(
+    spark: SparkSession,
+    checkpoint: str,
+    out_path: str,
+    key_schema: str,
+    new_key_buckets: int,
+    batch_id: Optional[int] = None,
+    operator_id: int = 0,
+) -> int:
+    """``export_summer_bootstrap``'s twin for the TEMPORAL/LOOP-join
+    kernels, whose state is ``{key_tuple: per-key kernel state}`` (latest
+    pointer, running carrier, or windowed retraction buffer): export
+    every resident key's kernel state re-routed under ``new_key_buckets``
+    for a fresh checkpoint started with ``bootstrap_dir=`` on the service
+    (``TemporalService`` / ``StoreService``). Kernel states carry
+    VERBATIM — a migrated as-of lookup of a key with no new right events
+    still sees the old generation's latest value; a migrated loop join's
+    running fold continues from the old total. Same contracts as the
+    summer export: exact key types in ``key_schema``, go-forward source
+    only, ``out_path`` overwritten."""
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, FloatType
+
+    from .stateful import sentinel_key_tuple
+
+    if int(new_key_buckets) <= 0:
+        raise ValueError(f"new_key_buckets must be positive; got {new_key_buckets!r}")
+    st = _load_statestore(spark, checkpoint, batch_id, operator_id)
+    key_fields = _key_fields(key_schema)
+    state_key_cols = st.schema["key"].dataType.fieldNames()
+    bucketed = state_key_cols == ["__kb__"]
+    mid_schema = f"{key_schema}, cell binary, total binary"
+
+    if bucketed:
+        src = st.select(F.col(_STATE_COL).alias("state"))
+
+        def decode(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in pdfs:
+                rows = []
+                for blob in pdf["state"]:
+                    if blob is None:
+                        continue
+                    for kt, kstate in pickle.loads(bytes(blob)).items():
+                        kv = tuple(
+                            float("nan") if v is NAN_KEY else v for v in kt
+                        )
+                        rows.append(
+                            (*kv, pickle.dumps(kt), pickle.dumps(kstate))
+                        )
+                yield pd.DataFrame(
+                    rows, columns=[*key_fields, "cell", "total"]
+                )
+
+        mid = src.mapInPandas(decode, mid_schema)
+    else:
+        src = st.select(
+            *[
+                F.col(f"key.{c}").alias(n)
+                for c, n in zip(state_key_cols, key_fields)
+            ],
+            F.col(_STATE_COL).alias("state"),
+        )
+        flagged_pos = [
+            i
+            for i, n in enumerate(key_fields)
+            if isinstance(src.schema[n].dataType, (DoubleType, FloatType))
+        ]
+        flag_cols = [f"__knan_{key_fields[p]}__" for p in flagged_pos]
+        for p, fc in zip(flagged_pos, flag_cols):
+            src = src.withColumn(fc, F.isnan(F.col(key_fields[p])))
+        nk = len(key_fields)
+
+        def decode_pk(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in pdfs:
+                rows = []
+                for rec in pdf.itertuples(index=False):
+                    kvals, blob = rec[:nk], rec[nk]
+                    fvals = rec[nk + 1:]
+                    if blob is None:
+                        continue
+                    kt = sentinel_key_tuple(kvals, fvals, flagged_pos)
+                    kv = tuple(
+                        float("nan") if v is NAN_KEY else v for v in kt
+                    )
+                    # the per-key blob IS the pickled kernel state —
+                    # carry it verbatim as the cell payload
+                    rows.append((*kv, pickle.dumps(kt), bytes(blob)))
+                yield pd.DataFrame(
+                    rows, columns=[*key_fields, "cell", "total"]
+                )
+
+        mid = src.mapInPandas(decode_pk, mid_schema)
+
+    return _write_routed_bootstrap(spark, mid, key_fields,
+                                   new_key_buckets, out_path)
 
 
 def read_keyed_state(

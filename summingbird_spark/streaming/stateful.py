@@ -357,6 +357,29 @@ def resolve_fast_agg(sg, base: DataFrame, value_alias: str):
     return fa, v_int
 
 
+def validate_bootstrap_dir(bootstrap_dir, key_buckets) -> None:
+    """Driver-side checks shared by every kernel that accepts a
+    ``bootstrap_dir`` (summer, temporal as-of, self-loop)."""
+    if bootstrap_dir is None:
+        return
+    if key_buckets is None:
+        raise ValueError(
+            "bootstrap_dir requires bucketed state (an int key_buckets "
+            "matching the export's new_key_buckets); per-key mode has "
+            "one state group per key — re-run the export at a bucket "
+            "count instead"
+        )
+    import os as _os
+
+    if "://" not in str(bootstrap_dir) and not _os.path.isdir(
+        str(bootstrap_dir)
+    ):
+        raise ValueError(
+            f"bootstrap_dir {bootstrap_dir!r} does not exist — a "
+            "mistyped path would silently start from empty state"
+        )
+
+
 def _load_bootstrap_bucket(bootstrap_dir: str, bucket: int) -> dict:
     """Worker-side load of one bucket's carried-in state cells from a
     ``state_tools.export_summer_bootstrap`` layout
@@ -440,23 +463,7 @@ def stateful_summer(
         )
     if key_buckets is not None and int(key_buckets) <= 0:
         raise ValueError(f"key_buckets must be positive or None; got {key_buckets!r}")
-    if bootstrap_dir is not None:
-        if key_buckets is None:
-            raise ValueError(
-                "bootstrap_dir requires bucketed state (an int key_buckets "
-                "matching the export's new_key_buckets); per-key mode has "
-                "one state group per key — re-run the export at a bucket "
-                "count instead"
-            )
-        import os as _os
-
-        if "://" not in str(bootstrap_dir) and not _os.path.isdir(
-            str(bootstrap_dir)
-        ):
-            raise ValueError(
-                f"bootstrap_dir {bootstrap_dir!r} does not exist — a "
-                "mistyped path would silently start from empty state"
-            )
+    validate_bootstrap_dir(bootstrap_dir, key_buckets)
     sg = sg_mod.get(sg)
     key_types = [(f.name, f.dataType.simpleString()) for f in base.schema.fields if f.name in keys]
     vt = base.schema[value_alias].dataType.simpleString()

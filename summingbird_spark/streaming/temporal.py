@@ -39,11 +39,13 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..core import semigroup as sg_mod
 from ..core.graph import TIME_COL
 from .stateful import (
+    _load_bootstrap_bucket,
     bucket_by_key_hash,
     guard_int_keys,
     integral_key_cols,
     norm_key_tuple,
     sentinel_key_tuple,
+    validate_bootstrap_dir,
 )
 
 
@@ -58,6 +60,7 @@ def streaming_as_of_join(
     semigroup="sum",
     max_age_seconds: Optional[float] = None,
     key_buckets: Optional[int] = 64,
+    bootstrap_dir: Optional[str] = None,
 ) -> DataFrame:
     """Probe stream ``left`` enriched with ``right``'s state as of each
     probe's time. Returns all left columns plus ``value_cols`` (NULL when
@@ -88,6 +91,7 @@ def streaming_as_of_join(
         )
     if key_buckets is not None and int(key_buckets) <= 0:
         raise ValueError(f"key_buckets must be positive or None; got {key_buckets!r}")
+    validate_bootstrap_dir(bootstrap_dir, key_buckets)
     if TIME_COL in right.columns and right_time != TIME_COL:
         right = right.drop(TIME_COL)
     if value_cols is None:
@@ -154,7 +158,14 @@ def streaming_as_of_join(
     ) -> Iterator[pd.DataFrame]:
         # state: {key_tuple: per-key kernel state} for every join key
         # hashing into this bucket
-        states: dict = pickle.loads(bytes(state.get[0])) if state.exists else {}
+        if state.exists:
+            states: dict = pickle.loads(bytes(state.get[0]))
+        elif bootstrap_dir is not None:
+            # fresh checkpoint carry-in (re-bucket migration): seed this
+            # bucket's per-key kernel states from the exported generation
+            states = _load_bootstrap_bucket(str(bootstrap_dir), int(bucket[0]))
+        else:
+            states = {}
         pdf = pd.concat(list(pdfs), ignore_index=True)
         guard_int_keys(pdf, int_keys, int_vals)
         if is_latest or exact_int:
@@ -596,6 +607,7 @@ def streaming_self_loop(
     semigroup="sum",
     order_by: Optional[Sequence[str]] = None,
     key_buckets: Optional[int] = 64,
+    bootstrap_dir: Optional[str] = None,
 ) -> DataFrame:
     """The streaming loop join (online StoreService semantics): each event's
     ``out_col`` is the running fold of PRIOR events' ``delta_col`` for its
@@ -621,6 +633,7 @@ def streaming_self_loop(
         )
     if key_buckets is not None and int(key_buckets) <= 0:
         raise ValueError(f"key_buckets must be positive or None; got {key_buckets!r}")
+    validate_bootstrap_dir(bootstrap_dir, key_buckets)
     order_by = list(order_by) if order_by else []
     sg = sg_mod.get(semigroup)
     out_type = sg.carrier_type(df.schema[delta_col].dataType.simpleString())
@@ -687,7 +700,13 @@ def streaming_self_loop(
 
     def fn_bucketed(bucket, pdfs, state: GroupState):
         # state: {key_tuple: running fold} for every key in this bucket
-        states: dict = pickle.loads(bytes(state.get[0])) if state.exists else {}
+        if state.exists:
+            states: dict = pickle.loads(bytes(state.get[0]))
+        elif bootstrap_dir is not None:
+            # fresh checkpoint carry-in (re-bucket migration)
+            states = _load_bootstrap_bucket(str(bootstrap_dir), int(bucket[0]))
+        else:
+            states = {}
         pdf = pd.concat(list(pdfs), ignore_index=True)
         guard_int_keys(pdf, int_keys, int_vals)
         if not exact_int:

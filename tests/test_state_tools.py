@@ -385,3 +385,136 @@ def test_key_fields_parses_parameterized_types():
     assert _key_fields("amount decimal(10,2), k string") == ["amount", "k"]
     assert _key_fields("m map<string,int>, a array<int>") == ["m", "a"]
     assert _key_fields("`key` string") == ["key"]
+
+
+def test_keyed_bootstrap_migration_loop_join(spark, tmp_path):
+    """Replay-free re-bucket migration for the LOOP-JOIN kernel: gen A's
+    per-key running folds are exported (export_keyed_bootstrap) and a
+    fresh gen-B checkpoint at a new bucket count continues them — the
+    first go-forward event of a carried key observes gen A's fold as its
+    prior state, with zero replay."""
+    import pickle
+
+    from summingbird_spark.streaming.state_tools import (
+        export_keyed_bootstrap,
+    )
+
+    src_a = _write_chunks(
+        spark, _mk(tmp_path, "la"),
+        [[(ts(0), "a", 1), (ts(1), "a", 2), (ts(2), "b", 10)]],
+    )
+    out_a = str(tmp_path / "loop_out_a")
+    ck_a = str(tmp_path / "loop_ck_a")
+
+    def run(srcdir, kb, ckpt, out, boot=None):
+        s = stream_source(srcdir, SCHEMA, time_col="ts",
+                          max_files_per_trigger=1)
+        svc = sb.StoreService(value="value", out_col="running",
+                              semigroup="sum_long", key_buckets=kb,
+                              bootstrap_dir=boot)
+        plan = StreamPlanner(spark).plan(s.left_join(svc, on="key"))
+        q = plan.start_foreach_batch(
+            lambda bdf, bid: bdf.write.mode("append").parquet(out),
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+
+    run(src_a, 5, ck_a, out_a)
+
+    boot = str(tmp_path / "loop_boot")
+    n = export_keyed_bootstrap(spark, ck_a, boot, "key string",
+                               new_key_buckets=2)
+    assert n == 2  # keys a, b
+
+    # gen B: new events for a and a fresh key d, plus a touch-all probe
+    # (value 0) that drives b through its bucket
+    src_b = _write_chunks(
+        spark, _mk(tmp_path, "lb"),
+        [[(ts(10), "a", 4), (ts(11), "d", 9)],
+         [(ts(20), "a", 0), (ts(20), "b", 0), (ts(20), "d", 0)]],
+    )
+    out_b = str(tmp_path / "loop_out_b")
+    ck_b = str(tmp_path / "loop_ck_b")
+    run(src_b, 2, ck_b, out_b, boot=boot)
+
+    rows = {(r.key, r.ts): r.running
+            for r in spark.read.parquet(out_b).collect()}
+    # prior-state semantics: a's FIRST gen-B event observes gen A's fold
+    assert rows[("a", ts(10))] == 3      # 1+2 carried, 4 not yet merged
+    assert rows[("d", ts(11))] is None   # brand-new key: no prior
+    # the touch-all probes observe the merged running totals
+    assert rows[("a", ts(20))] == 7      # 3 carried + 4
+    assert rows[("b", ts(20))] == 10     # carried verbatim, zero replay
+    assert rows[("d", ts(20))] == 9
+
+    # end state holds the continued folds
+    out = read_keyed_state(spark, ck_b, "key string").collect()
+    folds = {r.key: pickle.loads(bytes(r.state)) for r in out}
+    assert folds == {"a": 7, "b": 10, "d": 9}
+
+
+def _mk(tmp_path, name):
+    d = tmp_path / name
+    d.mkdir()
+    return d
+
+
+def test_keyed_bootstrap_migration_asof_latest(spark, tmp_path):
+    """Replay-free migration for the AS-OF (latest) kernel: a migrated
+    generation's probe of a key with NO new changelog events still sees
+    the old generation's latest value — the carried kernel state, not a
+    replay."""
+    from summingbird_spark.streaming.state_tools import (
+        export_keyed_bootstrap,
+    )
+
+    rsch = "rts timestamp, key string, rv long"
+
+    def right_chunks(dirname, rows):
+        d = _mk(tmp_path, dirname)
+        src = d / "src"
+        src.mkdir()
+        import glob as g2
+        import shutil as sh
+
+        tmp = d / "__c"
+        spark.createDataFrame(rows, rsch).coalesce(1).write.parquet(str(tmp))
+        [f] = g2.glob(str(tmp / "*.parquet"))
+        sh.move(f, str(src / "chunk0.parquet"))
+        sh.rmtree(str(tmp))
+        return str(src)
+
+    ra = right_chunks("ra", [(ts(0), "a", 5), (ts(1), "b", 6)])
+
+    def run(left_rows, right_dir, kb, ckpt, out, boot=None):
+        lsrc = _write_chunks(spark, _mk(tmp_path, f"l{ckpt[-4:]}"),
+                             [left_rows])
+        left = stream_source(lsrc, SCHEMA, time_col="ts")
+        svc = sb.TemporalService(
+            lambda sp: sp.readStream.schema(rsch).parquet(right_dir),
+            time_col="rts", mode="latest", value_cols=["rv"],
+            key_buckets=kb, bootstrap_dir=boot,
+        )
+        plan = StreamPlanner(spark).plan(left.left_join(svc, on="key"))
+        q = plan.start_foreach_batch(
+            lambda bdf, bid: bdf.write.mode("append").parquet(out),
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(120)
+
+    ck_a = str(tmp_path / "asof_ck_a")
+    run([(ts(2), "a", 0)], ra, 5, ck_a, str(tmp_path / "asof_out_a"))
+
+    boot = str(tmp_path / "asof_boot")
+    n = export_keyed_bootstrap(spark, ck_a, boot, "key string",
+                               new_key_buckets=3)
+    assert n == 2
+
+    # gen B: NEW changelog dir with only an unrelated key; probes of a/b
+    # must still see gen A's latest values via the carried state
+    rb = right_chunks("rb", [(ts(3), "zzz", 99)])
+    out_b = str(tmp_path / "asof_out_b")
+    run([(ts(10), "a", 0), (ts(10), "b", 0), (ts(10), "zzz", 0)],
+        rb, 3, str(tmp_path / "asof_ck_b"), out_b, boot=boot)
+    got = {r.key: r.rv for r in spark.read.parquet(out_b).collect()}
+    assert got == {"a": 5, "b": 6, "zzz": 99}
