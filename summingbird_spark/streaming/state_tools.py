@@ -199,6 +199,13 @@ def export_summer_bootstrap(
     EXACT Spark types (``xxhash64`` is type-sensitive: a bigint and an
     int of the same value route to different buckets). Returns the
     number of exported state cells; ``out_path`` is overwritten.
+
+    Reference anchor: the streaming analog of InitialBatchedStore
+    seeding a store's first batch with pre-computed data
+    (summingbird-scalding/.../store/InitialBatchedStore.scala:1-40) —
+    carried-in state instead of replayed history; the reference never
+    re-sizes online shards at all (StormTopologyBuilder.scala:291-298),
+    so this is a capability it lacks.
     """
     import pandas as pd
 
