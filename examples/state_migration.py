@@ -101,6 +101,25 @@ def main(workdir: str) -> int:
         new_key_buckets=new_kb,
     )
     print(f"exported {n_exp} cells re-routed to {new_kb} buckets")
+
+    # 4b. the export pinned ITS layout too (_manifest.json): starting the
+    # new generation at any OTHER count is refused at plan() — a mismatch
+    # would seed each key only where both hashes coincide (r15 guard)
+    from summingbird_spark.streaming.state_tools import (
+        read_bootstrap_manifest,
+    )
+
+    m = read_bootstrap_manifest(spark, f"{workdir}/boot")
+    assert m["new_key_buckets"] == new_kb and m["cells"] == n_exp
+    try:
+        StreamPlanner(
+            spark, summer_key_buckets=new_kb + 1,
+            summer_bootstrap_dir=f"{workdir}/boot",
+        ).plan(pipe(f"{workdir}/b/src"))
+        raise SystemExit("manifest guard failed to refuse")
+    except ValueError as e:
+        print(f"manifest refused the mismatched count: {str(e)[:60]}...")
+
     plan_b = StreamPlanner(
         spark, summer_key_buckets=new_kb,
         summer_bootstrap_dir=f"{workdir}/boot",

@@ -328,7 +328,22 @@ def guard_state_checkpoint(
     if has_state:
         if _all_pinned(meta):
             # explicit ints are restart-deterministic — same contract the
-            # pre-sidecar era relied on; adopt the layout and pin it
+            # pre-sidecar era relied on; adopt the layout and pin it.
+            # Out loud (ADVICE r14): the guard cannot verify these ints
+            # against what a pre-guard checkpoint actually ran with, and
+            # once adopted the pin is permanent — a mistaken re-pin must
+            # at least be visible in the logs.
+            warnings.warn(
+                f"checkpoint {checkpoint!r} has committed state but no "
+                f"state-layout sidecar (pre-guard era): adopting and "
+                f"PINNING the current plan's explicit layout "
+                f"{_layout(meta)}. The guard cannot verify this matches "
+                "the layout the checkpoint was created under — if these "
+                "counts differ from the original ones, rows will merge "
+                "into the wrong buckets; verify against the job that "
+                "wrote it (pre-r11 default was per-key, r11+ default 64).",
+                RuntimeWarning,
+            )
             _fs_write_text(fs, sidecar, json.dumps(meta), jvm)
             return
         raise ValueError(
@@ -608,6 +623,7 @@ class StreamPlanner(BatchPlanner):
                 key_buckets=self._resolve_key_buckets(
                     getattr(svc, "key_buckets", 64), node.parents[0],
                     node.on, node=node,
+                    bootstrap_dir=getattr(svc, "bootstrap_dir", None),
                 ),
                 bootstrap_dir=getattr(svc, "bootstrap_dir", None),
             )
@@ -626,6 +642,7 @@ class StreamPlanner(BatchPlanner):
                 key_buckets=self._resolve_key_buckets(
                     getattr(svc, "key_buckets", 64), node.parents[0],
                     node.on, node=node,
+                    bootstrap_dir=getattr(svc, "bootstrap_dir", None),
                 ),
                 bootstrap_dir=getattr(svc, "bootstrap_dir", None),
             )
@@ -663,14 +680,17 @@ class StreamPlanner(BatchPlanner):
         # option class, scoped by .name() markers — Options.getFirst),
         # then the planner-wide default
         kb = self._opt("summer_key_buckets", self.summer_key_buckets)
-        kb = self._resolve_key_buckets(kb, node.parents[0], node.keys, node=node)
         bd = self._opt("summer_bootstrap_dir", self.summer_bootstrap_dir)
+        kb = self._resolve_key_buckets(
+            kb, node.parents[0], node.keys, node=node, bootstrap_dir=bd
+        )
         return stateful_summer(
             base, node.keys, va, sg, key_buckets=kb, bootstrap_dir=bd
         )
 
     def _resolve_key_buckets(
-        self, kb, parent: g.Producer, keys, node: g.Producer = None
+        self, kb, parent: g.Producer, keys, node: g.Producer = None,
+        bootstrap_dir=None,
     ) -> "int | None":
         """Resolve a ``key_buckets`` setting: ints/None pass through;
         ``"auto"`` runs one plan-time approx_count_distinct over ``keys``
@@ -691,6 +711,22 @@ class StreamPlanner(BatchPlanner):
         ``guard_state_checkpoint`` pins per checkpoint."""
         keys = [keys] if isinstance(keys, str) else list(keys)
         is_auto = kb == "auto"
+        if is_auto and bootstrap_dir is not None:
+            # 'auto' re-measures the GO-FORWARD corpus, which will
+            # essentially never equal the export's new_key_buckets — and a
+            # mismatched count seeds silent partial state. The manifest
+            # check downstream would catch the mismatch, but only
+            # coincidental equality would pass, so refuse the combination
+            # outright: a bootstrap pins the layout (VERDICT r14; the
+            # reference pins one shard layout per topology,
+            # StormTopologyBuilder.scala:291-298).
+            raise ValueError(
+                "key_buckets='auto' cannot be combined with a "
+                f"bootstrap_dir ({bootstrap_dir!r}): the export pinned a "
+                "bucket count, and 'auto' re-measures the go-forward "
+                "corpus instead of honoring it. Pass the export's "
+                "new_key_buckets (see its _manifest.json) explicitly."
+            )
 
         def record(resolved):
             entry = {"keys": keys, "key_buckets": resolved, "auto": is_auto}

@@ -51,6 +51,48 @@ from .stateful import NAN_KEY
 _STATE_COL = "value.groupState.state"
 
 
+def _int_key_fields(src: DataFrame, key_fields: list) -> list:
+    """Key columns whose Spark type is integral — the ones pandas decodes
+    as float64 whenever any resident key value is NULL."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    return [
+        n for n in key_fields
+        if isinstance(src.schema[n].dataType,
+                      (ByteType, ShortType, IntegerType, LongType))
+    ]
+
+
+def _guard_export_int_keys(pdf, int_keys: list) -> None:
+    """Fail loudly where a per-key export would write poison: a
+    checkpoint whose integral key column holds any NULL resident decodes
+    through Arrow→pandas as float64, and key values at/beyond 2^53 are
+    already rounded by that conversion — corrupting cell identity AND
+    bucket routing in the bootstrap (ADVICE r14). Per-key mode is the
+    documented escape hatch for exactly such keys
+    (stateful.guard_int_keys), so the guard must live here too."""
+    import numpy as np
+
+    from .stateful import _F64_EXACT_INT
+
+    for k in int_keys:
+        col = pdf[k]
+        if col.dtype.kind != "f":
+            continue
+        vals = col.to_numpy()
+        finite = np.isfinite(vals)
+        if finite.any() and float(np.abs(vals[finite]).max()) >= _F64_EXACT_INT:
+            raise ValueError(
+                f"per-key state export: integral key column {k!r} holds "
+                "values at or beyond 2^53 in a checkpoint that also has "
+                "NULL residents for it — the Arrow→pandas float64 decode "
+                "corrupts such keys silently, so the export would seed "
+                "wrong cell identities. This checkpoint cannot migrate "
+                "through the pandas decode path; keep it on per-key "
+                "state (key_buckets=None) instead."
+            )
+
+
 def _key_fields(key_schema: str) -> list:
     """Field names from a key-column DDL string, parsed by Spark's own
     DDL parser — a naive comma split breaks on parameterized/nested
@@ -264,9 +306,11 @@ def export_summer_bootstrap(
         for p, fc in zip(flagged_pos, flag_cols):
             src = src.withColumn(fc, F.isnan(F.col(key_fields[p])))
         nk = len(key_fields)
+        int_keys_pk = _int_key_fields(src, key_fields)
 
         def decode_pk(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in pdfs:
+                _guard_export_int_keys(pdf, int_keys_pk)
                 rows = []
                 for rec in pdf.itertuples(index=False):
                     kvals, blob = rec[:nk], rec[nk]
@@ -292,16 +336,70 @@ def export_summer_bootstrap(
         mid = src.mapInPandas(decode_pk, mid_schema)
 
     return _write_routed_bootstrap(spark, mid, key_fields,
-                                   new_key_buckets, out_path)
+                                   new_key_buckets, out_path,
+                                   key_schema, checkpoint, "summer")
+
+
+#: sidecar pinning an export's physical layout; name starts with ``_`` so
+#: Spark's parquet reader ignores it inside the bootstrap dir
+BOOTSTRAP_MANIFEST = "_manifest.json"
+
+
+def _canonical_key_fields(key_schema: str) -> list:
+    """(name, canonical type) pairs in DDL order — the order the export
+    routes with, which the new pipeline's ``keys`` list must repeat."""
+    from pyspark.sql.types import StructType
+
+    return [
+        [f.name, f.dataType.simpleString()]
+        for f in StructType.fromDDL(key_schema).fields
+    ]
+
+
+def read_bootstrap_manifest(spark: SparkSession, bootstrap_dir: str):
+    """Read a bootstrap export's ``_manifest.json`` through the Hadoop
+    FileSystem API (bare paths, ``file://``, ``hdfs://``, ``s3a://``…).
+    Returns the manifest dict, or ``None`` for a pre-manifest (r14)
+    export; raises if ``bootstrap_dir`` itself does not exist — a
+    mistyped remote path must not read as "empty state" (ADVICE r14)."""
+    import json
+
+    from .planner import _checkpoint_fs, _fs_read_text
+
+    fs, root, jvm = _checkpoint_fs(spark, str(bootstrap_dir))
+    if not fs.exists(root):
+        raise ValueError(
+            f"bootstrap_dir {bootstrap_dir!r} does not exist — a mistyped "
+            "path would silently start from empty state"
+        )
+    side = jvm.org.apache.hadoop.fs.Path(root, BOOTSTRAP_MANIFEST)
+    if not fs.exists(side):
+        return None
+    try:
+        return json.loads(_fs_read_text(spark, fs, side))
+    except ValueError as e:
+        raise ValueError(
+            f"bootstrap manifest {bootstrap_dir!r}/{BOOTSTRAP_MANIFEST} is "
+            f"corrupt ({e}) — refusing to seed from an export whose layout "
+            "cannot be verified; re-run the export"
+        ) from e
 
 
 def _write_routed_bootstrap(
     spark, mid: DataFrame, key_fields: list, new_key_buckets: int,
-    out_path: str,
+    out_path: str, key_schema: str, source_checkpoint: str, kind: str,
 ) -> int:
     """Shared bootstrap tail: route each (keys..., cell, total) row to
-    its bucket under the NEW count with the kernels' own ingest hash and
-    write one partition dir per bucket."""
+    its bucket under the NEW count with the kernels' own ingest hash,
+    write one partition dir per bucket, then pin the layout in a
+    ``_manifest.json`` sidecar the kernels verify at start — a bucket
+    count or key-type drift between export and resume would otherwise
+    mis-route hashes and seed PARTIAL state silently (the reference pins
+    one shard layout per topology for the same reason,
+    summingbird-storm/.../StormTopologyBuilder.scala:291-298)."""
+    import json
+
+    from .planner import _checkpoint_fs, _fs_write_text
     from .stateful import bucket_by_key_hash
 
     routed, _flags, _pos = bucket_by_key_hash(
@@ -314,7 +412,19 @@ def _write_routed_bootstrap(
         .partitionBy("__kb__")
         .parquet(out_path)
     )
-    return spark.read.parquet(out_path).count()
+    cells = spark.read.parquet(out_path).count()
+    manifest = {
+        "format": "summingbird-spark-bootstrap/1",
+        "kind": kind,
+        "new_key_buckets": int(new_key_buckets),
+        "key_schema_fields": _canonical_key_fields(key_schema),
+        "source_checkpoint": str(source_checkpoint),
+        "cells": int(cells),
+    }
+    fs, root, jvm = _checkpoint_fs(spark, str(out_path))
+    side = jvm.org.apache.hadoop.fs.Path(root, BOOTSTRAP_MANIFEST)
+    _fs_write_text(fs, side, json.dumps(manifest, indent=1), jvm=jvm)
+    return cells
 
 
 def export_keyed_bootstrap(
@@ -389,9 +499,11 @@ def export_keyed_bootstrap(
         for p, fc in zip(flagged_pos, flag_cols):
             src = src.withColumn(fc, F.isnan(F.col(key_fields[p])))
         nk = len(key_fields)
+        int_keys_pk = _int_key_fields(src, key_fields)
 
         def decode_pk(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in pdfs:
+                _guard_export_int_keys(pdf, int_keys_pk)
                 rows = []
                 for rec in pdf.itertuples(index=False):
                     kvals, blob = rec[:nk], rec[nk]
@@ -412,7 +524,8 @@ def export_keyed_bootstrap(
         mid = src.mapInPandas(decode_pk, mid_schema)
 
     return _write_routed_bootstrap(spark, mid, key_fields,
-                                   new_key_buckets, out_path)
+                                   new_key_buckets, out_path,
+                                   key_schema, checkpoint, "keyed")
 
 
 def read_keyed_state(

@@ -21,6 +21,7 @@ old (K, BatchID) entries (ClientStore.scala onlineKeys generation).
 
 from __future__ import annotations
 
+import logging
 import pickle
 from typing import Iterator, Optional
 
@@ -31,6 +32,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..core import semigroup as sg_mod
 from ..core.graph import TIME_COL
+
+_LOG = logging.getLogger(__name__)
 
 
 class _NanKeyType:
@@ -357,9 +360,27 @@ def resolve_fast_agg(sg, base: DataFrame, value_alias: str):
     return fa, v_int
 
 
-def validate_bootstrap_dir(bootstrap_dir, key_buckets) -> None:
+def validate_bootstrap_dir(
+    bootstrap_dir, key_buckets, spark=None, key_types=None, kind=None
+) -> None:
     """Driver-side checks shared by every kernel that accepts a
-    ``bootstrap_dir`` (summer, temporal as-of, self-loop)."""
+    ``bootstrap_dir`` (summer, temporal as-of, self-loop).
+
+    With a ``spark`` session the check goes through the Hadoop
+    FileSystem API (so scheme'd URIs are verified too, not skipped) and
+    reads the export's ``_manifest.json``: a ``key_buckets`` that
+    differs from the manifest's ``new_key_buckets`` would find each
+    carried-in cell only where ``hash%new == hash%export`` coincide — a
+    silent PARTIAL carry-in, the exact corruption bootstrap exists to
+    avoid — so the mismatch raises naming both counts (VERDICT r14;
+    the reference pins one shard layout per topology,
+    summingbird-storm/.../StormTopologyBuilder.scala:291-298).
+    ``key_types`` ([(name, simpleString)] in the kernel's hash order)
+    and ``kind`` ("summer" | "keyed") are verified the same way:
+    xxhash64 is type-sensitive, so a type drift mis-routes every key,
+    and a summer export seeded into a keyed kernel (or vice versa)
+    unpickles the wrong state class.
+    """
     if bootstrap_dir is None:
         return
     if key_buckets is None:
@@ -369,15 +390,69 @@ def validate_bootstrap_dir(bootstrap_dir, key_buckets) -> None:
             "one state group per key — re-run the export at a bucket "
             "count instead"
         )
-    import os as _os
+    if spark is None:
+        import os as _os
 
-    if "://" not in str(bootstrap_dir) and not _os.path.isdir(
-        str(bootstrap_dir)
-    ):
-        raise ValueError(
-            f"bootstrap_dir {bootstrap_dir!r} does not exist — a "
-            "mistyped path would silently start from empty state"
+        if "://" not in str(bootstrap_dir) and not _os.path.isdir(
+            str(bootstrap_dir)
+        ):
+            raise ValueError(
+                f"bootstrap_dir {bootstrap_dir!r} does not exist — a "
+                "mistyped path would silently start from empty state"
+            )
+        return
+
+    from .state_tools import read_bootstrap_manifest
+
+    manifest = read_bootstrap_manifest(spark, bootstrap_dir)
+    if manifest is None:
+        # pre-manifest (r14) export: the dir exists but its layout
+        # cannot be verified — keep working, but say so
+        _LOG.warning(
+            "bootstrap_dir %s has no _manifest.json (pre-r15 export): "
+            "cannot verify its bucket count matches key_buckets=%s — "
+            "re-run the export to pin the layout",
+            bootstrap_dir, key_buckets,
         )
+        return
+    if int(manifest["new_key_buckets"]) != int(key_buckets):
+        raise ValueError(
+            f"bootstrap_dir {bootstrap_dir!r} was exported at "
+            f"new_key_buckets={manifest['new_key_buckets']} but this "
+            f"kernel resolved key_buckets={int(key_buckets)} — a "
+            "mismatched layout seeds each key only where both hashes "
+            "coincide (silent partial state). Start the new generation "
+            f"with key_buckets={manifest['new_key_buckets']}, or re-run "
+            "the export at the desired count."
+        )
+    if kind is not None and manifest.get("kind") not in (None, kind):
+        raise ValueError(
+            f"bootstrap_dir {bootstrap_dir!r} holds a "
+            f"{manifest['kind']!r} export but this is a {kind!r} kernel "
+            "— the carried state blobs would unpickle as the wrong "
+            "state class. Point each kernel at its own export."
+        )
+    mf = manifest.get("key_schema_fields")
+    if key_types is not None and mf is not None:
+        got = [t for _, t in key_types]
+        exp = [t for _, t in mf]
+        if got != exp:
+            raise ValueError(
+                f"bootstrap_dir {bootstrap_dir!r} was exported with key "
+                f"schema {mf} but this kernel hashes keys as "
+                f"{[list(kt) for kt in key_types]} — xxhash64 is "
+                "type-sensitive, so a type or order drift re-routes "
+                "every key. Re-run the export with this kernel's exact "
+                "key types (in its key order)."
+            )
+        names = [n for n, _ in key_types]
+        if names != [n for n, _ in mf]:
+            _LOG.warning(
+                "bootstrap_dir %s key names %s differ from the export's "
+                "%s (types match — routing is unaffected, but verify "
+                "the rename is intentional: cell identity is positional)",
+                bootstrap_dir, names, [n for n, _ in mf],
+            )
 
 
 def _load_bootstrap_bucket(bootstrap_dir: str, bucket: int) -> dict:
@@ -463,7 +538,11 @@ def stateful_summer(
         )
     if key_buckets is not None and int(key_buckets) <= 0:
         raise ValueError(f"key_buckets must be positive or None; got {key_buckets!r}")
-    validate_bootstrap_dir(bootstrap_dir, key_buckets)
+    validate_bootstrap_dir(
+        bootstrap_dir, key_buckets, spark=base.sparkSession,
+        key_types=[(k, base.schema[k].dataType.simpleString()) for k in keys],
+        kind="summer",
+    )
     sg = sg_mod.get(sg)
     key_types = [(f.name, f.dataType.simpleString()) for f in base.schema.fields if f.name in keys]
     vt = base.schema[value_alias].dataType.simpleString()

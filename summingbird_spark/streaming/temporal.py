@@ -91,7 +91,11 @@ def streaming_as_of_join(
         )
     if key_buckets is not None and int(key_buckets) <= 0:
         raise ValueError(f"key_buckets must be positive or None; got {key_buckets!r}")
-    validate_bootstrap_dir(bootstrap_dir, key_buckets)
+    validate_bootstrap_dir(
+        bootstrap_dir, key_buckets, spark=left.sparkSession,
+        key_types=[(k, left.schema[k].dataType.simpleString()) for k in on],
+        kind="keyed",
+    )
     if TIME_COL in right.columns and right_time != TIME_COL:
         right = right.drop(TIME_COL)
     if value_cols is None:
@@ -633,7 +637,11 @@ def streaming_self_loop(
         )
     if key_buckets is not None and int(key_buckets) <= 0:
         raise ValueError(f"key_buckets must be positive or None; got {key_buckets!r}")
-    validate_bootstrap_dir(bootstrap_dir, key_buckets)
+    validate_bootstrap_dir(
+        bootstrap_dir, key_buckets, spark=df.sparkSession,
+        key_types=[(k, df.schema[k].dataType.simpleString()) for k in on],
+        kind="keyed",
+    )
     order_by = list(order_by) if order_by else []
     sg = sg_mod.get(semigroup)
     out_type = sg.carrier_type(df.schema[delta_col].dataType.simpleString())

@@ -28,12 +28,12 @@ def ts(i):
     return dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)
 
 
-def _write_chunks(spark, tmp_path, chunks):
+def _write_chunks(spark, tmp_path, chunks, schema=SCHEMA):
     src = tmp_path / "src"
     src.mkdir()
     for i, rows in enumerate(chunks):
         tmp = tmp_path / f"__c{i}"
-        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(str(tmp))
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmp))
         [f] = glob.glob(str(tmp / "*.parquet"))
         dst = str(src / f"chunk{i}.parquet")
         shutil.move(f, dst)
@@ -518,3 +518,225 @@ def test_keyed_bootstrap_migration_asof_latest(spark, tmp_path):
         rb, 3, str(tmp_path / "asof_ck_b"), out_b, boot=boot)
     got = {r.key: r.rv for r in spark.read.parquet(out_b).collect()}
     assert got == {"a": 5, "b": 6, "zzz": 99}
+
+
+# ---- bootstrap layout manifest (round 15) ----------------------------------
+
+
+def test_bootstrap_manifest_pins_layout(spark, corpus, tmp_path, caplog):
+    """r15 (VERDICT r14 #1): the export writes a ``_manifest.json``
+    pinning the layout, and ``validate_bootstrap_dir`` verifies it — a
+    bucket count that differs from the export's ``new_key_buckets`` seeds
+    each key only where both hashes coincide (silent PARTIAL state), so
+    the mismatch must raise naming both counts; kind and key-type drift
+    must raise too (xxhash64 is type-sensitive); a same-type key RENAME
+    routes identically, so it warns instead of refusing."""
+    from summingbird_spark.streaming.state_tools import (
+        export_summer_bootstrap,
+        read_bootstrap_manifest,
+    )
+    from summingbird_spark.streaming.stateful import validate_bootstrap_dir
+
+    ck = str(tmp_path / "ck")
+    _run_summer(spark, corpus, ck, kb=5)
+    boot = str(tmp_path / "boot")
+    n = export_summer_bootstrap(spark, ck, boot, "key string",
+                                new_key_buckets=3)
+
+    m = read_bootstrap_manifest(spark, boot)
+    assert m["new_key_buckets"] == 3
+    assert m["kind"] == "summer"
+    assert m["key_schema_fields"] == [["key", "string"]]
+    assert m["cells"] == n
+    # the sidecar must stay invisible to the parquet readers that load
+    # the bootstrap cells (underscore-prefixed = ignored by Spark)
+    assert spark.read.parquet(boot).count() == n
+
+    kt = [("key", "string")]
+    validate_bootstrap_dir(boot, 3, spark=spark, key_types=kt,
+                           kind="summer")  # exact layout: passes
+    with pytest.raises(ValueError, match=r"new_key_buckets=3 .*key_buckets=4"):
+        validate_bootstrap_dir(boot, 4, spark=spark, key_types=kt,
+                               kind="summer")
+    with pytest.raises(ValueError, match=r"'summer' export but this is a 'keyed'"):
+        validate_bootstrap_dir(boot, 3, spark=spark, key_types=kt,
+                               kind="keyed")
+    with pytest.raises(ValueError, match=r"type-sensitive"):
+        validate_bootstrap_dir(boot, 3, spark=spark,
+                               key_types=[("key", "bigint")], kind="summer")
+    with caplog.at_level("WARNING",
+                         logger="summingbird_spark.streaming.stateful"):
+        validate_bootstrap_dir(boot, 3, spark=spark,
+                               key_types=[("renamed", "string")],
+                               kind="summer")
+    assert any("key names" in r.getMessage() for r in caplog.records)
+
+
+def test_bootstrap_manifest_guard_at_plan_time(spark, corpus, tmp_path):
+    """Plan-time enforcement: a StreamPlanner pinned at the wrong count
+    raises at ``plan()`` (before any trigger runs), and the 'auto'
+    default + a bootstrap_dir is refused outright — auto re-measures the
+    go-forward corpus and will essentially never equal the export count,
+    which was the likely silent-partial-state user error."""
+    from summingbird_spark.streaming.state_tools import (
+        export_summer_bootstrap,
+    )
+
+    ck = str(tmp_path / "ck")
+    _run_summer(spark, corpus, ck, kb=5)
+    boot = str(tmp_path / "boot")
+    export_summer_bootstrap(spark, ck, boot, "key string",
+                            new_key_buckets=3)
+
+    def pipe():
+        src = stream_source(corpus, SCHEMA, time_col="ts",
+                            max_files_per_trigger=1)
+        return src.sum_by_key("key", "value", semigroup="sum_long",
+                              batcher=sb.of_days(1))
+
+    with pytest.raises(ValueError, match=r"key_buckets=3"):
+        StreamPlanner(spark, summer_key_buckets=4,
+                      summer_bootstrap_dir=boot).plan(pipe())
+    with pytest.raises(ValueError, match=r"'auto' cannot be combined"):
+        StreamPlanner(spark, summer_key_buckets="auto",
+                      summer_bootstrap_dir=boot).plan(pipe())
+    # the pinned-and-matching plan still compiles
+    StreamPlanner(spark, summer_key_buckets=3,
+                  summer_bootstrap_dir=boot).plan(pipe())
+
+
+def test_bootstrap_dir_missing_legacy_corrupt(spark, tmp_path, caplog):
+    """ADVICE r14: a scheme'd bootstrap_dir is existence-checked through
+    the Hadoop FS API (a mistyped remote path must not read as empty
+    state); a pre-manifest (r14) export warns but keeps working; a
+    corrupt manifest refuses — an unverifiable layout must not seed."""
+    from summingbird_spark.streaming.stateful import validate_bootstrap_dir
+
+    kt = [("key", "string")]
+    with pytest.raises(ValueError, match=r"does not exist"):
+        validate_bootstrap_dir(f"file://{tmp_path}/nope", 3, spark=spark,
+                               key_types=kt, kind="summer")
+
+    legacy = tmp_path / "legacy"
+    (legacy / "__kb__=0").mkdir(parents=True)
+    with caplog.at_level("WARNING",
+                         logger="summingbird_spark.streaming.stateful"):
+        validate_bootstrap_dir(str(legacy), 3, spark=spark, key_types=kt,
+                               kind="summer")
+    assert any("pre-r15" in r.getMessage() for r in caplog.records)
+
+    (legacy / "_manifest.json").write_text("{not json")
+    with pytest.raises(ValueError, match=r"corrupt"):
+        validate_bootstrap_dir(str(legacy), 3, spark=spark, key_types=kt,
+                               kind="summer")
+
+
+def test_export_per_key_int_key_guard(spark, tmp_path):
+    """ADVICE r14 (medium): a per-key checkpoint whose integral key
+    column has any NULL resident decodes through Arrow→pandas as
+    float64, silently rounding key values at/beyond 2^53 — corrupting
+    cell identity AND bucket routing. The export must refuse rather than
+    write a plausible-looking poisoned bootstrap."""
+    int_schema = "ts timestamp, key long, value long"
+    src = _write_chunks(
+        spark, tmp_path,
+        [[(ts(0), 2 ** 53 + 7, 1), (ts(1), None, 2), (ts(2), 4, 3)]],
+        schema=int_schema,
+    )
+    ck = str(tmp_path / "ck")
+    # one state partition so the NULL resident and the >=2^53 key are
+    # co-resident in one pandas chunk — the coercion needs both (a chunk
+    # with no NULLs decodes as exact int64 and exports correctly)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        s = stream_source(src, int_schema, time_col="ts",
+                          max_files_per_trigger=1)
+        p = s.sum_by_key("key", "value", semigroup="sum_long",
+                         batcher=sb.of_days(1))
+        # per-key mode: keys never round-trip through pandas at ingest,
+        # so the >=2^53 key is held EXACTLY in state — the hazard is the
+        # export's pandas decode
+        plan = StreamPlanner(spark, summer_key_buckets=None).plan(p)
+        q = plan.start_foreach_batch(
+            lambda bdf, bid: bdf.write.format("noop").mode("overwrite")
+            .save(),
+            checkpoint=ck,
+        )
+        q.awaitTermination(120)
+
+        from summingbird_spark.streaming.state_tools import (
+            export_summer_bootstrap,
+        )
+
+        with pytest.raises(Exception, match=r"2\^53"):
+            export_summer_bootstrap(spark, ck, str(tmp_path / "boot"),
+                                    "key bigint", new_key_buckets=3)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def test_bootstrap_never_reseeds_after_eviction(spark, tmp_path):
+    """VERDICT r14 #7: a summer with BOTH evict_before_batch and a
+    bootstrap_dir must read the bootstrap only on each bucket's FIRST
+    trigger. After eviction empties a bucket's dict the kernel persists
+    the EMPTY dict (state.exists stays true) rather than removing state —
+    pin that invariant: a later touch of an evicted carried-in cell sees
+    prev=None, not a double-seeded copy of the old total."""
+    from summingbird_spark.streaming.state_tools import (
+        export_summer_bootstrap,
+    )
+
+    def day(d, h):
+        return dt.datetime(2024, 1, 1 + d, h)
+
+    b = sb.of_days(1)
+    tmp_path.joinpath("a").mkdir()
+    tmp_path.joinpath("b").mkdir()
+    src_a = _write_chunks(
+        spark, tmp_path.joinpath("a"),
+        [[(day(0, 1), "k0", 40), (day(0, 2), "k0", 2), (day(0, 3), "k1", 9)]],
+    )
+    ck_a = str(tmp_path / "ck_a")
+    _run_summer(spark, src_a, ck_a, kb=2)
+    boot = str(tmp_path / "boot")
+    export_summer_bootstrap(spark, ck_a, boot, "key string",
+                            new_key_buckets=2)
+
+    # gen B: day-0 cells are BELOW the eviction horizon (closed batch);
+    # trigger 1 seeds from the bootstrap (prev = gen A's day-0 total),
+    # then evicts the cell; trigger 2 touches the same cell again
+    evict_point = b.batch_of(day(1, 0))
+    src_b = _write_chunks(
+        spark, tmp_path.joinpath("b"),
+        [[(day(0, 20), "k0", 5)], [(day(0, 21), "k0", 7)]],
+    )
+    ck_b = str(tmp_path / "ck_b")
+    out_b = str(tmp_path / "out_b")
+
+    from summingbird_spark.core import semigroup as sg_mod
+    from summingbird_spark.core.graph import TIME_COL
+    from summingbird_spark.streaming.stateful import stateful_summer
+
+    planner = StreamPlanner(spark)
+    df = planner.compile(stream_source(src_b, SCHEMA, time_col="ts",
+                                       max_files_per_trigger=1))
+    base = df.select(
+        "key", b.batch_col(F.col(TIME_COL)).alias("batch_id"),
+        F.col(TIME_COL), F.col("value"),
+    )
+    out = stateful_summer(base, ["key"], "value", sg_mod.get("sum_long"),
+                          evict_before_batch=evict_point, key_buckets=2,
+                          bootstrap_dir=boot)
+    q = (out.writeStream.foreachBatch(
+            lambda bdf, bid: bdf.withColumn("bid", F.lit(bid))
+            .write.mode("append").parquet(out_b))
+         .outputMode("update").option("checkpointLocation", ck_b)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = {r.bid: r for r in spark.read.parquet(out_b).collect()}
+    assert rows[0].prev == 42          # carried in exactly once
+    assert rows[0].delta == 5
+    assert rows[1].prev is None        # evicted — NOT re-seeded
+    assert rows[1].delta == 7

@@ -2638,8 +2638,12 @@ def test_checkpoint_guard_refuses_unpinned_adoption(spark, stream_dir, tmp_path)
     assert not os.path.exists(sidecar)  # refusal must not half-adopt
 
     # an explicitly pinned plan adopts: deterministic layout, same
-    # contract the pre-sidecar era ran under — and re-pins the checkpoint
-    start(4)
+    # contract the pre-sidecar era ran under — and re-pins the checkpoint,
+    # WARNING out loud (ADVICE r14: the guard cannot verify the adopted
+    # ints match what the pre-guard checkpoint actually ran with, and the
+    # pin is permanent — a mistaken re-pin must be visible in logs)
+    with pytest.warns(RuntimeWarning, match="PINNING"):
+        start(4)
     with open(sidecar) as f:
         pinned = json.load(f)
     assert pinned["key_buckets"][0]["key_buckets"] == 4
