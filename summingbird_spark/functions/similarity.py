@@ -455,14 +455,26 @@ def embedding_near_dup_pairs(
 
     spark = corpus.sparkSession
     # tile grid: block b participates in every tile (i, j), i <= j, where
-    # b ∈ {i, j} — each unordered row pair meets in exactly one tile
-    grid = [
-        (i, j, b)
-        for i in range(blocks)
-        for j in range(i, blocks)
-        for b in ({i, j})
-    ]
-    tiles = spark.createDataFrame(grid, "ti int, tj int, __blk__ int")
+    # b ∈ {i, j} — each unordered row pair meets in exactly one tile.
+    # Built as a JVM-side range (not createDataFrame over Python tuples):
+    # a parallelized Python list scans as an un-codegen'd ExistingRDD and
+    # costs a py4j round trip on EVERY call — measurable at bench scale
+    # and pure overhead on a cluster.
+    tiles = (
+        spark.range(blocks * blocks)
+        .select(
+            (F.col("id") / blocks).cast("int").alias("ti"),
+            F.pmod(F.col("id"), F.lit(blocks)).cast("int").alias("tj"),
+        )
+        .where(F.col("ti") <= F.col("tj"))
+        .select(
+            "ti",
+            "tj",
+            F.explode(
+                F.array_distinct(F.array(F.col("ti"), F.col("tj")))
+            ).alias("__blk__"),
+        )
+    )
     blocked = corpus.select(
         F.col(id_col), F.col(vec_col), F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).cast("int").alias("__blk__")
     ).join(F.broadcast(tiles), "__blk__")
