@@ -198,6 +198,62 @@ def _fs_write_text(fs, jpath, text: str, jvm=None) -> None:
         out.close()
 
 
+#: resident keys/bucket may drift this many times outside the
+#: AUTO_KEYS_PER_BUCKET band before a resume warns (VERDICT r14 item 5)
+RESIZE_ADVISORY_DRIFT = 4
+_RESIZE_ADVISORY_ENV = "SBSPARK_RESIZE_ADVISORY"
+
+
+def _advise_bucket_drift(spark, checkpoint: str, meta: dict) -> None:
+    """Close the sizing loop at resume time: when a pinned layout's
+    MEASURED resident keys put keys-per-bucket ≥ RESIZE_ADVISORY_DRIFT×
+    outside the ``AUTO_KEYS_PER_BUCKET`` band (corpus grew under the pin,
+    or the pin wildly over-provisioned), warn out loud naming the
+    measured suggestion and the replay-free migration path. Advisory
+    only: it never blocks a start (layout changes mid-checkpoint are what
+    ``guard_state_checkpoint`` REFUSES; acting on this warning means
+    exporting a bootstrap and starting a new generation —
+    ``examples/state_migration.py``). One statestore-source scan per
+    bucketed op, cluster-parallel, no driver collect; set
+    ``SBSPARK_RESIZE_ADVISORY=0`` to skip it on latency-critical starts."""
+    import os
+    import warnings
+
+    if os.environ.get(_RESIZE_ADVISORY_ENV, "1") in ("0", "false", ""):
+        return
+    entries = (meta or {}).get("key_buckets", [])
+    for op_id, entry in enumerate(entries):
+        current = entry.get("key_buckets")
+        if current is None:  # per-key state: no fixed layout to outgrow
+            continue
+        try:
+            from .state_tools import suggest_key_buckets
+
+            rec = suggest_key_buckets(spark, checkpoint, operator_id=op_id)
+        except Exception:  # noqa: BLE001 — advisory must never fail a start
+            continue
+        suggested = rec.get("suggested_buckets")
+        if not suggested or rec.get("resident_keys", 0) <= 0:
+            continue
+        if (
+            suggested >= RESIZE_ADVISORY_DRIFT * current
+            or current >= RESIZE_ADVISORY_DRIFT * suggested
+        ):
+            warnings.warn(
+                f"checkpoint {checkpoint!r} op {op_id} "
+                f"(keys={entry.get('keys')}): pinned key_buckets={current} "
+                f"but {rec['resident_keys']} resident keys measure out to "
+                f"suggested_buckets={suggested} "
+                f"(≥{RESIZE_ADVISORY_DRIFT}x drift). The layout stays "
+                "pinned for this checkpoint's lifetime; to re-size without "
+                "replay, export a bootstrap at the new count and start a "
+                "new generation (see "
+                "summingbird_spark.streaming.state_tools."
+                "export_summer_bootstrap and examples/state_migration.py).",
+                RuntimeWarning,
+            )
+
+
 def guard_state_checkpoint(
     df: Optional[DataFrame],
     checkpoint: Optional[str],
@@ -324,6 +380,8 @@ def guard_state_checkpoint(
                 "summer_key_buckets=<pinned int>) / key_buckets=<pinned "
                 "int> on the service) or use a fresh checkpoint."
             )
+        if has_state:
+            _advise_bucket_drift(spark, checkpoint, meta)
         return
     if has_state:
         if _all_pinned(meta):

@@ -740,3 +740,47 @@ def test_bootstrap_never_reseeds_after_eviction(spark, tmp_path):
     assert rows[0].delta == 5
     assert rows[1].prev is None        # evicted — NOT re-seeded
     assert rows[1].delta == 7
+
+
+def test_resize_advisory_warns_on_drifted_layout(spark, corpus, tmp_path):
+    """VERDICT r14 item 5: resuming a checkpoint whose pinned layout has
+    drifted ≥4x from the measured suggestion warns (naming the suggested
+    count and the migration path); a layout inside the band is silent."""
+    import warnings
+
+    from summingbird_spark.streaming.planner import (
+        StreamPlanner,
+        guard_state_checkpoint,
+    )
+
+    def _plan_meta(kb):
+        src = stream_source(corpus, SCHEMA, time_col="ts",
+                            max_files_per_trigger=1)
+        p = src.sum_by_key("key", "value", semigroup="sum_long",
+                           batcher=sb.of_days(1))
+        return StreamPlanner(spark, summer_key_buckets=kb).plan(p).state_meta
+
+    # 6 resident keys, 64 pinned buckets: suggestion floors at 8,
+    # 64 >= 4x8 -> over-provisioned drift, warn on resume
+    ck = str(tmp_path / "ck_drift")
+    _run_summer(spark, corpus, ck, kb=64)
+    with pytest.warns(RuntimeWarning, match="suggested_buckets=8"):
+        guard_state_checkpoint(None, ck, meta=_plan_meta(64), spark=spark)
+
+    # kill switch for latency-critical starts
+    import os
+
+    os.environ["SBSPARK_RESIZE_ADVISORY"] = "0"
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            guard_state_checkpoint(None, ck, meta=_plan_meta(64), spark=spark)
+    finally:
+        del os.environ["SBSPARK_RESIZE_ADVISORY"]
+
+    # same residency pinned AT the suggestion: inside the band, silent
+    ck2 = str(tmp_path / "ck_in_band")
+    _run_summer(spark, corpus, ck2, kb=8)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        guard_state_checkpoint(None, ck2, meta=_plan_meta(8), spark=spark)
