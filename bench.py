@@ -40,6 +40,160 @@ import sys
 import tempfile
 import time
 
+# Best quiet io-calibration ever measured on the original bench host
+# (BENCH_DETAIL @ 602fbbd, r13). It is a HOST-SPECIFIC constant: trusted
+# only when a committed artifact corroborates it (within CORROBORATION of
+# the seed), so a repo cloned onto different storage derives its baseline
+# from its own artifacts instead of a foreign machine's disk (ADVICE r14).
+# SPARK_GRAFT_QUIET_IO_SEED overrides (set empty to disable seeding).
+_IO_SEED = 0.629
+_IO_SEED_CORROBORATION = 1.25
+_IO_SEED_ENV = "SPARK_GRAFT_QUIET_IO_SEED"
+
+# Per-query noise flagging (VERDICT r14 item 4): a row whose min-of-3
+# exceeds RATIO x its committed quiet min is flagged in the compact line,
+# so a single-query regression is visible even when the global
+# calibration gate (which only sees host-wide noise) stays silent. The
+# baseline floor skips sub-second rows that live inside scheduler noise
+# (observed: wordcount 0.44->0.75s on unchanged code).
+_FLAG_RATIO = 1.3
+_FLAG_BASELINE_FLOOR = 0.5
+_QUIET_PATH = "BENCH_QUIET.json"
+
+
+def _harvest_calibrations(repo_root: str) -> tuple[list[float], list[float]]:
+    """(io_vals, cpu_vals) from every committed round artifact."""
+    import glob
+
+    io_vals: list[float] = []
+    cpu_vals: list[float] = []
+
+    def _harvest(doc):
+        for dest, key in ((io_vals, "calib_io_sec"), (cpu_vals, "calib_sec")):
+            try:
+                v = float(doc.get(key, -1.0))
+            except (TypeError, ValueError):
+                continue
+            if v > 0:
+                dest.append(v)
+
+    paths = sorted(glob.glob(os.path.join(repo_root, "BENCH_r*.json")))
+    paths.append(os.path.join(repo_root, "BENCH_DETAIL.json"))
+    for path in paths:
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            continue
+        # round artifacts wrap the compact stdout line under "parsed"
+        # (may be null when a round's tail capture failed to parse)
+        if isinstance(doc, dict):
+            _harvest(doc.get("parsed") or doc)
+    return io_vals, cpu_vals
+
+
+def _seed_io_vals(harvested: list[float]) -> list[float]:
+    """The pinned io seed, iff this host's artifacts corroborate it."""
+    override = os.environ.get(_IO_SEED_ENV)
+    if override is not None:
+        try:
+            v = float(override)
+        except ValueError:
+            return []
+        return [v] if v > 0 else []
+    if harvested and min(harvested) <= _IO_SEED * _IO_SEED_CORROBORATION:
+        return [_IO_SEED]
+    return []
+
+
+def quiet_baselines(repo_root: str) -> tuple[float, float]:
+    """min calib_io_sec / calib_sec over every committed artifact.
+
+    The io list is seeded with the pinned quiet constant — the repo-root
+    BENCH_DETAIL.json gets overwritten by each official capture, so a
+    contended official run would otherwise erase the quiet evidence the
+    gate needs — but only when corroborated on this host (see _IO_SEED).
+    The cpu list is NOT seeded: in-session quiet cpu (0.467) sits far
+    below every official capture (0.688-0.799 across r10-r13), so
+    pinning it would fire the gate on every official run."""
+    io_vals, cpu_vals = _harvest_calibrations(repo_root)
+    io_vals = _seed_io_vals(io_vals) + io_vals
+    return (
+        min(io_vals) if io_vals else -1.0,
+        min(cpu_vals) if cpu_vals else -1.0,
+    )
+
+
+def quiet_query_mins(repo_root: str) -> dict[str, float]:
+    """Per-query quiet baselines: element-wise min of the persistent
+    BENCH_QUIET.json sidecar and the committed BENCH_DETAIL.json's
+    queries_min3. The sidecar exists because BENCH_DETAIL is overwritten
+    by every capture (including contended ones); the sidecar only ever
+    ratchets DOWN, so one noisy committed run cannot raise a baseline.
+    After an intentional slow-down (a query legitimately doing more
+    work), edit or delete its entry in BENCH_QUIET.json."""
+    mins: dict[str, float] = {}
+    for path, key in (
+        (os.path.join(repo_root, _QUIET_PATH), "queries_min3"),
+        (os.path.join(repo_root, "BENCH_DETAIL.json"), "queries_min3"),
+    ):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, v in (doc.get(key) or {}).items():
+            try:
+                v = float(v)
+            except (TypeError, ValueError):
+                continue
+            if v > 0 and (name not in mins or v < mins[name]):
+                mins[name] = v
+    return mins
+
+
+def flag_slow_rows(
+    timings_min: dict[str, float],
+    quiet: dict[str, float],
+    ratio: float = _FLAG_RATIO,
+    floor: float = _FLAG_BASELINE_FLOOR,
+) -> dict[str, float]:
+    """{name: min3/quiet_min} for rows slower than ratio x their quiet
+    baseline — only rows whose BASELINE clears the floor (sub-second rows
+    swing on scheduler noise alone). min-of-3, not median: the minimum is
+    the load-resistant estimator, so a flagged row is a code/plan signal,
+    not one noisy sample."""
+    flagged = {}
+    for name, t in timings_min.items():
+        base = quiet.get(name, -1.0)
+        if t > 0 and base >= floor and t > ratio * base:
+            flagged[name] = round(t / base, 2)
+    return flagged
+
+
+def update_quiet_sidecar(repo_root: str, timings_min: dict[str, float]) -> None:
+    """Ratchet the persistent per-query quiet mins down with this run."""
+    path = os.path.join(repo_root, _QUIET_PATH)
+    mins = quiet_query_mins(repo_root)
+    for name, t in timings_min.items():
+        if t > 0 and (name not in mins or t < mins[name]):
+            mins[name] = t
+    doc = {
+        "_note": (
+            "per-query quiet min-of-3 baselines (sf0.1 graded runs; "
+            "monotone-decreasing). bench.py flags rows >"
+            f"{_FLAG_RATIO}x these in its compact line. Delete a row "
+            "after an intentional slow-down."
+        ),
+        "queries_min3": {k: round(v, 3) for k, v in sorted(mins.items())},
+    }
+    try:
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=1)
+            f.write("\n")
+    except OSError as e:
+        print(f"bench error writing {path}: {e}", file=sys.stderr)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -349,50 +503,10 @@ def main() -> None:
         "/root/testdata/sf0.1"
     )
 
-    def _quiet_baselines():
-        """min calib_io_sec / calib_sec over every committed artifact.
-
-        The io list is seeded with 0.629 s — the best committed quiet
-        capture (BENCH_DETAIL @ 602fbbd, r13; VERDICT r13 item 3 blesses
-        pinning it) — because the repo-root BENCH_DETAIL.json gets
-        overwritten by each official capture, so a contended official run
-        would otherwise erase the quiet evidence the gate needs. The cpu
-        list is NOT seeded: in-session quiet cpu (0.467) sits far below
-        every official capture (0.688-0.799 across r10-r13), so pinning
-        it would fire the gate on every official run."""
-        import glob
-
-        io_vals, cpu_vals = [0.629], []
-
-        def _harvest(doc):
-            for dest, key in ((io_vals, "calib_io_sec"), (cpu_vals, "calib_sec")):
-                try:
-                    v = float(doc.get(key, -1.0))
-                except (TypeError, ValueError):
-                    continue
-                if v > 0:
-                    dest.append(v)
-
-        for path in sorted(glob.glob(os.path.join(repo_root, "BENCH_r*.json"))) + [
-            repo_detail_path
-        ]:
-            try:
-                with open(path) as f:
-                    doc = json.load(f)
-            except (OSError, ValueError):
-                continue
-            # round artifacts wrap the compact stdout line under "parsed"
-            # (may be null when a round's tail capture failed to parse)
-            if isinstance(doc, dict):
-                _harvest(doc.get("parsed") or doc)
-        return (
-            min(io_vals) if io_vals else -1.0,
-            min(cpu_vals) if cpu_vals else -1.0,
-        )
-
     calib_io_prev, calib_cpu_prev = (
-        _quiet_baselines() if graded_run else (-1.0, -1.0)
+        quiet_baselines(repo_root) if graded_run else (-1.0, -1.0)
     )
+    quiet_mins = quiet_query_mins(repo_root) if graded_run else {}
 
     def _noise_score(r):
         """max contention ratio vs the quiet baselines (1.0 = quiet)."""
@@ -435,6 +549,11 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     total_min3 = round(sum(t for t in timings_min.values() if t >= 0), 3)
+    # per-query noise attribution (VERDICT r14 item 4): flag before the
+    # sidecar ratchets, so this run's own values can't be their baseline
+    flagged_rows = flag_slow_rows(timings_min, quiet_mins)
+    if graded_run:
+        update_quiet_sidecar(repo_root, timings_min)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
         sf = float(sf)
@@ -459,6 +578,7 @@ def main() -> None:
         "calib_io_prev": calib_io_prev,
         "calib_cpu_prev": calib_cpu_prev,
         "reran": reran,
+        "flagged_rows": flagged_rows,
         # named split fields (VERDICT r6 item 6) duplicating the two
         # attribution rows above for direct lookup
         "embedding_ivf_topk_probe_sec": timings.get("embedding_ivf_topk_probe", -1.0),
@@ -521,6 +641,7 @@ def main() -> None:
                 "calib_io_prev": calib_io_prev,
                 "calib_cpu_prev": calib_cpu_prev,
                 "reran": reran,
+                "flagged_rows": flagged_rows,
                 "detail": detail_path if detail_path.startswith("/tmp")
                 else "BENCH_DETAIL.json",
                 "sf": sf,

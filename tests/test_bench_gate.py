@@ -1,0 +1,105 @@
+"""Unit tests for bench.py's noise-gate helpers (no SparkSession).
+
+Covers VERDICT r14 item 4 (per-query flagging: a seeded slow query in a
+fixture gets flagged) and ADVICE r14 (the pinned io seed is host-scoped:
+trusted only when a committed artifact corroborates it).
+"""
+
+import json
+import os
+
+import pytest
+
+import bench
+
+
+def _write(path, doc):
+    with open(path, "w") as f:
+        json.dump(doc, f)
+
+
+# --------------------------------------------------------------- flagging
+
+
+def test_seeded_slow_query_gets_flagged():
+    quiet = {"fast_q": 2.0, "tiny_q": 0.1, "ok_q": 1.0}
+    now = {"fast_q": 3.2, "tiny_q": 0.4, "ok_q": 1.1, "new_q": 9.9}
+    flagged = bench.flag_slow_rows(now, quiet)
+    # 3.2/2.0 = 1.6 > 1.3 and baseline 2.0 >= floor -> flagged
+    assert flagged == {"fast_q": 1.6}
+    # tiny_q quadrupled but its baseline is under the floor (scheduler
+    # noise territory); ok_q is inside the ratio; new_q has no baseline
+
+
+def test_flagging_ignores_failed_rows():
+    assert bench.flag_slow_rows({"q": -1.0}, {"q": 5.0}) == {}
+
+
+def test_quiet_mins_elementwise_and_ratchet(tmp_path):
+    root = str(tmp_path)
+    _write(
+        os.path.join(root, "BENCH_QUIET.json"),
+        {"queries_min3": {"a": 1.0, "b": 4.0}},
+    )
+    _write(
+        os.path.join(root, "BENCH_DETAIL.json"),
+        {"queries_min3": {"a": 2.0, "b": 3.0, "c": 7.0}},
+    )
+    mins = bench.quiet_query_mins(root)
+    assert mins == {"a": 1.0, "b": 3.0, "c": 7.0}
+    # the sidecar only ratchets DOWN: a slower run cannot raise a baseline
+    bench.update_quiet_sidecar(root, {"a": 5.0, "b": 2.5, "d": 1.2})
+    mins2 = bench.quiet_query_mins(root)
+    assert mins2["a"] == 1.0 and mins2["b"] == 2.5 and mins2["d"] == 1.2
+
+
+def test_quiet_mins_missing_files_is_empty(tmp_path):
+    assert bench.quiet_query_mins(str(tmp_path)) == {}
+
+
+# ----------------------------------------------------------- io seed scope
+
+
+def test_io_seed_requires_corroboration(monkeypatch):
+    monkeypatch.delenv(bench._IO_SEED_ENV, raising=False)
+    # this host's artifacts sit near the seed -> trusted
+    assert bench._seed_io_vals([0.7, 0.9]) == [bench._IO_SEED]
+    # a foreign (slower-disk) host: every committed calibration is far
+    # above the seed -> the seed would mis-fire the gate on every run
+    assert bench._seed_io_vals([1.9, 2.4]) == []
+    # no artifacts at all -> nothing to corroborate with
+    assert bench._seed_io_vals([]) == []
+
+
+def test_io_seed_env_override(monkeypatch):
+    monkeypatch.setenv(bench._IO_SEED_ENV, "0.5")
+    assert bench._seed_io_vals([9.0]) == [0.5]
+    monkeypatch.setenv(bench._IO_SEED_ENV, "")
+    assert bench._seed_io_vals([0.63]) == []
+
+
+def test_quiet_baselines_harvests_round_artifacts(tmp_path, monkeypatch):
+    monkeypatch.delenv(bench._IO_SEED_ENV, raising=False)
+    root = str(tmp_path)
+    _write(
+        os.path.join(root, "BENCH_r01.json"),
+        {"parsed": {"calib_io_sec": 0.70, "calib_sec": 0.80}},
+    )
+    _write(
+        os.path.join(root, "BENCH_DETAIL.json"),
+        {"calib_io_sec": 0.66, "calib_sec": 0.75},
+    )
+    io, cpu = bench.quiet_baselines(root)
+    assert io == pytest.approx(bench._IO_SEED)  # corroborated by 0.66
+    assert cpu == pytest.approx(0.75)
+
+
+def test_quiet_baselines_foreign_host_ignores_seed(tmp_path, monkeypatch):
+    monkeypatch.delenv(bench._IO_SEED_ENV, raising=False)
+    root = str(tmp_path)
+    _write(
+        os.path.join(root, "BENCH_r01.json"),
+        {"parsed": {"calib_io_sec": 2.0, "calib_sec": 2.2}},
+    )
+    io, cpu = bench.quiet_baselines(root)
+    assert io == pytest.approx(2.0) and cpu == pytest.approx(2.2)
