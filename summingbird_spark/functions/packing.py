@@ -132,6 +132,78 @@ def pack_shards(
     ).drop(_PREFIX)
 
 
+def pack_examples(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    context_len: int,
+    eos: int = 1,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Cross-document example packing — the pre-training batch-prep verb
+    ``pack_shards`` deliberately is NOT: lay documents end-to-end in
+    ``id_col`` order, each followed by ``eos`` separator tokens, and cut
+    the resulting global token stream into training examples of exactly
+    ``context_len`` tokens, SPLITTING documents across example
+    boundaries (GPT-style causal-LM packing: no padding, every example
+    full except the final tail).
+
+    Returns one row per (example, document segment)::
+
+        example_id      0-based example index = global_pos DIV context_len
+        <id_col>        the contributing document
+        doc_offset      first token of this segment within the document's
+                        own (tokens + eos) stream, 0-based
+        example_offset  where the segment lands inside the example
+        seg_len         tokens contributed (a segment whose
+                        doc_offset + seg_len reaches past the document's
+                        raw length is supplying its trailing separator)
+
+    Every quantity is a pure function of (ids, weights, context_len,
+    eos) — engine-portable and resumable, the same contract as
+    ``pack_shards``. Consumers rebuild example ``e`` by concatenating
+    its segments in ``example_offset`` order; attention-mask resets fall
+    out of the segment boundaries. The final example is the shorter
+    tail; drop it with ``WHERE seg_len's example is full`` downstream if
+    the trainer wants only complete blocks.
+
+    Distributed shape: the two-phase prefix sum (module doc) + an
+    in-row ``sequence`` explode over the examples each document touches
+    — a document overlaps ``ceil((w + L - 1) / L)`` examples, almost
+    always 1-2, so the explode is ~|df| rows. No global sort, no
+    single-task window, no shuffle beyond the prefix sum's bucket
+    exchange. Reference analog: Summingbird has no batch-prep verbs —
+    this extends the pipeline family pack_shards opened.
+    """
+    if context_len <= 0:
+        raise ValueError(f"context_len must be positive; got {context_len!r}")
+    if eos < 0:
+        raise ValueError(f"eos must be >= 0; got {eos!r}")
+    L = int(context_len)
+    # w = the document's span in the global stream (its tokens + eos)
+    w = (F.col(weight_col).cast("long") + F.lit(int(eos))).alias("__w")
+    out = exclusive_prefix_sum(df, id_col, w, _PREFIX, n_buckets)
+    p = F.col(_PREFIX)
+    wcol = F.col(weight_col).cast("long") + F.lit(int(eos))
+    # integer DIV (not double /): exact over the full BIGINT stream
+    first_ex = F.expr(f"{_PREFIX} DIV {L}")
+    last_ex = F.expr(
+        f"({_PREFIX} + CAST({weight_col} AS BIGINT) + {int(eos)} - 1) DIV {L}"
+    )
+    exploded = out.where(wcol > 0).select(
+        "*", F.explode(F.sequence(first_ex, last_ex)).alias("example_id")
+    )
+    ex_start = F.col("example_id") * L
+    seg_start = F.greatest(p, ex_start)
+    seg_end = F.least(p + wcol, ex_start + L)
+    return (
+        exploded.withColumn("doc_offset", seg_start - p)
+        .withColumn("example_offset", seg_start - ex_start)
+        .withColumn("seg_len", seg_end - seg_start)
+        .drop(_PREFIX)
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     id_col: str,

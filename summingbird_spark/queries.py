@@ -2304,6 +2304,50 @@ def q_pack_shards(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "pack_examples",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                  AS BIGINT) + 1 AS w
+      FROM documents
+    ), p AS (
+      SELECT doc_id, w,
+             CAST(COALESCE(SUM(w) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS p
+      FROM w
+    ), seg AS (
+      SELECT doc_id, w, p,
+             UNNEST(range(p // 512, CAST((p + w - 1) // 512 + 1 AS BIGINT))) AS e
+      FROM p
+    )
+    SELECT CAST(e AS BIGINT) AS example_id, doc_id,
+           CAST(GREATEST(p, e*512) - p AS BIGINT) AS doc_offset,
+           CAST(GREATEST(p, e*512) - e*512 AS BIGINT) AS example_offset,
+           CAST(LEAST(p + w, (e+1)*512) - GREATEST(p, e*512) AS BIGINT) AS seg_len
+    FROM seg
+    """,
+)
+def q_pack_examples(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document example packing (functions/packing.pack_examples):
+    docs laid end-to-end in id order with one EOS separator each, cut
+    into 512-token causal-LM training examples, documents SPLIT across
+    example boundaries — the segment table a trainer consumes directly.
+    The oracle is the single global window + unnest; the operator is the
+    two-phase distributed prefix sum plus an in-row sequence explode
+    over the 1-2 examples each doc touches (no global sort anywhere)."""
+    from .functions.packing import pack_examples
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", T.token_count(F.lower(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return pack_examples(docs, "doc_id", "n_tokens", context_len=512, eos=1).select(
+        "example_id", "doc_id", "doc_offset", "example_offset", "seg_len"
+    )
+
+
+@query(
     "deterministic_shuffle",
     """
     SELECT CAST(row_number() OVER (

@@ -265,3 +265,85 @@ def test_write_shards_cap_survives_size_skewed_shards(spark, tmp_path):
     assert worst <= cap * 1.5, f"worst file {worst}B vs cap {cap}B"
     back = spark.read.schema("doc_id long, text string, w long").json(f"{out}/shard_id=*")
     assert back.count() == 2000
+
+
+def test_pack_examples_tiles_the_stream_exactly(spark):
+    """Every example except the tail is exactly full; segments tile each
+    document's (tokens + eos) span with no gap or overlap; a document
+    crossing a boundary is split, not bumped (the pack_shards contrast)."""
+    from summingbird_spark.functions.packing import pack_examples
+
+    df = _random_docs(spark, 120, seed=6)
+    L, eos = 64, 1
+    segs = pack_examples(df, "doc_id", "n_tokens", L, eos=eos).collect()
+    total = sum(r["n_tokens"] + eos for r in df.collect())
+    n_full = total // L
+
+    by_ex = {}
+    for r in segs:
+        by_ex.setdefault(r.example_id, []).append(r)
+    assert set(by_ex) == set(range(n_full + (1 if total % L else 0)))
+    for e, rows in by_ex.items():
+        rows.sort(key=lambda r: r.example_offset)
+        # segments tile the example contiguously from offset 0
+        pos = 0
+        for r in rows:
+            assert r.example_offset == pos and r.seg_len > 0
+            pos += r.seg_len
+        assert pos == (L if e < n_full else total % L)
+    # per-document: segments cover [0, n_tokens + eos) in order
+    by_doc = {}
+    for r in segs:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    w = {r["doc_id"]: r["n_tokens"] + eos for r in df.collect()}
+    for d, rows in by_doc.items():
+        rows.sort(key=lambda r: r.doc_offset)
+        pos = 0
+        for r in rows:
+            assert r.doc_offset == pos
+            pos += r.seg_len
+        assert pos == w[d]
+    # at least one document actually crosses an example boundary
+    assert any(len(rows) > 1 for rows in by_doc.values())
+
+
+def test_pack_examples_matches_single_window_oracle(spark):
+    """The distributed decomposition equals the one-window + explode SQL."""
+    from summingbird_spark.functions.packing import pack_examples
+
+    df = _random_docs(spark, 200, seed=7)
+    L = 100
+    got = sorted(
+        (r.example_id, r.doc_id, r.doc_offset, r.example_offset, r.seg_len)
+        for r in pack_examples(df, "doc_id", "n_tokens", L, eos=2).collect()
+    )
+    rows = sorted(df.collect(), key=lambda r: r["doc_id"])
+    want, p = [], 0
+    for r in rows:
+        w = r["n_tokens"] + 2
+        for e in range(p // L, (p + w - 1) // L + 1):
+            s, t = max(p, e * L), min(p + w, (e + 1) * L)
+            want.append((e, r["doc_id"], s - p, s - e * L, t - s))
+        p += w
+    assert got == sorted(want)
+
+
+def test_pack_examples_validation_and_degenerate(spark):
+    from summingbird_spark.functions.packing import pack_examples
+
+    df = _random_docs(spark, 5, seed=8)
+    import pytest
+
+    with pytest.raises(ValueError):
+        pack_examples(df, "doc_id", "n_tokens", 0)
+    with pytest.raises(ValueError):
+        pack_examples(df, "doc_id", "n_tokens", 10, eos=-1)
+    # eos=0 with a zero-weight doc: the empty doc occupies no stream
+    # space and must emit NO segment (not a descending-sequence blowup)
+    z = spark.createDataFrame(
+        [Row(doc_id=1, n_tokens=5), Row(doc_id=2, n_tokens=0),
+         Row(doc_id=3, n_tokens=7)]
+    )
+    segs = pack_examples(z, "doc_id", "n_tokens", 4, eos=0).collect()
+    assert all(r.doc_id != 2 for r in segs)
+    assert sum(r.seg_len for r in segs) == 12
