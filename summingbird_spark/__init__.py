@@ -19,8 +19,13 @@ from .batch.store import (
 )
 from .core.service import BufferService, ExternalLookupService, Service, StoreService, TemporalService
 from .sinks.sinks import BatchedParquetSink, MemorySink, ParquetSink
+from .lint import Finding, PlanScaleError, assert_scalable, lint_plan
 
 __all__ = [
+    "lint_plan",
+    "assert_scalable",
+    "Finding",
+    "PlanScaleError",
     "Producer",
     "Keyed",
     "Source",

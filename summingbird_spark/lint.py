@@ -1,0 +1,228 @@
+"""Plan scale-linter: inspect a DataFrame's physical plan for the
+hazards that are invisible at test scale and fatal at 100 TB.
+
+``tests/test_plan_quality.py`` hand-asserts these invariants for the
+repo's own queries; this module generalizes them into a user-facing
+tool, so a pipeline author can gate THEIR composition the same way::
+
+    from summingbird_spark.lint import lint_plan, assert_scalable
+
+    findings = lint_plan(df)          # [] or [Finding, ...]
+    assert_scalable(df)               # raises PlanScaleError on errors
+
+Checks (each names its finding ``code``):
+
+* ``cartesian``        — ``CartesianProduct`` / non-broadcast
+  ``BroadcastNestedLoopJoin``: Θ(n·m) pairwise work. ERROR.
+* ``python-udf``       — row-at-a-time ``BatchEvalPython`` (a plain
+  ``F.udf``): pickled per-row transfer, 10-100× slower than Arrow.
+  ERROR (``ArrowEvalPython`` / pandas-UDF stages pass).
+* ``global-window``    — an ``Exchange SinglePartition`` feeding a
+  Window/Sort: the whole dataset serializes through ONE task (the
+  classic unpartitioned ``Window.orderBy``). ERROR.
+* ``single-partition`` — any other ``Exchange SinglePartition`` that is
+  not a scalar aggregate's final reduce. WARN (legitimate for driver-
+  bound metadata; deadly mid-pipeline).
+* ``pushdown``         — a parquet scan whose ``PushedFilters`` is empty
+  while a ``Filter`` sits directly above it: the predicate is evaluated
+  AFTER reading every row. WARN (some predicates are genuinely
+  un-pushable; at 100 TB most should not be).
+* ``shuffles``         — informational count of ``Exchange`` nodes.
+
+The linter reads ``explain``-style plan text, so it works on any
+DataFrame (batch or a streaming micro-batch plan) without private
+Catalyst APIs beyond ``queryExecution``. With AQE enabled the
+pre-execution physical plan is still the complete operator tree —
+AQE only re-optimizes exchanges at runtime, which can IMPROVE on what
+the lint sees, never add a cartesian or a Python UDF.
+
+Reference analog: Summingbird's options system (summingbird-core
+Options.scala) let authors pin per-node parallelism because its
+planners could not introspect cost; Spark plans are inspectable, so
+the engine can *audit* instead of requiring hand-tuning.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+__all__ = ["Finding", "PlanScaleError", "lint_plan", "assert_scalable"]
+
+ERROR = "error"
+WARN = "warn"
+INFO = "info"
+
+
+@dataclass(frozen=True)
+class Finding:
+    level: str  # error | warn | info
+    code: str
+    message: str
+
+    def __str__(self) -> str:  # readable in assertion output / logs
+        return f"[{self.level}] {self.code}: {self.message}"
+
+
+class PlanScaleError(AssertionError):
+    """Raised by assert_scalable when the plan has error-level findings."""
+
+    def __init__(self, findings: list[Finding]):
+        self.findings = findings
+        super().__init__(
+            "plan has scale hazards:\n  " + "\n  ".join(map(str, findings))
+        )
+
+
+def _physical_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _indent(line: str) -> int:
+    """Tree depth proxy: count of leading plan-art characters."""
+    return len(line) - len(line.lstrip(" :+-*("))
+
+
+def lint_plan(df: DataFrame, plan: str | None = None) -> list[Finding]:
+    """Lint ``df``'s physical plan; returns findings, worst first.
+
+    ``plan`` overrides the plan text (for linting a captured explain
+    string, e.g. from a log)."""
+    text = plan if plan is not None else _physical_plan(df)
+    lines = text.splitlines()
+    findings: list[Finding] = []
+
+    # -- cartesian / nested-loop joins --------------------------------
+    for ln in lines:
+        if "CartesianProduct" in ln:
+            findings.append(Finding(ERROR, "cartesian",
+                "CartesianProduct: every row pairs with every row — "
+                "O(n*m) work and a single-stage shuffle explosion. Add an "
+                "equi-join key, or block/bucket the pairing (see "
+                "functions.dedup's banded LSH for the pattern)."))
+        elif "BroadcastNestedLoopJoin" in ln:
+            # BNLJ on a genuinely tiny broadcast side with a range
+            # predicate is sometimes intentional; still O(n*|small|)
+            findings.append(Finding(ERROR, "cartesian",
+                "BroadcastNestedLoopJoin: non-equi join evaluates the "
+                "predicate against every broadcast row for every input "
+                "row. Re-express with an equi-join key (range-bucket the "
+                "join condition if it is an interval — see "
+                "operators/interval.py)."))
+
+    # -- row-at-a-time Python UDFs ------------------------------------
+    if re.search(r"\bBatchEvalPython\b", text):
+        findings.append(Finding(ERROR, "python-udf",
+            "BatchEvalPython: row-at-a-time Python UDF (F.udf) — pickled "
+            "per-row transfer breaks codegen and runs 10-100x slower "
+            "than Arrow. Use pandas_udf / mapInPandas, or better a "
+            "built-in Column expression."))
+
+    # -- single-partition exchanges -----------------------------------
+    # an Exchange SinglePartition whose CONSUMER is a Window or Sort
+    # means the full dataset flows through one task; one feeding a
+    # final scalar HashAggregate is the normal tiny reduce.
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        consumer = ""
+        my_depth = _indent(ln)
+        for j in range(i - 1, -1, -1):  # nearest shallower line above
+            if lines[j].strip() and _indent(lines[j]) < my_depth:
+                consumer = lines[j]
+                break
+        # what flows INTO the one task: the next deeper line below
+        child = ""
+        for j in range(i + 1, len(lines)):
+            if lines[j].strip():
+                child = lines[j]
+                break
+        child_is_agg = re.search(
+            r"\b(HashAggregate|SortAggregate|ObjectHashAggregate)\b", child
+        )
+        if re.search(r"\b(Window|Sort)\b", consumer):
+            if child_is_agg:
+                # grouped totals entering one task — the two-phase
+                # prefix-sum offsets pattern. Bounded iff the group key
+                # is (like a bucket id); flag for the author to confirm.
+                findings.append(Finding(WARN, "single-partition",
+                    "Exchange SinglePartition over grouped totals "
+                    f"feeding {consumer.strip()[:60]!r}: fine when the "
+                    "group count is bounded (e.g. prefix-sum bucket "
+                    "offsets, <= n_buckets rows); a high-cardinality "
+                    "group-by here is still a one-task sort."))
+            else:
+                findings.append(Finding(ERROR, "global-window",
+                    "Exchange SinglePartition feeding "
+                    f"{consumer.strip()[:60]!r}: an unpartitioned global "
+                    "window/sort serializes the whole dataset through one "
+                    "task. Use a two-phase prefix sum / distributed rank "
+                    "(functions.packing.exclusive_prefix_sum) or add a "
+                    "partitionBy."))
+        elif re.search(r"\b(HashAggregate|SortAggregate|ObjectHashAggregate|"
+                       r"CollectLimit|TakeOrderedAndProject)\b", consumer):
+            pass  # scalar reduce / bounded top-k: rows entering are tiny
+        else:
+            findings.append(Finding(WARN, "single-partition",
+                "Exchange SinglePartition feeding "
+                f"{consumer.strip()[:60]!r}: everything downstream runs "
+                "in one task. Fine for driver-bound metadata; a "
+                "bottleneck mid-pipeline."))
+
+    # -- filter pushdown ----------------------------------------------
+    for i, ln in enumerate(lines):
+        if "FileScan parquet" not in ln and "Scan parquet" not in ln:
+            continue
+        pushed = re.search(r"PushedFilters: \[(.*?)\]", ln)
+        if pushed is None or pushed.group(1).strip():
+            continue  # something pushed, or format lacks the field
+        my_depth = _indent(ln)
+        above = ""
+        for j in range(i - 1, -1, -1):
+            if lines[j].strip() and _indent(lines[j]) < my_depth:
+                above = lines[j]
+                break
+        # a Filter within two plan levels of the scan (allowing the
+        # ColumnarToRow shim) that pushed NOTHING down
+        if re.search(r"\bFilter\b", above) or (
+            "ColumnarToRow" in above
+            and any(
+                re.search(r"\bFilter\b", lines[k])
+                for k in range(max(0, i - 3), i)
+            )
+        ):
+            findings.append(Finding(WARN, "pushdown",
+                "parquet scan with PushedFilters: [] under a Filter — "
+                "the predicate is applied after reading every row. "
+                "Rewrite the predicate pushably (no UDF/complex-type "
+                "access on the filtered column) or pre-materialize the "
+                "column."))
+
+    # -- shuffle census -------------------------------------------------
+    n_exchanges = sum(1 for ln in lines if re.search(r"\bExchange\b", ln))
+    if n_exchanges:
+        findings.append(Finding(INFO, "shuffles",
+            f"{n_exchanges} exchange(s) in the plan — each is a full "
+            "shuffle of its input at scale; verify none is avoidable "
+            "(bucketed layout, broadcast, or reusing a prior "
+            "partitioning)."))
+
+    order = {ERROR: 0, WARN: 1, INFO: 2}
+    findings.sort(key=lambda f: order[f.level])
+    return findings
+
+
+def assert_scalable(df: DataFrame, allow: set[str] | None = None) -> list[Finding]:
+    """Raise ``PlanScaleError`` if ``df``'s plan has error-level findings
+    (minus codes in ``allow``); returns all findings otherwise — wire it
+    into a pipeline's tests exactly like tests/test_plan_quality.py."""
+    findings = lint_plan(df)
+    errors = [
+        f for f in findings
+        if f.level == ERROR and f.code not in (allow or set())
+    ]
+    if errors:
+        raise PlanScaleError(errors)
+    return findings

@@ -1,0 +1,118 @@
+"""Plan scale-linter (summingbird_spark/lint.py): hazards that pass every
+correctness test at sf0.001 and kill the job at 100 TB must be flagged on
+real physical plans, and the engine's own distributed decompositions must
+lint clean."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+from pyspark.sql.window import Window
+
+from summingbird_spark import PlanScaleError, assert_scalable, lint_plan
+
+
+def _codes(findings, level=None):
+    return {f.code for f in findings if level is None or f.level == level}
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [Row(id=i, grp=i % 3, txt=f"doc {i}") for i in range(50)]
+    )
+
+
+def test_cartesian_flagged(spark, docs):
+    pairs = docs.alias("a").crossJoin(docs.alias("b"))
+    assert "cartesian" in _codes(lint_plan(pairs), "error")
+    with pytest.raises(PlanScaleError, match="cartesian"):
+        assert_scalable(pairs)
+    # ... and allow= acknowledges a deliberate tiny cross join
+    assert_scalable(pairs, allow={"cartesian"})
+
+
+def test_non_equi_join_flagged(spark, docs):
+    small = spark.createDataFrame([Row(lo=0, hi=10)])
+    rng = docs.join(
+        F.broadcast(small), (docs.id >= small.lo) & (docs.id < small.hi)
+    )
+    assert "cartesian" in _codes(lint_plan(rng), "error")
+
+
+def test_row_udf_flagged_and_pandas_udf_passes(spark, docs):
+    plus = F.udf(lambda x: x + 1, LongType())
+    bad = docs.select(plus("id").alias("v"))
+    assert "python-udf" in _codes(lint_plan(bad), "error")
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def plus_v(s: pd.Series) -> pd.Series:
+        return s + 1
+
+    good = docs.select(plus_v("id").alias("v"))
+    assert "python-udf" not in _codes(lint_plan(good))
+
+
+def test_unpartitioned_window_flagged(spark, docs):
+    # the classic 100 TB killer: a global running total
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    bad = docs.withColumn("run", F.sum("id").over(w))
+    assert "global-window" in _codes(lint_plan(bad), "error")
+    # partitioned window: no single-task funnel
+    wp = Window.partitionBy("grp").orderBy("id")
+    good = docs.withColumn("rn", F.row_number().over(wp))
+    assert "global-window" not in _codes(lint_plan(good))
+
+
+def test_scalar_aggregate_not_flagged(spark, docs):
+    # the final reduce of a scalar agg legitimately runs on one partition
+    total = docs.agg(F.sum("id").alias("s"))
+    f = lint_plan(total)
+    assert "global-window" not in _codes(f) and "single-partition" not in _codes(f)
+    assert_scalable(total)
+
+
+def test_broadcast_join_and_groupby_lint_clean(spark, docs):
+    dim = spark.createDataFrame([Row(grp=i, name=f"g{i}") for i in range(3)])
+    out = (
+        docs.join(F.broadcast(dim), "grp")
+        .groupBy("name")
+        .agg(F.sum("id").alias("s"))
+    )
+    findings = assert_scalable(out)  # must not raise
+    assert "shuffles" in _codes(findings, "info")
+
+
+def test_engine_prefix_sum_lints_clean(spark, docs):
+    """The two-phase prefix sum exists precisely to avoid the global
+    window — the linter must agree (its tiny offsets window IS single-
+    task, but over <= n_buckets pre-aggregated rows feeding a broadcast,
+    not the data path)."""
+    from summingbird_spark.functions.packing import pack_examples
+
+    segs = pack_examples(
+        docs.select("id", F.length("txt").alias("n")), "id", "n", 16
+    )
+    findings = lint_plan(segs)
+    assert [f for f in findings if f.level == "error"] == []
+    # the offsets window over grouped bucket totals surfaces as a warn
+    # (bounded by construction here; the author confirms, lint can't)
+    assert "single-partition" in _codes(findings, "warn")
+
+
+def test_pushdown_warn_on_captured_plan_text():
+    """The pushdown check fires on a Filter over a scan that pushed
+    nothing (exercised on captured plan text: parquet pushes IsNotNull
+    for almost any real predicate, so a live repro would be fragile)."""
+    plan = (
+        "*(1) Filter (length(text#1) > 5)\n"
+        "+- *(1) ColumnarToRow\n"
+        "   +- FileScan parquet [text#1] Batched: true, "
+        "PushedFilters: [], ReadSchema: struct<text:string>\n"
+    )
+    assert "pushdown" in {f.code for f in lint_plan(None, plan=plan)}
+    ok = plan.replace("PushedFilters: []", "PushedFilters: [IsNotNull(text)]")
+    assert "pushdown" not in {f.code for f in lint_plan(None, plan=ok)}
