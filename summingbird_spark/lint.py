@@ -95,7 +95,34 @@ def lint_plan(df: DataFrame, plan: str | None = None) -> list[Finding]:
     findings: list[Finding] = []
 
     # -- cartesian / nested-loop joins --------------------------------
-    for ln in lines:
+    def _subtree(i: int) -> list[str]:
+        depth = _indent(lines[i])
+        out = []
+        for j in range(i + 1, len(lines)):
+            if lines[j].strip() and _indent(lines[j]) <= depth:
+                break
+            out.append(lines[j])
+        return out
+
+    def _broadcast_side_is_scalar(i: int) -> bool:
+        """True when the BNLJ's broadcast subtree is a grand (keys=[])
+        aggregate — the standard 'join every row with one scalar' plan
+        (corpus stats, a bloom bitset, a model row): O(n), not O(n*m)."""
+        sub = _subtree(i)
+        for k, ln in enumerate(sub):
+            if "BroadcastExchange" not in ln:
+                continue
+            depth = _indent(ln)
+            inner = []
+            for j in range(k + 1, len(sub)):
+                if sub[j].strip() and _indent(sub[j]) <= depth:
+                    break
+                inner.append(sub[j])
+            if any(re.search(r"Aggregate\(keys=\[\]", l) for l in inner):
+                return True
+        return False
+
+    for i, ln in enumerate(lines):
         if "CartesianProduct" in ln:
             findings.append(Finding(ERROR, "cartesian",
                 "CartesianProduct: every row pairs with every row — "
@@ -103,14 +130,22 @@ def lint_plan(df: DataFrame, plan: str | None = None) -> list[Finding]:
                 "equi-join key, or block/bucket the pairing (see "
                 "functions.dedup's banded LSH for the pattern)."))
         elif "BroadcastNestedLoopJoin" in ln:
-            # BNLJ on a genuinely tiny broadcast side with a range
-            # predicate is sometimes intentional; still O(n*|small|)
-            findings.append(Finding(ERROR, "cartesian",
-                "BroadcastNestedLoopJoin: non-equi join evaluates the "
-                "predicate against every broadcast row for every input "
-                "row. Re-express with an equi-join key (range-bucket the "
-                "join condition if it is an interval — see "
-                "operators/interval.py)."))
+            if _broadcast_side_is_scalar(i):
+                findings.append(Finding(INFO, "scalar-broadcast",
+                    "BroadcastNestedLoopJoin against a scalar aggregate "
+                    "— O(n) per-row constant attach; fine at any scale."))
+            else:
+                # BNLJ on a genuinely tiny broadcast side is sometimes
+                # intentional (a bounded query set); still O(n*|small|),
+                # and the lint cannot see that the side is bounded —
+                # acknowledge deliberate uses via assert_scalable(allow=)
+                findings.append(Finding(ERROR, "cartesian",
+                    "BroadcastNestedLoopJoin: non-equi join evaluates "
+                    "the predicate against every broadcast row for every "
+                    "input row. Re-express with an equi-join key "
+                    "(range-bucket an interval condition — see "
+                    "operators/interval.py), or allow={'cartesian'} if "
+                    "the broadcast side is bounded by construction."))
 
     # -- row-at-a-time Python UDFs ------------------------------------
     if re.search(r"\bBatchEvalPython\b", text):

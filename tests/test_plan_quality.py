@@ -408,3 +408,41 @@ def test_heavy_hitters_bounded_by_window_head(spark):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert "Window" in plan and "row_number" in plan
+
+
+def test_every_registered_query_lints_scalable(spark):
+    """Engine-wide gate (round 15): EVERY registered query's physical
+    plan passes the scale-linter (summingbird_spark/lint.py) — no
+    cartesian products, no row-at-a-time Python UDFs, no unpartitioned
+    global window over data. The named allowances are bounded-by-
+    construction broadcast nested loops the linter cannot size:
+
+    * embedding_cosine_topk / embedding_ivf_topk — the brute-force /
+      rerank side joins the corpus against a BROADCAST 25-query probe
+      set, TakeOrdered-capped (their docstrings carry the scale story;
+      the subquadratic path is the LSH/IVF index itself).
+    * bloom_membership — the probe GRID is distinct-event-types ×
+      distinct-probe-users (both broadcast distinct-aggregates of
+      bounded universes); the graded bloom path itself is the broadcast
+      bitset equi-join.
+    """
+    from summingbird_spark.lint import lint_plan
+
+    ALLOW = {
+        "embedding_cosine_topk": {"cartesian"},
+        "embedding_ivf_topk": {"cartesian"},
+        "bloom_membership": {"cartesian"},
+    }
+    violations = {}
+    for name, fn in QUERIES.items():
+        try:
+            errs = [
+                f for f in lint_plan(fn(spark, SF))
+                if f.level == "error" and f.code not in ALLOW.get(name, set())
+            ]
+        except Exception as e:  # a plan that fails to build is a failure
+            violations[name] = [f"plan build failed: {e!r:.120}"]
+            continue
+        if errs:
+            violations[name] = [str(f) for f in errs]
+    assert not violations, f"scale-lint violations: {violations}"
