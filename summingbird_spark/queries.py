@@ -998,6 +998,71 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.4, method="block")
 
 
+# SemDeDup graded by WITNESS CONTRACT: the clustering step (k-means) is
+# not SQL-replayable, but every DROP decision carries its witness pair
+# (nearest earlier same-cluster doc + claimed cosine), so the query
+# re-verifies each claim EXACTLY in-plan: witness cosine recomputed from
+# the raw vectors must be >= threshold, witness id must precede the
+# dropped id, and the claimed sim must equal the recomputation to 1e-9.
+# The oracle pins row count (every doc classified exactly once) and the
+# three falsifiable booleans; dropped_any guards degeneracy (measured:
+# duplicates exist under this threshold at sf0.001/0.01/0.1).
+@query(
+    "semantic_dedup",
+    """
+    SELECT (SELECT count(*) FROM embeddings) AS n_rows,
+           TRUE AS dropped_any, TRUE AS witnesses_verified,
+           TRUE AS sims_exact
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): spherical k-means over the embedding
+    space, then min-id survivor selection among same-cluster docs with
+    cosine >= 0.4 (functions/dedup.semantic_dedup) — the SUBQUADRATIC
+    curation verb next to the exact pair detector (Θ(n²/k) vs Θ(n²)).
+    Grading: witness contract (see comment above). The clustering reuses
+    the persisted IVF index artifact (the standard SemDeDup deployment —
+    the cluster assignment is the same coarse quantization the ANN index
+    already paid for), so the per-query cost is one index read + the
+    blocked within-cluster scan."""
+    from .functions.dedup import semantic_dedup
+    from .functions.similarity import ensure_ivf_index
+
+    emb = load_table(spark, sf, "embeddings")
+    _, assigned = ensure_ivf_index(spark, sf, k=32, n_iter=5, sample_fraction=0.5)
+    sd = semantic_dedup(emb, threshold=0.4, k_clusters=32, assigned=assigned)
+    a = emb.select(F.col("vec_id").alias("__ia__"), F.col("embedding").alias("__va__"))
+    b = emb.select(F.col("vec_id").alias("__ib__"), F.col("embedding").alias("__vb__"))
+    from .functions.similarity import cosine as _cos
+
+    witnessed = (
+        sd.where(F.col("nearest_prior_id").isNotNull())
+        .join(a, F.col("vec_id") == F.col("__ia__"))
+        .join(b, F.col("nearest_prior_id") == F.col("__ib__"))
+        .select(
+            "vec_id", "nearest_prior_id", "nearest_prior_sim", "is_survivor",
+            _cos(F.col("__va__"), F.col("__vb__")).alias("__recos__"),
+        )
+    )
+    checks = witnessed.agg(
+        F.min(
+            F.when(
+                ~F.col("is_survivor"),
+                (F.col("__recos__") >= 0.4)
+                & (F.col("nearest_prior_id") < F.col("vec_id")),
+            ).otherwise(True)
+        ).alias("witnesses_verified"),
+        F.min(
+            F.abs(F.col("__recos__") - F.col("nearest_prior_sim")) < 1e-9
+        ).alias("sims_exact"),
+        F.max(~F.col("is_survivor")).alias("dropped_any"),
+    )
+    total = sd.agg(F.count(F.lit(1)).alias("n_rows"))
+    return total.crossJoin(checks).select(
+        "n_rows", "dropped_any", "witnesses_verified", "sims_exact"
+    )
+
+
 # IVF ANN graded by RECALL CONTRACT: this corpus's embeddings are only
 # weakly clusterable, so per-row equality with the exact result would be
 # dishonest for a 25%-scan probe (measured mean recall@5: 0.60-0.69 across

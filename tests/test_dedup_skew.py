@@ -251,3 +251,104 @@ def test_dup_clusters_star_matches_propagate(spark):
     selfp = spark.createDataFrame([(5, 5), (7, 8)], "id_a long, id_b long")
     s = {r.id: r.cluster_id for r in dup_clusters(selfp, method="star").collect()}
     assert s == {5: 5, 7: 7, 8: 7}
+
+
+# ---------------------------------------------------------- semantic dedup
+
+
+def _semdedup_reference(rows, threshold):
+    """Single-cluster numpy SemDeDup: keep a row iff no EARLIER row has
+    cosine >= threshold."""
+    import numpy as np
+
+    ids = sorted(r[0] for r in rows)
+    vecs = {r[0]: np.asarray(r[1], dtype=float) for r in rows}
+    keep = {}
+    for i, a in enumerate(ids):
+        va = vecs[a] / np.linalg.norm(vecs[a])
+        keep[a] = not any(
+            float(va @ (vecs[b] / np.linalg.norm(vecs[b]))) >= threshold
+            for b in ids[:i]
+        )
+    return keep
+
+
+def test_semantic_dedup_matches_reference_single_cluster(spark):
+    """With a pinned single-cluster assignment, decisions equal the
+    brute-force reference, first doc survives, witnesses verify, and the
+    blocked scan is block-size independent."""
+    import math
+    import random
+
+    import numpy as np
+
+    from summingbird_spark.functions.dedup import semantic_dedup
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = [rng.gauss(0, 1) for _ in range(8)]
+        rows.append((i, [float(x) for x in base]))
+        if i % 4 == 0:  # plant a near-duplicate of an earlier doc
+            dup = [x + rng.gauss(0, 0.01) for x in base]
+            rows.append((100 + i, [float(x) for x in dup]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned = df.selectExpr("vec_id", "CAST(0 AS INT) AS centroid_id")
+    # float32 storage: recompute the reference from the stored values
+    stored = [(r.vec_id, list(r.embedding)) for r in df.collect()]
+    ref = _semdedup_reference(stored, 0.9)
+
+    for block in (3, 1024):
+        out = {
+            r.vec_id: r
+            for r in semantic_dedup(
+                df, 0.9, k_clusters=1, assigned=assigned, block_rows=block
+            ).collect()
+        }
+        assert {k: v.is_survivor for k, v in out.items()} == ref
+        vecs = dict(stored)
+        for r in out.values():
+            if r.nearest_prior_id is None:
+                continue
+            assert r.nearest_prior_id < r.vec_id
+            a = np.asarray(vecs[r.vec_id]); b = np.asarray(vecs[r.nearest_prior_id])
+            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert math.isclose(cos, r.nearest_prior_sim, abs_tol=1e-9)
+            if not r.is_survivor:
+                assert cos >= 0.9
+    assert sum(not v for v in ref.values()) >= 8  # planted dups dropped
+
+
+def test_semantic_dedup_is_cluster_scoped_and_null_safe(spark):
+    """A near-dup pair split across clusters is NOT dropped (the
+    SemDeDup trade); NULL vectors pass through as survivors."""
+    from summingbird_spark.functions.dedup import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [1.0, 0.001], 1),  # dups, different clusters
+        (3, [0.0, 1.0], 0), (4, [0.001, 1.0], 0),  # dups, same cluster
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v, _ in rows] + [(9, None)],
+        "vec_id long, embedding array<float>",
+    )
+    assigned = spark.createDataFrame(
+        [(i, c) for i, v, c in rows], "vec_id long, centroid_id int"
+    )
+    out = {r.vec_id: r for r in semantic_dedup(
+        df, 0.99, k_clusters=2, assigned=assigned).collect()}
+    assert out[2].is_survivor          # cross-cluster dup survives
+    assert not out[4].is_survivor      # same-cluster dup dropped
+    assert out[4].nearest_prior_id == 3
+    assert out[9].is_survivor and out[9].centroid_id is None
+    assert len(out) == 5               # every input row classified once
+
+
+def test_semantic_dedup_validates_threshold(spark):
+    import pytest
+
+    from summingbird_spark.functions.dedup import semantic_dedup
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        semantic_dedup(df, 0.0, k_clusters=1)
