@@ -5,9 +5,15 @@ this engine exists for, composed from the library surface a user gets:
   2. exact dedup (16-byte digest shuffle)
   3. MinHash+LSH near-dup candidates → exact Jaccard verify → drop dups
   4. language filter
-  5. embedding near-dup sweep (distributed tile matmul — no driver state)
+  5. semantic dedup (SemDeDup: cluster-scoped embedding near-dups,
+     reusing the IVF index's coarse quantization — subquadratic)
   6. IVF ANN index build over the survivors' embeddings (persisted,
      centroid-partitioned)
+  7. batch prep: reproducible shuffle → fixed-length causal-LM example
+     packing (distributed prefix sum, documents split across example
+     boundaries)
+  8. a plan scale-lint gate over the final composition — the same
+     check the engine's own test suite runs on every registered query
 
 Run:
     python examples/llm_corpus_pipeline.py [sf_dir] [out_dir]
@@ -23,13 +29,15 @@ from pyspark.sql import functions as F
 
 
 def build_corpus(spark, sf_dir: str, out_dir: str):
+    from summingbird_spark import assert_scalable
     from summingbird_spark.functions import text as T
     from summingbird_spark.functions.dedup import (
-        exact_dedup, minhash_candidates, ngram_jaccard_pairs,
+        exact_dedup, minhash_candidates, ngram_jaccard_pairs, semantic_dedup,
     )
-    from summingbird_spark.functions.similarity import (
-        embedding_near_dup_pairs, ensure_ivf_index,
+    from summingbird_spark.functions.packing import (
+        deterministic_shuffle, pack_examples,
     )
+    from summingbird_spark.functions.similarity import ensure_ivf_index
     from summingbird_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -60,22 +68,40 @@ def build_corpus(spark, sf_dir: str, out_dir: str):
     # 4. language filter
     kept = kept.where(F.col("lang") != "und")
 
-    # 5. embedding-space near-dups among survivors (exact, distributed)
+    # 6. similarity index over the corpus embeddings (also provides the
+    # coarse quantization step 5 reuses — one clustering, two consumers)
+    centroids, assigned = ensure_ivf_index(spark, sf_dir, k=16, n_iter=3,
+                                           sample_fraction=0.2)
+
+    # 5. semantic dedup (SemDeDup): drop docs whose embedding has an
+    # earlier same-cluster neighbor at cosine >= 0.95 — cluster-scoped,
+    # so pairwise work is ~n^2/k, not the exact sweep's n^2
     emb = load_table(spark, sf_dir, "embeddings")
-    emb_dups = embedding_near_dup_pairs(emb, threshold=0.95, method="block")
+    sd = semantic_dedup(emb, threshold=0.95, k_clusters=16,
+                        assigned=assigned)
     kept = kept.join(
-        emb_dups.select(F.col("id_b").alias("doc_id")).distinct(),
+        sd.where(~F.col("is_survivor"))
+          .select(F.col("vec_id").alias("doc_id")),
         "doc_id", "left_anti",
     )
 
     kept.select("doc_id", "n_tokens", "quality", "lang").write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/corpus")
+    corpus = spark.read.parquet(f"{out_dir}/corpus")
 
-    # 6. similarity index over the corpus embeddings for retrieval dedup
-    centroids, assigned = ensure_ivf_index(spark, sf_dir, k=16, n_iter=3,
-                                           sample_fraction=0.2)
-    return spark.read.parquet(f"{out_dir}/corpus"), centroids, assigned
+    # 7. batch prep: reproducible epoch order, then cut the EOS-joined
+    # token stream into fixed-length training examples (documents split
+    # across boundaries; the segment table is what the trainer reads)
+    shuffled = deterministic_shuffle(corpus, "doc_id", seed=0,
+                                     position_col="pos")
+    segments = pack_examples(shuffled, "pos", "n_tokens",
+                             context_len=256, eos=1)
+    # 8. gate the composition on the engine's plan-scale invariants
+    assert_scalable(segments)
+    segments.write.mode("overwrite").parquet(f"{out_dir}/examples")
+
+    return corpus, centroids, assigned
 
 
 if __name__ == "__main__":
@@ -91,6 +117,9 @@ if __name__ == "__main__":
     spark.sparkContext.setLogLevel("ERROR")
     corpus, centroids, assigned = build_corpus(spark, sf, out)
     n = corpus.count()
+    segs = spark.read.parquet(f"{out}/examples")
+    n_ex = segs.select("example_id").distinct().count()
     print(f"corpus: {n} docs; index: {centroids.count()} lists, "
-          f"{assigned.count()} assigned")
+          f"{assigned.count()} assigned; packed into {n_ex} "
+          f"256-token examples ({segs.count()} segments)")
     spark.stop()
