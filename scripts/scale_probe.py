@@ -39,7 +39,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BASE = "/root/testdata/sf0.1"
 ROOT = "/tmp/sbspark-scaleprobe"
 PROBES = ["dedup_minhash_lsh", "dedup_clusters", "decontaminate",
-          "corpus_to_shards"]
+          "corpus_to_shards", "pack_examples"]
 
 
 def rss_mb() -> float:

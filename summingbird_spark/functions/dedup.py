@@ -940,7 +940,11 @@ def semantic_dedup(
     ``centroids``, or better the persisted IVF artifact's ``assigned``
     table (``ensure_ivf_index``: (id, centroid_id), equi-joined back
     onto the corpus for vectors): the clustering cost drops to an
-    already-amortized index read and ``k_clusters`` is ignored.
+    already-amortized index read and ``k_clusters`` is ignored. NB the
+    join is INNER — corpus rows absent from ``assigned`` (an artifact
+    built before they arrived) are dropped from the output; if the
+    corpus outgrew the artifact, rebuild it or pass ``centroids`` to
+    re-assign in-plan.
 
     Returns one row per input row::
 
