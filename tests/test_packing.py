@@ -347,3 +347,28 @@ def test_pack_examples_validation_and_degenerate(spark):
     segs = pack_examples(z, "doc_id", "n_tokens", 4, eos=0).collect()
     assert all(r.doc_id != 2 for r in segs)
     assert sum(r.seg_len for r in segs) == 12
+
+
+def test_pack_examples_append_stability(spark):
+    """The resumable-build contract extends to example packing: appending
+    later documents never changes ANY earlier document's segments (the
+    global stream only grows at the end), so shard/example builds can be
+    extended without rewriting history."""
+    from summingbird_spark.functions.packing import pack_examples
+
+    df = _random_docs(spark, 150, seed=9)
+    max_id = df.agg(F.max("doc_id")).first()[0]
+
+    def segs(d):
+        return {
+            (r.doc_id, r.doc_offset): (r.example_id, r.example_offset, r.seg_len)
+            for r in pack_examples(d, "doc_id", "n_tokens", 128).collect()
+        }
+
+    first = segs(df)
+    extra = spark.createDataFrame(
+        [Row(doc_id=max_id + 1 + i, n_tokens=37) for i in range(25)]
+    )
+    grown = segs(df.unionByName(extra))
+    for k, v in first.items():
+        assert grown[k] == v

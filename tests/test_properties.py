@@ -586,3 +586,52 @@ def test_distributed_rank_select_equals_sorted_list(spark, vals, q):
     for k, vs in per.items():
         rank = math.ceil(q * len(vs))
         assert got[k] == sorted(vs)[rank - 1], (k, q, sorted(vs))
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=300),
+                     min_size=1, max_size=60),
+    context_len=st.integers(min_value=1, max_value=97),
+    eos=st.integers(min_value=0, max_value=3),
+)
+def test_pack_examples_tiling_invariants(spark, weights, context_len, eos):
+    """For ANY (weights, context_len, eos): segments tile the global
+    stream exactly — per-example offsets are contiguous from 0 and sum
+    to context_len (tail excepted), per-document segments cover
+    [0, w+eos) in order, and total segment length equals the stream."""
+    from summingbird_spark.functions.packing import pack_examples
+
+    df = spark.createDataFrame(
+        [(i, int(w)) for i, w in enumerate(weights)],
+        "doc_id long, n_tokens long",
+    )
+    segs = pack_examples(df, "doc_id", "n_tokens", context_len, eos=eos).collect()
+    total = sum(w + eos for w in weights)
+    assert sum(r.seg_len for r in segs) == total
+    by_ex = {}
+    for r in segs:
+        by_ex.setdefault(r.example_id, []).append(r)
+    n_full = total // context_len
+    for e, rows in by_ex.items():
+        rows.sort(key=lambda r: r.example_offset)
+        pos = 0
+        for r in rows:
+            assert r.example_offset == pos and r.seg_len > 0
+            pos += r.seg_len
+        assert pos == (context_len if e < n_full else total % context_len)
+    by_doc = {}
+    for r in segs:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d, rows in by_doc.items():
+        rows.sort(key=lambda r: r.doc_offset)
+        pos = 0
+        for r in rows:
+            assert r.doc_offset == pos
+            pos += r.seg_len
+        assert pos == weights[d] + eos
+    # zero-weight docs with eos=0 occupy no stream space: absent
+    if eos == 0:
+        absent = {i for i, w in enumerate(weights) if w == 0}
+        assert absent.isdisjoint(by_doc)
