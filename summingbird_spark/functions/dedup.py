@@ -981,9 +981,13 @@ def semantic_dedup(
             )
         assigned = ivf_assign(valid, centroids, id_col=id_col, vec_col=vec_col)
 
+    # id typing follows the input (bigint ids stay bigint, string ids —
+    # e.g. digests — order lexicographically, matching min-id SQL)
+    id_ddl = corpus.schema[id_col].dataType.simpleString()
+    id_is_int = id_ddl in ("tinyint", "smallint", "int", "bigint", "long")
     out_schema = (
-        f"{id_col} long, centroid_id int, is_survivor boolean, "
-        f"nearest_prior_id long, nearest_prior_sim double"
+        f"{id_col} {id_ddl}, centroid_id int, is_survivor boolean, "
+        f"nearest_prior_id {id_ddl}, nearest_prior_sim double"
     )
 
     def scan_cluster(key, pdf):
@@ -993,7 +997,7 @@ def semantic_dedup(
         X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         n = len(ids)
         best_sim = np.full(n, np.nan)
-        best_id = np.full(n, -1, dtype=np.int64)
+        best_j = np.zeros(n, dtype=np.int64)
         # blocked lower-triangular max: rows [b, b+B) vs all earlier rows
         for b in range(1, n, block_rows):
             e = min(b + block_rows, n)
@@ -1002,11 +1006,12 @@ def semantic_dedup(
             row = np.arange(b, e)
             S[col[None, :] >= row[:, None]] = -np.inf  # keep strict j < i
             j = np.argmax(S, axis=1)
-            m = S[np.arange(e - b), j]
-            best_sim[b:e] = m
-            best_id[b:e] = ids[j]
+            best_sim[b:e] = S[np.arange(e - b), j]
+            best_j[b:e] = j
         first = ~np.isfinite(best_sim)
-        prior_id = pd.array(best_id, dtype="Int64")
+        prior_id = pd.array(
+            ids[best_j], dtype="Int64" if id_is_int else "object"
+        )
         prior_sim = pd.array(best_sim, dtype="Float64")
         prior_id[first] = pd.NA   # NULL, not NaN: "no earlier doc" is
         prior_sim[first] = pd.NA  # absence, not a float value
@@ -1026,10 +1031,10 @@ def semantic_dedup(
     nulls = (
         corpus.where(F.col(vec_col).isNull())
         .select(
-            F.col(id_col).cast("long").alias(id_col),
+            F.col(id_col),
             F.lit(None).cast("int").alias("centroid_id"),
             F.lit(True).alias("is_survivor"),
-            F.lit(None).cast("long").alias("nearest_prior_id"),
+            F.lit(None).cast(id_ddl).alias("nearest_prior_id"),
             F.lit(None).cast("double").alias("nearest_prior_sim"),
         )
     )

@@ -352,3 +352,22 @@ def test_semantic_dedup_validates_threshold(spark):
     df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         semantic_dedup(df, 0.0, k_clusters=1)
+
+
+def test_semantic_dedup_string_ids(spark):
+    """ids follow the input type: string ids (digests) order
+    lexicographically and the witness columns come back as strings."""
+    from summingbird_spark.functions.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.001]), ("c", [0.0, 1.0])],
+        "vec_id string, embedding array<float>",
+    )
+    assigned = spark.createDataFrame(
+        [("a", 0), ("b", 0), ("c", 0)], "vec_id string, centroid_id int"
+    )
+    out = {r.vec_id: r for r in semantic_dedup(
+        df, 0.99, k_clusters=1, assigned=assigned).collect()}
+    assert out["a"].is_survivor and not out["b"].is_survivor
+    assert out["b"].nearest_prior_id == "a"
+    assert out["c"].is_survivor
