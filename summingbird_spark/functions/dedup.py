@@ -921,6 +921,7 @@ def semantic_dedup(
     centroids: Optional[DataFrame] = None,
     assigned: Optional[DataFrame] = None,
     block_rows: int = 1024,
+    max_cluster_size: Optional[int] = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then mark as duplicates documents whose cosine to
@@ -960,6 +961,19 @@ def semantic_dedup(
     Scale shape: one k-means (sample-bounded), one broadcast assign, one
     shuffle on centroid_id, one blocked BLAS pass per cluster. Nothing
     touches the driver but the k×dim centroids.
+
+    ``max_cluster_size`` is the 100 TB guard for PATHOLOGICAL clusters
+    (the same trade ``minhash_candidates``' ``max_bucket_size`` makes
+    for LSH mega-buckets): a degenerate embedding mass — near-identical
+    boilerplate, a zero-vector sink — lands one cluster with millions of
+    members and the within-cluster scan is Θ(c²) no matter how tasks
+    split. Clusters above the threshold are SUBDIVIDED by a hash of the
+    id into ceil(c / max_cluster_size) sub-scans; duplicates across
+    sub-divisions of the same mega-cluster go undetected — the standard
+    production trade for boilerplate, where the docs are so self-similar
+    that any sub-division still drops almost all of them. Detection adds
+    one partial-aggregable count on the same shuffle key. Default None
+    keeps exact cluster-scoped semantics.
     """
     import numpy as np
     import pandas as pd
@@ -1023,9 +1037,23 @@ def semantic_dedup(
             "nearest_prior_sim": prior_sim,
         })
 
+    work = assigned.select(id_col, vec_col, "centroid_id")
+    if max_cluster_size is not None:
+        sizes = work.groupBy("centroid_id").agg(F.count("*").alias("__csz__"))
+        work = work.join(sizes, "centroid_id").withColumn(
+            "__sub__",
+            F.when(
+                F.col("__csz__") > max_cluster_size,
+                F.pmod(
+                    F.xxhash64(F.col(id_col)),
+                    F.ceil(F.col("__csz__") / max_cluster_size).cast("int"),
+                ).cast("int"),
+            ).otherwise(F.lit(0)),
+        ).drop("__csz__")
+    else:
+        work = work.withColumn("__sub__", F.lit(0))
     scanned = (
-        assigned.select(id_col, vec_col, "centroid_id")
-        .groupBy("centroid_id")
+        work.groupBy("centroid_id", "__sub__")
         .applyInPandas(scan_cluster, out_schema)
     )
     nulls = (

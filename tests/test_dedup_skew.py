@@ -371,3 +371,35 @@ def test_semantic_dedup_string_ids(spark):
     assert out["a"].is_survivor and not out["b"].is_survivor
     assert out["b"].nearest_prior_id == "a"
     assert out["c"].is_survivor
+
+
+def test_semantic_dedup_mega_cluster_guard(spark):
+    """max_cluster_size subdivides a pathological cluster: every row is
+    still classified exactly once, drops are a subset of the exact run's
+    (the documented trade — only cross-sub-division dups go undetected),
+    and near-identical boilerplate still mostly collapses."""
+    import random
+
+    from summingbird_spark.functions.dedup import semantic_dedup
+
+    rng = random.Random(3)
+    base = [rng.gauss(0, 1) for _ in range(8)]
+    rows = [
+        (i, [float(x + rng.gauss(0, 0.001)) for x in base]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned = df.selectExpr("vec_id", "CAST(0 AS INT) AS centroid_id")
+
+    exact = {r.vec_id: r.is_survivor for r in semantic_dedup(
+        df, 0.95, k_clusters=1, assigned=assigned).collect()}
+    guarded = {r.vec_id: r.is_survivor for r in semantic_dedup(
+        df, 0.95, k_clusters=1, assigned=assigned,
+        max_cluster_size=10).collect()}
+
+    assert set(guarded) == set(exact) == set(range(40))
+    assert sum(not s for s in exact.values()) == 39  # all dup one survivor
+    # guarded: one survivor PER SUB-DIVISION (4 subs of ~10) — the trade
+    n_kept = sum(s for s in guarded.values())
+    assert 1 <= n_kept <= 8 and sum(not s for s in guarded.values()) >= 32
+    # drops are a subset: the guard never drops a doc the exact run kept
+    assert all(exact[k] is False for k, s in guarded.items() if s is False)
