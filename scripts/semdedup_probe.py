@@ -1,0 +1,119 @@
+"""Scale probe for semantic_dedup (SemDeDup): does the cluster-scoped
+embedding dedup hold its ≈linear claim when the corpus AND the cluster
+count grow together (k ∝ n, the documented deployment: constant
+target cluster size ⇒ per-task work constant, pairwise work Θ(n²/k) ∝ n)?
+
+Synthesizes deterministic pseudo-embeddings in-plan (sin curves over the
+id — no RNG state, layout-independent), runs the full pipeline
+(k-means train → assign → blocked within-cluster scan) at each factor,
+and prints wall times, the scaling exponent, and driver RSS.
+
+Usage: python scripts/semdedup_probe.py [factors ...]   (default 1 10)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_N = 2_000      # sf0.1 embeddings row count
+DIM = 16
+TARGET_CLUSTER = 125  # BASE_N/16 — keeps k ∝ n from factor 1
+
+
+def rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return -1.0
+
+
+def synth(spark, n: int):
+    """Shape-honest corpus: vectors are uniform hash noise (NO locality —
+    a curve construction would pack more points per unit length as n
+    grows, inflating dup density superlinearly), with every id ≡ 1
+    (mod 100) a planted near-duplicate of its predecessor, so the
+    duplicate RATE is constant across factors."""
+    from pyspark.sql import functions as F
+
+    base = F.when(F.col("id") % 100 == 1, F.col("id") - 1).otherwise(
+        F.col("id")
+    )
+    dims = [
+        (
+            (F.xxhash64(base, F.lit(d)) / F.lit(float(2**63))).cast("float")
+            # planted dup: nudge dim 0 so the pair is near- not exact-dup
+            + F.when(
+                (F.col("id") % 100 == 1) & (F.lit(d) == 0), F.lit(1e-4)
+            ).otherwise(F.lit(0.0)).cast("float")
+        )
+        for d in range(DIM)
+    ]
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), F.array(*dims).alias("embedding")
+    )
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 10]
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from summingbird_spark.functions.dedup import semantic_dedup
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(1000).mapInPandas(lambda it: it, "id long").count()
+
+    rows = []
+    for f in factors:
+        n = BASE_N * f
+        k = max(16, n // TARGET_CLUSTER)
+        emb = synth(spark, n)
+        ts = []
+        stats = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = semantic_dedup(
+                emb, threshold=0.995, k_clusters=k, n_iter=4,
+                sample_fraction=min(1.0, 50_000 / n),
+            )
+            from pyspark.sql import functions as F
+
+            stats = out.agg(
+                F.count("*").alias("rows"),
+                F.sum((~F.col("is_survivor")).cast("long")).alias("dropped"),
+            ).first()
+            ts.append(time.perf_counter() - t0)
+        rows.append((f, n, k, min(ts), stats["rows"], stats["dropped"], rss_mb()))
+        print(f"factor {f}: n={n} k={k} wall={min(ts):.2f}s "
+              f"(runs: {', '.join(f'{t:.2f}' for t in ts)}) "
+              f"rows={stats['rows']} dropped={stats['dropped']} "
+              f"rss={rss_mb():.0f}MiB", flush=True)
+
+    print()
+    print("| factor | rows | clusters | wall s | dropped | driver RSS MiB |")
+    print("|---|---|---|---|---|---|")
+    for f, n, k, w, r, d, m in rows:
+        print(f"| {f} | {n} | {k} | {w:.2f} | {d} | {m:.0f} |")
+    if len(rows) >= 2:
+        (f1, _, _, w1, *_), (f2, _, _, w2, *_) = rows[-2], rows[-1]
+        exp = math.log(w2 / w1) / math.log(f2 / f1)
+        print(f"# wall exponent over the last step = {exp:.2f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -978,7 +978,7 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
-    from .similarity import ivf_assign, kmeans_train
+    from .similarity import ivf_assign_hierarchical, kmeans_train
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1]; got {threshold!r}")
@@ -993,7 +993,14 @@ def semantic_dedup(
                 corpus, k_clusters, id_col=id_col, vec_col=vec_col,
                 n_iter=n_iter, sample_fraction=sample_fraction,
             )
-        assigned = ivf_assign(valid, centroids, id_col=id_col, vec_col=vec_col)
+        # two-level assignment: flat ivf_assign is Theta(n*k) and
+        # materializes the n x k crossJoin — quadratic under k ∝ n (this
+        # function's documented sizing); the hierarchical assigner routes
+        # super -> member subset in one shuffle-free mapInPandas pass
+        # (falls back to flat below ~64 clusters)
+        assigned = ivf_assign_hierarchical(
+            valid, centroids, id_col=id_col, vec_col=vec_col
+        )
 
     # id typing follows the input (bigint ids stay bigint, string ids —
     # e.g. digests — order lexicographically, matching min-id SQL)

@@ -536,6 +536,95 @@ def ivf_assign(
     )
 
 
+def ivf_assign_hierarchical(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    fanout: Optional[int] = None,
+) -> DataFrame:
+    """Two-level coarse quantization for LARGE k — the assignment shape
+    real IVF/SemDeDup deployments use when k grows with the corpus.
+
+    ``ivf_assign`` is Θ(n·k) cosines AND materializes the n×k crossJoin
+    through a shuffle+window — quadratic overall under the SemDeDup
+    sizing k ∝ n (measured: the flat path drove semantic_dedup to a 1.4
+    wall exponent at 100×). Here the k centroids are themselves grouped
+    into ~√k super-centroids (one k-row k-means — driver-sized by
+    construction, like every coarse quantizer in this module), both
+    levels broadcast as numpy matrices, and ONE ``mapInPandas`` pass
+    routes each row super → member-subset: ≈ 2√k cosines per row, zero
+    shuffles, no n×k materialization. A row near a super boundary can
+    land in a different (equally near) cluster than flat assignment —
+    the standard IVF routing trade; for cluster-scoped dedup this is a
+    different but equally valid partition of the space.
+
+    Falls back to flat ``ivf_assign`` when k is too small for two levels
+    to pay (k ≤ max(64, 2·fanout)). Deterministic end to end (hash-init
+    k-means, first-max argmax over centroid-id-ordered members).
+    """
+    import math
+
+    import numpy as np
+
+    crows = centroids.select(centroid_id_col, vec_col).collect()
+    k = len(crows)
+    k2 = int(fanout) if fanout else max(1, int(math.ceil(math.sqrt(k))))
+    if k <= max(64, 2 * k2):
+        return ivf_assign(corpus, centroids, id_col, vec_col, centroid_id_col)
+    crows.sort(key=lambda r: r[0])  # stable member order -> stable argmax
+    cids = np.array([r[0] for r in crows], dtype=np.int64)
+    C = np.stack([np.asarray(r[1], dtype=np.float64) for r in crows])
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    # rename the id before training ON the centroid table: kmeans_train's
+    # internal assign emits a centroid_id column of its own
+    ctrain = centroids.select(
+        F.col(centroid_id_col).alias("__cid__"), F.col(vec_col)
+    )
+    supers = kmeans_train(
+        ctrain, k2, id_col="__cid__", vec_col=vec_col, n_iter=3
+    )
+    srows = sorted(supers.collect(), key=lambda r: r[0])
+    S = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in srows])
+    S /= np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
+    member_super = np.argmax(C @ S.T, axis=1)
+    members = {
+        int(s): (C[member_super == s], cids[member_super == s])
+        for s in np.unique(member_super)
+    }
+    # route every row to the nearest NON-EMPTY super (argmax over the
+    # supers that own members), so an empty super can never be chosen
+    live = np.array(sorted(members), dtype=np.int64)
+    S_live = S[live]
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((S_live, live, members))
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in corpus.schema.fields)
+    out_schema = f"{fields}, {centroid_id_col} int"
+
+    def assign_batches(batches):
+        S_l, live_ids, mem = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            sup = live_ids[np.argmax(X @ S_l.T, axis=1)]
+            out = np.empty(len(X), dtype=np.int64)
+            for s in np.unique(sup):
+                m = sup == s
+                M, ids_s = mem[int(s)]
+                out[m] = ids_s[np.argmax(X[m] @ M.T, axis=1)]
+            pdf = pdf.copy()
+            pdf[centroid_id_col] = out.astype(np.int32)
+            yield pdf
+
+    return corpus.mapInPandas(assign_batches, out_schema)
+
+
 def kmeans_train(
     corpus: DataFrame,
     k: int,

@@ -403,3 +403,49 @@ def test_semantic_dedup_mega_cluster_guard(spark):
     assert 1 <= n_kept <= 8 and sum(not s for s in guarded.values()) >= 32
     # drops are a subset: the guard never drops a doc the exact run kept
     assert all(exact[k] is False for k, s in guarded.items() if s is False)
+
+
+def test_ivf_assign_hierarchical_contract(spark):
+    """Two-level assignment: every row lands on exactly one REAL centroid,
+    deterministically; on well-separated clusters it agrees with flat
+    assignment for the overwhelming majority of rows (boundary rows may
+    route differently — the documented IVF trade); small k falls back to
+    the flat path exactly."""
+    import numpy as np
+
+    from summingbird_spark.functions.similarity import (
+        ivf_assign,
+        ivf_assign_hierarchical,
+        kmeans_train,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((100, 12)) * 4  # k=100 > 64: two-level
+    rows = []
+    for i in range(3000):
+        c = i % 100
+        rows.append((i, [float(x) for x in centers[c] + rng.standard_normal(12) * 0.05]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = kmeans_train(df, 100, n_iter=4, sample_fraction=None)
+
+    h1 = {r.vec_id: r.centroid_id for r in
+          ivf_assign_hierarchical(df, cent, "vec_id", "embedding").collect()}
+    h2 = {r.vec_id: r.centroid_id for r in
+          ivf_assign_hierarchical(df, cent, "vec_id", "embedding").collect()}
+    assert h1 == h2                      # deterministic
+    assert len(h1) == 3000               # every row exactly once
+    valid_ids = {r.centroid_id for r in cent.collect()}
+    assert set(h1.values()) <= valid_ids  # only real centroids
+
+    flat = {r.vec_id: r.centroid_id for r in
+            ivf_assign(df, cent, "vec_id", "embedding").collect()}
+    agree = sum(1 for k, v in h1.items() if flat[k] == v) / len(h1)
+    assert agree >= 0.9, f"only {agree:.1%} agreement with flat assignment"
+
+    # k below the two-level cutoff: identical to flat by construction
+    small = kmeans_train(df, 8, n_iter=2, sample_fraction=None)
+    hs = {r.vec_id: r.centroid_id for r in
+          ivf_assign_hierarchical(df, small, "vec_id", "embedding").collect()}
+    fs = {r.vec_id: r.centroid_id for r in
+          ivf_assign(df, small, "vec_id", "embedding").collect()}
+    assert hs == fs
