@@ -118,6 +118,20 @@ def quiet_baselines(repo_root: str) -> tuple[float, float]:
     pinning it would fire the gate on every official run."""
     io_vals, cpu_vals = _harvest_calibrations(repo_root)
     io_vals = _seed_io_vals(io_vals) + io_vals
+    # the BENCH_QUIET sidecar also ratchets calibration minimums: a
+    # contended official capture OVERWRITES BENCH_DETAIL.json, and the
+    # quiet evidence it erased otherwise survives only in git history
+    # (observed r15: quiet cpu 0.517 lost to a 0.621 capture within one
+    # session)
+    try:
+        with open(os.path.join(repo_root, _QUIET_PATH)) as f:
+            qdoc = json.load(f)
+        for dest, key in ((io_vals, "calib_io_min"), (cpu_vals, "calib_cpu_min")):
+            v = float(qdoc.get(key, -1.0))
+            if v > 0:
+                dest.append(v)
+    except (OSError, ValueError, TypeError):
+        pass
     return (
         min(io_vals) if io_vals else -1.0,
         min(cpu_vals) if cpu_vals else -1.0,
@@ -171,20 +185,42 @@ def flag_slow_rows(
     return flagged
 
 
-def update_quiet_sidecar(repo_root: str, timings_min: dict[str, float]) -> None:
-    """Ratchet the persistent per-query quiet mins down with this run."""
+def update_quiet_sidecar(
+    repo_root: str,
+    timings_min: dict[str, float],
+    calib_io_min: float = -1.0,
+    calib_cpu_min: float = -1.0,
+) -> None:
+    """Ratchet the persistent per-query quiet mins down with this run —
+    and the calibration minimums with them, so the gate's quiet baseline
+    survives BENCH_DETAIL being overwritten by a later contended run."""
     path = os.path.join(repo_root, _QUIET_PATH)
     mins = quiet_query_mins(repo_root)
     for name, t in timings_min.items():
         if t > 0 and (name not in mins or t < mins[name]):
             mins[name] = t
+    prev_io, prev_cpu = -1.0, -1.0
+    try:
+        with open(path) as f:
+            qdoc = json.load(f)
+        prev_io = float(qdoc.get("calib_io_min", -1.0))
+        prev_cpu = float(qdoc.get("calib_cpu_min", -1.0))
+    except (OSError, ValueError, TypeError):
+        pass
+    io_min = min(v for v in (prev_io, calib_io_min) if v > 0) if max(
+        prev_io, calib_io_min) > 0 else -1.0
+    cpu_min = min(v for v in (prev_cpu, calib_cpu_min) if v > 0) if max(
+        prev_cpu, calib_cpu_min) > 0 else -1.0
     doc = {
         "_note": (
             "per-query quiet min-of-3 baselines (sf0.1 graded runs; "
             "monotone-decreasing). bench.py flags rows >"
             f"{_FLAG_RATIO}x these in its compact line. Delete a row "
-            "after an intentional slow-down."
+            "after an intentional slow-down. calib_*_min feed the "
+            "host-noise gate's quiet baseline."
         ),
+        "calib_io_min": round(io_min, 3),
+        "calib_cpu_min": round(cpu_min, 3),
         "queries_min3": {k: round(v, 3) for k, v in sorted(mins.items())},
     }
     try:
@@ -553,7 +589,12 @@ def main() -> None:
     # sidecar ratchets, so this run's own values can't be their baseline
     flagged_rows = flag_slow_rows(timings_min, quiet_mins)
     if graded_run:
-        update_quiet_sidecar(repo_root, timings_min)
+        # ratchet with MEDIANS (what the gate compares), not min3 — a
+        # burst-minimum baseline would fire the gate on every later run
+        update_quiet_sidecar(
+            repo_root, timings_min,
+            calib_io_min=calib_io_sec, calib_cpu_min=calib_sec,
+        )
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
         sf = float(sf)

@@ -103,3 +103,35 @@ def test_quiet_baselines_foreign_host_ignores_seed(tmp_path, monkeypatch):
     )
     io, cpu = bench.quiet_baselines(root)
     assert io == pytest.approx(2.0) and cpu == pytest.approx(2.2)
+
+
+def test_calib_mins_ratchet_through_sidecar(tmp_path, monkeypatch):
+    """The gate's quiet calibration baseline survives BENCH_DETAIL being
+    overwritten by a contended capture: update_quiet_sidecar ratchets
+    calib medians into BENCH_QUIET.json, and quiet_baselines reads them."""
+    monkeypatch.delenv(bench._IO_SEED_ENV, raising=False)
+    root = str(tmp_path)
+    # quiet run writes the sidecar...
+    bench.update_quiet_sidecar(root, {"q": 1.0},
+                               calib_io_min=0.70, calib_cpu_min=0.50)
+    # ...then a contended capture overwrites BENCH_DETAIL with worse
+    # calibrations; the ratchet must keep the quiet evidence
+    bench.update_quiet_sidecar(root, {"q": 2.0},
+                               calib_io_min=1.40, calib_cpu_min=0.90)
+    _write(os.path.join(root, "BENCH_DETAIL.json"),
+           {"calib_io_sec": 1.40, "calib_sec": 0.90,
+            "queries_min3": {"q": 2.0}})
+    io, cpu = bench.quiet_baselines(root)
+    assert io == pytest.approx(0.70) and cpu == pytest.approx(0.50)
+    # per-query mins ratcheted independently
+    assert bench.quiet_query_mins(root)["q"] == 1.0
+
+
+def test_calib_ratchet_ignores_unmeasured(tmp_path):
+    root = str(tmp_path)
+    bench.update_quiet_sidecar(root, {}, calib_io_min=-1.0, calib_cpu_min=-1.0)
+    doc = json.load(open(os.path.join(root, "BENCH_QUIET.json")))
+    assert doc["calib_io_min"] == -1.0 and doc["calib_cpu_min"] == -1.0
+    bench.update_quiet_sidecar(root, {}, calib_io_min=0.8, calib_cpu_min=-1.0)
+    doc = json.load(open(os.path.join(root, "BENCH_QUIET.json")))
+    assert doc["calib_io_min"] == 0.8 and doc["calib_cpu_min"] == -1.0
