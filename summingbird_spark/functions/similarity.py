@@ -521,7 +521,10 @@ def ivf_assign(
 ) -> DataFrame:
     """Coarse quantization: each corpus row gets its nearest centroid
     (centroids broadcast — they are few). This is the build step of an IVF
-    index; persist the result partitioned by list for cheap probes."""
+    index; persist the result partitioned by list for cheap probes.
+    Θ(n·k) cosines through an n×k crossJoin — right for the index-build
+    k's (tens); for LARGE k (SemDeDup's k ∝ n sizing) use
+    ``ivf_assign_hierarchical`` (~2√k cosines/row, shuffle-free)."""
     c = centroids.select(
         F.col(centroid_id_col), F.col(vec_col).alias("__cv__")
     )
