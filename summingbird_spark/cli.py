@@ -42,12 +42,30 @@ def _load_build(spec: str):
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="summingbird_spark.cli")
-    ap.add_argument("--job", required=True, help="module:build_fn")
+    ap.add_argument("--job", help="module:build_fn")
     ap.add_argument("--batches", type=int, help="advance N batches past the committed bound")
     ap.add_argument("--through-time", help="ISO date/time upper bound (exclusive batch computed)")
     ap.add_argument("--master", default="local[*]")
     ap.add_argument("--shuffle-partitions", default="32")
+    ap.add_argument(
+        "--lint-plan", metavar="FILE",
+        help="scale-lint a captured physical-plan text ('-' = stdin) and "
+        "exit 1 on error-level findings; no SparkSession needed",
+    )
     args = ap.parse_args(argv)
+    if args.lint_plan is not None:
+        from .lint import lint_plan
+
+        text = (
+            sys.stdin.read() if args.lint_plan == "-"
+            else open(args.lint_plan).read()
+        )
+        findings = lint_plan(None, plan=text)
+        for f in findings:
+            print(f)
+        return 1 if any(f.level == "error" for f in findings) else 0
+    if args.job is None:
+        ap.error("--job is required (or use --lint-plan)")
     if (args.batches is None) == (args.through_time is None):
         ap.error("exactly one of --batches / --through-time")
 
