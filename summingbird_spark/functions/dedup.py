@@ -922,6 +922,7 @@ def semantic_dedup(
     assigned: Optional[DataFrame] = None,
     block_rows: int = 1024,
     max_cluster_size: Optional[int] = None,
+    on_unassigned: str = "error",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then mark as duplicates documents whose cosine to
@@ -941,11 +942,21 @@ def semantic_dedup(
     ``centroids``, or better the persisted IVF artifact's ``assigned``
     table (``ensure_ivf_index``: (id, centroid_id), equi-joined back
     onto the corpus for vectors): the clustering cost drops to an
-    already-amortized index read and ``k_clusters`` is ignored. NB the
-    join is INNER — corpus rows absent from ``assigned`` (an artifact
-    built before they arrived) are dropped from the output; if the
-    corpus outgrew the artifact, rebuild it or pass ``centroids`` to
-    re-assign in-plan.
+    already-amortized index read and ``k_clusters`` is ignored.
+
+    ``on_unassigned`` governs corpus rows ABSENT from a supplied
+    ``assigned`` table (an artifact built before they arrived — a stale
+    index). The join is LEFT, never inner: a curation verb whose return
+    value means "which rows do I keep" must not silently delete rows.
+    ``'error'`` (default) refuses IN-PLAN — the first unassigned row
+    raises with its id, lazily via a codegen'd conditional
+    ``raise_error`` (no extra job, no extra shuffle; the same refusal
+    posture as the streaming bootstrap manifest guard). ``'keep'``
+    passes unassigned rows through exactly like NULL vectors: survivor,
+    NULL centroid, NULL witness — join the output back to the corpus on
+    ``vec_col IS NOT NULL`` to tell them apart. If the corpus outgrew
+    the artifact, rebuild it (``ensure_ivf_index`` re-fingerprints
+    content) or pass ``centroids`` to re-assign in-plan.
 
     Returns one row per input row::
 
@@ -982,11 +993,45 @@ def semantic_dedup(
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1]; got {threshold!r}")
-    valid = corpus.where(F.col(vec_col).isNotNull())
-    if assigned is not None:
-        assigned = valid.join(
-            assigned.select(id_col, "centroid_id"), id_col
+    if on_unassigned not in ("error", "keep"):
+        raise ValueError(
+            f"on_unassigned must be 'error' or 'keep'; got {on_unassigned!r}"
         )
+    valid = corpus.where(F.col(vec_col).isNotNull())
+    unassigned: Optional[DataFrame] = None
+    if assigned is not None:
+        joined = valid.join(
+            assigned.select(id_col, "centroid_id"), id_col, "left"
+        )
+        if on_unassigned == "error":
+            # lazy in-plan refusal: the conditional raise_error only
+            # evaluates on an unassigned row (CASE WHEN short-circuits),
+            # so the happy path pays one codegen'd null check — no extra
+            # job, no count pass over a 100 TB corpus
+            assigned = joined.withColumn(
+                "centroid_id",
+                F.when(
+                    F.col("centroid_id").isNotNull(), F.col("centroid_id")
+                ).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("semantic_dedup: corpus row "),
+                            F.col(id_col).cast("string"),
+                            F.lit(
+                                " is absent from the supplied `assigned`"
+                                " table (the artifact predates it)."
+                                " Rebuild the index, pass centroids= to"
+                                " re-assign in-plan, or"
+                                " on_unassigned='keep' to pass such rows"
+                                " through as survivors."
+                            ),
+                        )
+                    ).cast("int")
+                ),
+            )
+        else:  # 'keep': route unassigned rows like NULL vectors
+            unassigned = joined.where(F.col("centroid_id").isNull())
+            assigned = joined.where(F.col("centroid_id").isNotNull())
     else:
         if centroids is None:
             centroids = kmeans_train(
@@ -1073,4 +1118,15 @@ def semantic_dedup(
             F.lit(None).cast("double").alias("nearest_prior_sim"),
         )
     )
-    return scanned.unionByName(nulls)
+    out = scanned.unionByName(nulls)
+    if unassigned is not None:
+        out = out.unionByName(
+            unassigned.select(
+                F.col(id_col),
+                F.lit(None).cast("int").alias("centroid_id"),
+                F.lit(True).alias("is_survivor"),
+                F.lit(None).cast(id_ddl).alias("nearest_prior_id"),
+                F.lit(None).cast("double").alias("nearest_prior_sim"),
+            )
+        )
+    return out

@@ -42,6 +42,32 @@ _BUCKET = "__psum_bucket"
 _PREFIX = "__psum_prefix"
 
 
+def _checked_weight(weight_col: str, id_col: str, fn: str) -> Column:
+    """``weight_col`` as a validated BIGINT: NULL or negative weights
+    RAISE in-plan naming the row (lazy CASE WHEN — one codegen'd check
+    per row, no extra job). Silence here would be corruption: a NULL
+    weight silently vanishes from the prefix stream (ADVICE r15 — the
+    row itself was silently dropped from pack_examples) and a negative
+    weight corrupts every downstream offset of the global prefix sum."""
+    return F.when(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) >= 0),
+        F.col(weight_col).cast("long"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{fn}: row "),
+                F.col(id_col).cast("string"),
+                F.lit(f" has NULL or negative {weight_col} ("),
+                F.coalesce(F.col(weight_col).cast("string"), F.lit("NULL")),
+                F.lit(
+                    "); weights must be non-negative token counts — "
+                    "filter or repair them upstream."
+                ),
+            )
+        ).cast("long")
+    )
+
+
 def exclusive_prefix_sum(
     df: DataFrame,
     order_col: str,
@@ -125,7 +151,8 @@ def pack_shards(
     if budget <= 0:
         raise ValueError(f"budget must be positive; got {budget!r}")
     out = exclusive_prefix_sum(
-        df, id_col, F.col(weight_col).cast("long"), _PREFIX, n_buckets
+        df, id_col, _checked_weight(weight_col, id_col, "pack_shards"),
+        _PREFIX, n_buckets,
     )
     return out.withColumn(
         "shard_id", F.expr(f"{_PREFIX} DIV {int(budget)}").cast("long")
@@ -180,16 +207,20 @@ def pack_examples(
     if eos < 0:
         raise ValueError(f"eos must be >= 0; got {eos!r}")
     L = int(context_len)
-    # w = the document's span in the global stream (its tokens + eos)
-    w = (F.col(weight_col).cast("long") + F.lit(int(eos))).alias("__w")
-    out = exclusive_prefix_sum(df, id_col, w, _PREFIX, n_buckets)
+    # w = the document's span in the global stream (its tokens + eos);
+    # the weight is VALIDATED in-plan (NULL/negative raise with the row
+    # id) — a NULL here used to vanish silently through the `> 0` filter
+    # and a negative one corrupted every later offset (ADVICE r15)
+    wchk = _checked_weight(weight_col, id_col, "pack_examples")
+    w = (wchk + F.lit(int(eos))).alias("__w")
+    out = exclusive_prefix_sum(df, id_col, w, _PREFIX, n_buckets).withColumn(
+        "__wspan", wchk + F.lit(int(eos))
+    )
     p = F.col(_PREFIX)
-    wcol = F.col(weight_col).cast("long") + F.lit(int(eos))
+    wcol = F.col("__wspan")
     # integer DIV (not double /): exact over the full BIGINT stream
     first_ex = F.expr(f"{_PREFIX} DIV {L}")
-    last_ex = F.expr(
-        f"({_PREFIX} + CAST({weight_col} AS BIGINT) + {int(eos)} - 1) DIV {L}"
-    )
+    last_ex = F.expr(f"({_PREFIX} + __wspan - 1) DIV {L}")
     exploded = out.where(wcol > 0).select(
         "*", F.explode(F.sequence(first_ex, last_ex)).alias("example_id")
     )
@@ -200,7 +231,7 @@ def pack_examples(
         exploded.withColumn("doc_offset", seg_start - p)
         .withColumn("example_offset", seg_start - ex_start)
         .withColumn("seg_len", seg_end - seg_start)
-        .drop(_PREFIX)
+        .drop(_PREFIX, "__wspan")
     )
 
 

@@ -546,6 +546,7 @@ def ivf_assign_hierarchical(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     fanout: Optional[int] = None,
+    max_centroid_bytes: int = 8 << 30,
 ) -> DataFrame:
     """Two-level coarse quantization for LARGE k — the assignment shape
     real IVF/SemDeDup deployments use when k grows with the corpus.
@@ -566,16 +567,78 @@ def ivf_assign_hierarchical(
     Falls back to flat ``ivf_assign`` when k is too small for two levels
     to pay (k ≤ max(64, 2·fanout)). Deterministic end to end (hash-init
     k-means, first-max argmax over centroid-id-ordered members).
+
+    **Scale ceiling — the driver holds the centroid matrix.** Both
+    levels materialize on the driver and broadcast to every executor:
+    ``k × dim × 8`` bytes as float64 (plus one broadcast copy per
+    executor) — ~6 GiB for 10⁶ centroids at dim=768. Under the SemDeDup
+    sizing k ∝ n this is the component's ceiling, so it is ENFORCED:
+    the function refuses (before collecting anything) once the matrix
+    exceeds ``max_centroid_bytes`` (default 8 GiB). Past that, either
+    raise ``fanout`` with a coarser k (fewer, larger clusters +
+    ``max_cluster_size`` subdivision downstream), or partition the
+    member tables: keep level 1 (≈√k supers) broadcast, shuffle rows on
+    super_id, and equi-join each super's member centroids from a
+    parquet side table — one extra shuffle, no driver matrix. That
+    variant is not implemented; the refusal names it.
+
+    NULL vectors are REJECTED in-plan with the offending id (the flat
+    path's window tolerates them only by accident of NULL-sim ordering);
+    pre-filter them — ``semantic_dedup`` routes NULL vectors around
+    assignment entirely.
     """
     import math
 
     import numpy as np
 
-    crows = centroids.select(centroid_id_col, vec_col).collect()
-    k = len(crows)
+    # guard BEFORE any collect: two metadata-scale jobs on the k-row
+    # centroid table (count + head) price the driver materialization
+    head = centroids.select(vec_col).head(1)
+    if not head or head[0][0] is None:
+        raise ValueError(
+            "ivf_assign_hierarchical: centroids table is empty or its "
+            f"first {vec_col!r} is NULL"
+        )
+    dim = len(head[0][0])
+    k = centroids.count()
+    need = k * dim * 8
+    if need > max_centroid_bytes:
+        raise ValueError(
+            f"ivf_assign_hierarchical: {k} centroids x dim {dim} = "
+            f"{need / (1 << 30):.1f} GiB of float64 on the driver (k*dim*8 "
+            f"bytes, broadcast to every executor), above max_centroid_bytes="
+            f"{max_centroid_bytes / (1 << 30):.1f} GiB. Use a coarser k (+ "
+            "semantic_dedup's max_cluster_size to subdivide downstream), "
+            "raise max_centroid_bytes if the driver genuinely has the "
+            "memory, or partition the member tables (broadcast only the "
+            "~sqrt(k) supers, shuffle rows on super_id, equi-join member "
+            "centroids from a side table)."
+        )
+    # NULL vectors break np.stack deep in the executor with an opaque
+    # error; refuse in-plan with the id instead (lazy CASE WHEN — the
+    # happy path pays one codegen'd null check)
+    vec_ddl = corpus.schema[vec_col].dataType.simpleString()
+    corpus = corpus.withColumn(
+        vec_col,
+        F.when(F.col(vec_col).isNotNull(), F.col(vec_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("ivf_assign_hierarchical: row "),
+                    F.col(id_col).cast("string"),
+                    F.lit(
+                        f" has a NULL {vec_col}; filter NULL vectors "
+                        "before assignment (semantic_dedup does)."
+                    ),
+                )
+            ).cast(vec_ddl)
+        ),
+    )
     k2 = int(fanout) if fanout else max(1, int(math.ceil(math.sqrt(k))))
     if k <= max(64, 2 * k2):
+        # the NULL-rejection wrap above applies here too: the contract is
+        # uniform across both k regimes of this entry point
         return ivf_assign(corpus, centroids, id_col, vec_col, centroid_id_col)
+    crows = centroids.select(centroid_id_col, vec_col).collect()
     crows.sort(key=lambda r: r[0])  # stable member order -> stable argmax
     cids = np.array([r[0] for r in crows], dtype=np.int64)
     C = np.stack([np.asarray(r[1], dtype=np.float64) for r in crows])

@@ -405,6 +405,48 @@ def test_semantic_dedup_mega_cluster_guard(spark):
     assert all(exact[k] is False for k, s in guarded.items() if s is False)
 
 
+def test_semantic_dedup_stale_assignment_refuses(spark):
+    """A corpus row absent from a caller-supplied ``assigned`` table must
+    never vanish silently (VERDICT r15 item 1): the default
+    on_unassigned='error' raises IN-PLAN naming the row; 'keep' routes it
+    through like a NULL vector (survivor, NULL centroid, NULL witness);
+    an unknown knob value raises eagerly. The happy path (artifact covers
+    the corpus) is unchanged under both modes."""
+    import pytest
+
+    from summingbird_spark.functions.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    stale = spark.createDataFrame(  # row 3 arrived after the artifact
+        [(1, 0), (2, 0)], "vec_id long, centroid_id int"
+    )
+    with pytest.raises(Exception, match="corpus row 3 is absent"):
+        semantic_dedup(df, 0.99, k_clusters=1, assigned=stale).collect()
+
+    out = {r.vec_id: r for r in semantic_dedup(
+        df, 0.99, k_clusters=1, assigned=stale, on_unassigned="keep"
+    ).collect()}
+    assert set(out) == {1, 2, 3}           # one row per input row
+    assert out[1].is_survivor and not out[2].is_survivor
+    assert out[3].is_survivor and out[3].centroid_id is None
+    assert out[3].nearest_prior_id is None and out[3].nearest_prior_sim is None
+
+    with pytest.raises(ValueError, match="on_unassigned"):
+        semantic_dedup(df, 0.99, k_clusters=1, assigned=stale,
+                       on_unassigned="ignore")
+
+    # a covering artifact is unaffected by the default refusal mode
+    full = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0)], "vec_id long, centroid_id int"
+    )
+    ok = {r.vec_id: r.is_survivor for r in semantic_dedup(
+        df, 0.99, k_clusters=1, assigned=full).collect()}
+    assert ok == {1: True, 2: False, 3: True}
+
+
 def test_ivf_assign_hierarchical_contract(spark):
     """Two-level assignment: every row lands on exactly one REAL centroid,
     deterministically; on well-separated clusters it agrees with flat
@@ -449,3 +491,45 @@ def test_ivf_assign_hierarchical_contract(spark):
     fs = {r.vec_id: r.centroid_id for r in
           ivf_assign(df, small, "vec_id", "embedding").collect()}
     assert hs == fs
+
+
+def test_ivf_assign_hierarchical_guards(spark):
+    """ADVICE r15 + VERDICT r15 item 4: NULL embedding rows raise a CLEAR
+    in-plan error naming the row (not an opaque numpy stack trace), in
+    both k regimes; the driver-side k x dim materialization refuses past
+    max_centroid_bytes with the memory formula, BEFORE collecting."""
+    import pytest
+
+    from summingbird_spark.functions.similarity import ivf_assign_hierarchical
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "centroid_id int, embedding array<float>"
+    )
+    # small k -> flat fallback regime: same rejection contract
+    with pytest.raises(Exception, match="row 2 has a NULL embedding"):
+        ivf_assign_hierarchical(df, cent, "vec_id", "embedding").collect()
+
+    # large-k regime: 100 centroids forces two-level
+    big = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(100)],
+        "centroid_id int, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="row 2 has a NULL embedding"):
+        ivf_assign_hierarchical(df, big, "vec_id", "embedding").collect()
+
+    # clean rows assign fine under both regimes
+    clean = df.where("embedding IS NOT NULL")
+    assert ivf_assign_hierarchical(clean, cent, "vec_id", "embedding").count() == 2
+
+    # the driver-materialization bound refuses with the formula named
+    with pytest.raises(ValueError, match="max_centroid_bytes"):
+        ivf_assign_hierarchical(clean, big, "vec_id", "embedding",
+                                max_centroid_bytes=100)
+
+    empty = spark.createDataFrame([], "centroid_id int, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        ivf_assign_hierarchical(clean, empty, "vec_id", "embedding")

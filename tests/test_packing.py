@@ -349,6 +349,61 @@ def test_pack_examples_validation_and_degenerate(spark):
     assert sum(r.seg_len for r in segs) == 12
 
 
+def test_packing_rejects_null_and_negative_weights(spark):
+    """ADVICE r15: a NULL weight used to VANISH silently from
+    pack_examples (wcol NULL fails the > 0 filter) and a negative one
+    corrupted the global prefix stream; both now raise in-plan naming
+    the row, in pack_examples AND pack_shards."""
+    import pytest
+
+    from summingbird_spark.functions.packing import pack_examples, pack_shards
+
+    bad_null = spark.createDataFrame(
+        [Row(doc_id=1, n_tokens=5), Row(doc_id=2, n_tokens=None),
+         Row(doc_id=3, n_tokens=7)],
+        "doc_id long, n_tokens long",
+    )
+    bad_neg = spark.createDataFrame(
+        [Row(doc_id=1, n_tokens=5), Row(doc_id=2, n_tokens=-3)],
+        "doc_id long, n_tokens long",
+    )
+    for bad, what in ((bad_null, "NULL"), (bad_neg, "negative")):
+        with pytest.raises(Exception, match="row 2 has NULL or negative"):
+            pack_examples(bad, "doc_id", "n_tokens", 8).collect()
+        with pytest.raises(Exception, match="row 2 has NULL or negative"):
+            pack_shards(bad, "n_tokens", 8, "doc_id").collect()
+
+
+def test_pack_examples_composes_with_deterministic_shuffle(spark):
+    """Epoch-replay contract end-to-end (VERDICT r15 item 7): packing a
+    deterministically shuffled corpus equals packing the same rows keyed
+    by their shuffle positions — the composition is a pure function of
+    (ids, seed, weights, context_len), so an epoch's examples replay
+    bit-for-bit regardless of layout."""
+    from summingbird_spark.functions.packing import (
+        deterministic_shuffle,
+        pack_examples,
+    )
+
+    df = _random_docs(spark, 120, seed=13)
+    shuffled = deterministic_shuffle(df, "doc_id", seed=5)
+
+    # pack in shuffle order twice: once from the composed plan, once from
+    # a re-keyed copy materialized through a different partitioning
+    a = pack_examples(shuffled, "position", "n_tokens", 64)
+    rekeyed = spark.createDataFrame(
+        [(r.position, r.n_tokens) for r in shuffled.collect()],
+        "position long, n_tokens long",
+    ).repartition(7)
+    b = pack_examples(rekeyed, "position", "n_tokens", 64)
+
+    key = lambda rows: sorted(
+        (r.example_id, r.position, r.doc_offset, r.example_offset, r.seg_len)
+        for r in rows
+    )
+    assert key(a.collect()) == key(b.collect())
+
+
 def test_pack_examples_append_stability(spark):
     """The resumable-build contract extends to example packing: appending
     later documents never changes ANY earlier document's segments (the
