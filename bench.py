@@ -185,6 +185,39 @@ def flag_slow_rows(
     return flagged
 
 
+#: hysteresis band for the calibration ratchet (ADVICE r15): a new
+#: calibration minimum more than this factor BELOW the current quiet min
+#: is a suspected fluke (warm-page-cache outlier) and must be corroborated
+#: by a SECOND run within the band before adoption — otherwise one
+#: anomalous sample permanently lowers the baseline and the 1.15x
+#: contention gate fires on every later legitimate run.
+_CALIB_BAND = 1.25
+
+
+def _ratchet_calib(
+    prev: float, pending: float, new: float, band: float = _CALIB_BAND
+) -> tuple[float, float]:
+    """(adopted_min, new_pending): monotone calibration ratchet with
+    two-run corroboration for suspiciously large improvements. Modest
+    improvements (within ``band`` of the current min) adopt immediately;
+    a drop past the band is stashed as ``pending`` and adopted only when
+    the NEXT run lands within ``band`` of it (two consecutive quiet
+    samples = a real host change, e.g. faster storage). -1 = unset."""
+    if new is None or new <= 0:
+        return prev, pending  # unmeasured run: no evidence either way
+    if prev is None or prev <= 0:
+        return new, -1.0  # first evidence: nothing to corroborate against
+    if new >= prev:
+        return prev, -1.0  # not an improvement; drop any stale pending
+    if new * band >= prev:
+        return new, -1.0  # within-band improvement: ordinary ratchet
+    if pending is not None and pending > 0 and (
+        max(pending, new) <= min(pending, new) * band
+    ):
+        return min(pending, new), -1.0  # corroborated across two runs
+    return prev, new  # suspected fluke: hold for corroboration
+
+
 def update_quiet_sidecar(
     repo_root: str,
     timings_min: dict[str, float],
@@ -192,35 +225,42 @@ def update_quiet_sidecar(
     calib_cpu_min: float = -1.0,
 ) -> None:
     """Ratchet the persistent per-query quiet mins down with this run —
-    and the calibration minimums with them, so the gate's quiet baseline
-    survives BENCH_DETAIL being overwritten by a later contended run."""
+    and the calibration minimums with them (with ``_ratchet_calib``'s
+    two-run corroboration for outsized drops), so the gate's quiet
+    baseline survives BENCH_DETAIL being overwritten by a later
+    contended run without ever baselining on a one-off fluke."""
     path = os.path.join(repo_root, _QUIET_PATH)
     mins = quiet_query_mins(repo_root)
     for name, t in timings_min.items():
         if t > 0 and (name not in mins or t < mins[name]):
             mins[name] = t
     prev_io, prev_cpu = -1.0, -1.0
+    pend_io, pend_cpu = -1.0, -1.0
     try:
         with open(path) as f:
             qdoc = json.load(f)
         prev_io = float(qdoc.get("calib_io_min", -1.0))
         prev_cpu = float(qdoc.get("calib_cpu_min", -1.0))
+        pend_io = float(qdoc.get("calib_io_pending", -1.0))
+        pend_cpu = float(qdoc.get("calib_cpu_pending", -1.0))
     except (OSError, ValueError, TypeError):
         pass
-    io_min = min(v for v in (prev_io, calib_io_min) if v > 0) if max(
-        prev_io, calib_io_min) > 0 else -1.0
-    cpu_min = min(v for v in (prev_cpu, calib_cpu_min) if v > 0) if max(
-        prev_cpu, calib_cpu_min) > 0 else -1.0
+    io_min, pend_io = _ratchet_calib(prev_io, pend_io, calib_io_min)
+    cpu_min, pend_cpu = _ratchet_calib(prev_cpu, pend_cpu, calib_cpu_min)
     doc = {
         "_note": (
             "per-query quiet min-of-3 baselines (sf0.1 graded runs; "
             "monotone-decreasing). bench.py flags rows >"
             f"{_FLAG_RATIO}x these in its compact line. Delete a row "
             "after an intentional slow-down. calib_*_min feed the "
-            "host-noise gate's quiet baseline."
+            "host-noise gate's quiet baseline; calib_*_pending holds a "
+            f"suspected-fluke minimum (>{_CALIB_BAND}x below the quiet "
+            "min) awaiting a second corroborating run."
         ),
         "calib_io_min": round(io_min, 3),
         "calib_cpu_min": round(cpu_min, 3),
+        "calib_io_pending": round(pend_io, 3),
+        "calib_cpu_pending": round(pend_cpu, 3),
         "queries_min3": {k: round(v, 3) for k, v in sorted(mins.items())},
     }
     try:
@@ -229,6 +269,42 @@ def update_quiet_sidecar(
             f.write("\n")
     except OSError as e:
         print(f"bench error writing {path}: {e}", file=sys.stderr)
+
+
+def classify_capture(
+    graded_run: bool,
+    res: dict,
+    noise: float,
+    have_baseline: bool,
+    quiet_mins: dict[str, float],
+    timings_min: dict[str, float],
+) -> tuple[str, float]:
+    """(calib_status, quiet_ratchet_total) for the artifact's own
+    attribution (VERDICT r15 item 5). Status values:
+
+    * ``ungated``    — iteration run at a non-graded SF (no baselines)
+    * ``unmeasured`` — a calibration row failed to sample
+    * ``no-baseline``— first graded run on this host (nothing to compare)
+    * ``contended``  — calibration out-of-band vs the quiet baseline even
+      after the bounded re-run: the headline carries host noise
+    * ``quiet``      — calibration within band; the headline is code
+
+    ``quiet_ratchet_total`` sums the committed quiet min-of-3 baselines
+    over THIS run's successfully-timed rows — the like-for-like quiet
+    total a contended headline should be read against (−1 when no
+    baselines cover this run's rows)."""
+    covered = [
+        quiet_mins[n] for n, t in timings_min.items()
+        if t > 0 and n in quiet_mins
+    ]
+    quiet_total = round(sum(covered), 3) if covered else -1.0
+    if not graded_run:
+        return "ungated", quiet_total
+    if res["calib_io_sec"] <= 0 or res["calib_sec"] <= 0:
+        return "unmeasured", quiet_total
+    if not have_baseline:
+        return "no-baseline", quiet_total
+    return ("contended" if noise > 1.15 else "quiet", quiet_total)
 
 
 def main() -> None:
@@ -588,6 +664,15 @@ def main() -> None:
     # per-query noise attribution (VERDICT r14 item 4): flag before the
     # sidecar ratchets, so this run's own values can't be their baseline
     flagged_rows = flag_slow_rows(timings_min, quiet_mins)
+    # capture attribution stamped INTO the artifact (VERDICT r15 item 5):
+    # when the adopted sweep's calibration is still out-of-band after the
+    # bounded re-run, the headline is a CONTENDED capture — say so in the
+    # compact line itself, alongside the quiet-ratchet total for the same
+    # row set, so a judge/CI reads the attribution without a session
+    calib_status, quiet_total = classify_capture(
+        graded_run, res, _noise_score(res),
+        calib_io_prev > 0 or calib_cpu_prev > 0, quiet_mins, timings_min,
+    )
     if graded_run:
         # ratchet with MEDIANS (what the gate compares), not min3 — a
         # burst-minimum baseline would fire the gate on every later run
@@ -619,6 +704,8 @@ def main() -> None:
         "calib_io_prev": calib_io_prev,
         "calib_cpu_prev": calib_cpu_prev,
         "reran": reran,
+        "calib_status": calib_status,
+        "quiet_total_min3_sec": quiet_total,
         "flagged_rows": flagged_rows,
         # named split fields (VERDICT r6 item 6) duplicating the two
         # attribution rows above for direct lookup
@@ -682,6 +769,8 @@ def main() -> None:
                 "calib_io_prev": calib_io_prev,
                 "calib_cpu_prev": calib_cpu_prev,
                 "reran": reran,
+                "calib_status": calib_status,
+                "quiet_total_min3_sec": quiet_total,
                 "flagged_rows": flagged_rows,
                 "detail": detail_path if detail_path.startswith("/tmp")
                 else "BENCH_DETAIL.json",

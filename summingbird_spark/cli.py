@@ -56,10 +56,11 @@ def main(argv=None) -> int:
     if args.lint_plan is not None:
         from .lint import lint_plan
 
-        text = (
-            sys.stdin.read() if args.lint_plan == "-"
-            else open(args.lint_plan).read()
-        )
+        if args.lint_plan == "-":
+            text = sys.stdin.read()
+        else:
+            with open(args.lint_plan, encoding="utf-8") as fh:
+                text = fh.read()
         findings = lint_plan(None, plan=text)
         for f in findings:
             print(f)

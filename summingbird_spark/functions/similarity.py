@@ -575,12 +575,11 @@ def ivf_assign_hierarchical(
     sizing k ∝ n this is the component's ceiling, so it is ENFORCED:
     the function refuses (before collecting anything) once the matrix
     exceeds ``max_centroid_bytes`` (default 8 GiB). Past that, either
-    raise ``fanout`` with a coarser k (fewer, larger clusters +
-    ``max_cluster_size`` subdivision downstream), or partition the
-    member tables: keep level 1 (≈√k supers) broadcast, shuffle rows on
-    super_id, and equi-join each super's member centroids from a
-    parquet side table — one extra shuffle, no driver matrix. That
-    variant is not implemented; the refusal names it.
+    use a coarser k (fewer, larger clusters + ``max_cluster_size``
+    subdivision downstream) or switch to ``ivf_assign_partitioned`` —
+    the same two-level routing with the member centroids kept
+    DISTRIBUTED (cogrouped per super; only the ~√k supers ever reach
+    the driver), identical assignments by construction.
 
     NULL vectors are REJECTED in-plan with the offending id (the flat
     path's window tolerates them only by accident of NULL-sim ordering);
@@ -610,9 +609,8 @@ def ivf_assign_hierarchical(
             f"{max_centroid_bytes / (1 << 30):.1f} GiB. Use a coarser k (+ "
             "semantic_dedup's max_cluster_size to subdivide downstream), "
             "raise max_centroid_bytes if the driver genuinely has the "
-            "memory, or partition the member tables (broadcast only the "
-            "~sqrt(k) supers, shuffle rows on super_id, equi-join member "
-            "centroids from a side table)."
+            "memory, or switch to ivf_assign_partitioned (same routing, "
+            "member centroids kept distributed — no driver matrix)."
         )
     # NULL vectors break np.stack deep in the executor with an opaque
     # error; refuse in-plan with the id instead (lazy CASE WHEN — the
@@ -689,6 +687,166 @@ def ivf_assign_hierarchical(
             yield pdf
 
     return corpus.mapInPandas(assign_batches, out_schema)
+
+
+def ivf_assign_partitioned(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    fanout: Optional[int] = None,
+    salt: int = 8,
+) -> DataFrame:
+    """Two-level coarse quantization with NO driver-side centroid
+    matrix — the layout past ``ivf_assign_hierarchical``'s
+    ``max_centroid_bytes`` ceiling (k·dim·8 driver bytes), for k beyond
+    ~10⁶ under the SemDeDup sizing k ∝ n.
+
+    Only level 1 ever touches the driver: ~√k super-centroids (one
+    k-row k-means — √k·dim·8 bytes, ~190 MB even at k = 10⁹, dim=768).
+    The k member centroids stay a DataFrame: each is routed to its
+    super by a broadcast-matrix ``mapInPandas`` pass (Θ(k·√k) BLAS
+    cosines, never a k×√k crossJoin), then corpus rows route to their
+    nearest live super the same way and meet their super's member
+    centroids through a COGROUPED ``applyInPandas`` on
+    ``(super_id, salt)`` — one shuffle of the corpus, one of the k-row
+    member table, and no n×√k join materialization.
+
+    ``salt`` splits each super's corpus rows across ``salt`` tasks
+    (members replicated ×salt — k·salt tiny rows) so a hot super
+    (degenerate embedding mass) cannot concentrate in one task;
+    per-task memory ≈ n/(√k·salt) corpus rows + the super's ~√k member
+    vectors. Skewed SUPERS are the only hazard — raise ``salt`` (it
+    multiplies nothing but the member-table rows).
+
+    Same routing semantics and tie-breaks as ``ivf_assign_hierarchical``
+    (full-super argmax for members, live-super argmax for rows,
+    first-max over centroid-id-ordered members): given the same
+    centroid table the two produce IDENTICAL assignments — tested.
+    Falls back to flat ``ivf_assign`` below the two-level cutoff. NULL
+    vectors are rejected in-plan with the offending id.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    head = centroids.select(vec_col).head(1)
+    if not head or head[0][0] is None:
+        raise ValueError(
+            "ivf_assign_partitioned: centroids table is empty or its "
+            f"first {vec_col!r} is NULL"
+        )
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1; got {salt!r}")
+    k = centroids.count()
+    k2 = int(fanout) if fanout else max(1, int(math.ceil(math.sqrt(k))))
+    vec_ddl = corpus.schema[vec_col].dataType.simpleString()
+    corpus = corpus.withColumn(
+        vec_col,
+        F.when(F.col(vec_col).isNotNull(), F.col(vec_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("ivf_assign_partitioned: row "),
+                    F.col(id_col).cast("string"),
+                    F.lit(
+                        f" has a NULL {vec_col}; filter NULL vectors "
+                        "before assignment (semantic_dedup does)."
+                    ),
+                )
+            ).cast(vec_ddl)
+        ),
+    )
+    if k <= max(64, 2 * k2):
+        return ivf_assign(corpus, centroids, id_col, vec_col, centroid_id_col)
+
+    # level 1: supers trained ON the k-row centroid table — the only
+    # matrix the driver holds (~sqrt(k) rows)
+    ctrain = centroids.select(
+        F.col(centroid_id_col).alias("__cid__"), F.col(vec_col)
+    )
+    supers = kmeans_train(ctrain, k2, id_col="__cid__", vec_col=vec_col, n_iter=3)
+    srows = sorted(supers.collect(), key=lambda r: r[0])
+    S = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in srows])
+    S /= np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
+
+    spark = corpus.sparkSession
+    bc_all = spark.sparkContext.broadcast(S)
+    cid_ddl = ctrain.schema["__cid__"].dataType.simpleString()
+    cvec_ddl = ctrain.schema[vec_col].dataType.simpleString()
+
+    def route_members(batches):
+        S_ = bc_all.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            pdf = pdf.copy()
+            pdf["__sid__"] = np.argmax(X @ S_.T, axis=1).astype(np.int32)
+            yield pdf
+
+    members = ctrain.mapInPandas(
+        route_members, f"__cid__ {cid_ddl}, {vec_col} {cvec_ddl}, __sid__ int"
+    )
+    # live supers: <= sqrt(k) ints back to the driver, nothing else
+    live = np.array(
+        sorted(r[0] for r in members.select("__sid__").distinct().collect()),
+        dtype=np.int64,
+    )
+    bc_live = spark.sparkContext.broadcast((S[live], live))
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in corpus.schema.fields
+    )
+
+    def route_rows(batches):
+        S_l, live_ids = bc_live.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            pdf = pdf.copy()
+            pdf["__sid__"] = live_ids[np.argmax(X @ S_l.T, axis=1)].astype(
+                np.int32
+            )
+            yield pdf
+
+    routed = corpus.mapInPandas(route_rows, f"{fields}, __sid__ int").withColumn(
+        "__salt__",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(salt))).cast("int"),
+    )
+    msalted = members.withColumn(
+        "__salt__", F.explode(F.sequence(F.lit(0), F.lit(int(salt) - 1)))
+    ).withColumn("__salt__", F.col("__salt__").cast("int"))
+
+    out_schema = f"{fields}, {centroid_id_col} int"
+
+    def assign_group(l, r):
+        base = l.drop(columns=["__sid__", "__salt__"])
+        if len(l) == 0 or len(r) == 0:  # member-only group (no rows)
+            base = base.iloc[:0].copy()
+            base[centroid_id_col] = pd.array([], dtype="int32")
+            return base
+        r = r.sort_values("__cid__", kind="mergesort")
+        M = np.stack(r[vec_col].to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        mids = r["__cid__"].to_numpy()
+        X = np.stack(base[vec_col].to_numpy()).astype(np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        base = base.copy()
+        base[centroid_id_col] = mids[np.argmax(X @ M.T, axis=1)].astype(
+            np.int32
+        )
+        return base
+
+    return (
+        routed.groupBy("__sid__", "__salt__")
+        .cogroup(msalted.groupBy("__sid__", "__salt__"))
+        .applyInPandas(assign_group, out_schema)
+    )
 
 
 def kmeans_train(

@@ -49,7 +49,10 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 
-__all__ = ["Finding", "PlanScaleError", "lint_plan", "assert_scalable"]
+__all__ = [
+    "Finding", "PlanScaleError", "lint_plan", "assert_scalable",
+    "streaming_plan_text", "lint_streaming_query",
+]
 
 ERROR = "error"
 WARN = "warn"
@@ -85,11 +88,34 @@ def _indent(line: str) -> int:
     return len(line) - len(line.lstrip(" :+-*("))
 
 
-def lint_plan(df: DataFrame, plan: str | None = None) -> list[Finding]:
+def streaming_plan_text(query) -> str:
+    """The last EXECUTED micro-batch physical plan of a
+    ``StreamingQuery`` as explain text — the plan that actually ran
+    inside the trigger, stateful operators, state-store exchanges and
+    all. Works on a terminated query too (an ``availableNow`` run that
+    already drained), so a harness can run-then-audit::
+
+        q = df.writeStream...start(); q.awaitTermination()
+        findings = lint_plan(None, plan=streaming_plan_text(q))
+
+    This is the plan the engine-wide batch gate CANNOT see: linting a
+    stream query's post-run output table audits only the re-read scan,
+    not the stateful kernel that executed inside the trigger (VERDICT
+    r15 item 3). ``lint_streaming_query`` wraps the two steps."""
+    return query._jsq.explainInternal(False)
+
+
+def lint_streaming_query(query) -> list[Finding]:
+    """``lint_plan`` over a (possibly terminated) StreamingQuery's last
+    executed micro-batch plan."""
+    return lint_plan(None, plan=streaming_plan_text(query))
+
+
+def lint_plan(df: DataFrame | None, plan: str | None = None) -> list[Finding]:
     """Lint ``df``'s physical plan; returns findings, worst first.
 
     ``plan`` overrides the plan text (for linting a captured explain
-    string, e.g. from a log)."""
+    string, e.g. from a log; ``df`` may then be None)."""
     text = plan if plan is not None else _physical_plan(df)
     lines = text.splitlines()
     findings: list[Finding] = []

@@ -6026,7 +6026,17 @@ _GRADE_ORDER = [
     # in-window by the fuller corpus_to_shards capstone)
     # (simhash_fingerprint rotated below in r15 — see streaming window
     # comment; the family keeps seven rows here)
-    "dedup_exact", "dedup_minhash_lsh",
+    # r16 swap (VERDICT r15 item 2): semantic_dedup rotates IN — the
+    # r15-born SemDeDup row is the only graded query that re-verifies its
+    # own decisions in-plan (every drop's witness cosine recomputed), and
+    # this round rewired its assigned= path (left join + on_unassigned
+    # refusal), which per the frozen-window discipline points the window
+    # at it. dedup_exact rotates below: externally green +
+    # implementation-unchanged since r4 (functions/dedup.py:37), its
+    # digest-groupBy shape family-covered in-window by dedup_survivors
+    # (one-shuffle digest argmax) and incremental_dedup (digest-keyed
+    # rollforward); the family keeps seven in-window rows.
+    "semantic_dedup", "dedup_minhash_lsh",
     "dedup_clusters", "dedup_survivors", "decontaminate",
     "incremental_dedup", "remove_duplicate_spans",
     # LLM pipeline: similarity search + retrieval
@@ -6079,6 +6089,11 @@ _GRADE_ORDER = [
     # implementation-unchanged since r7, dedup family keeps seven
     # in-window rows; still in-repo hash-graded every CI run.
     "simhash_fingerprint",
+    # r16 swap (VERDICT r15 item 2): semantic_dedup rotates IN (see dedup
+    # window comment); dedup_exact rotates here — externally green since
+    # r4, implementation-unchanged, digest family covered in-window;
+    # still in-repo hash-graded every CI run.
+    "dedup_exact",
     "decayed_sum", "dedup_embedding_cosine",
     "asof_running_total", "star_join_regions", "loop_join_dsl",
     "avg_semigroup", "distinct_users", "topk_per_group", "rollup_agg",

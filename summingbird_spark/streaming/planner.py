@@ -493,6 +493,9 @@ class _NoProbeTwin(LookupError):
 _AUTO_PROBE_CACHE: dict = {}
 _AUTO_PROBE_CACHE_MAX = 256
 
+#: once-per-process flag for the twin-less 'auto' fallback INFO line
+_TWINLESS_LOGGED = False
+
 
 class _ProbePlanner(BatchPlanner):
     """Compiles a streaming DAG's prefix against each file source's BATCH
@@ -546,8 +549,14 @@ class StreamPlanner(BatchPlanner):
     SummerBatchMultiplier, StormTopologyBuilder.scala:291-298). A
     10⁸-key deployment on the static 64 would rewrite ~1.5M-key
     pickle dicts per touched bucket per trigger; auto picks ~2×10⁵
-    buckets instead. Falls back to the static 64 (with a warning)
-    when a source has no batch twin (e.g. a live queue).
+    buckets instead. TWIN-LESS SOURCES (rate/socket/live queues — no
+    ``probe_loader`` batch twin to measure) fall back to the static 64
+    BY DESIGN, logged once per process at INFO (not a warning: it is
+    the documented default for unmeasurable sources, and a resumed
+    checkpoint pins whatever was first resolved anyway); pass an int
+    to choose the layout explicitly. Any OTHER probe failure (a
+    stream-only service loader in the prefix, an AnalysisException)
+    still warns out loud — those are unexpected.
 
     CHECKPOINT COMPATIBILITY — read before flipping settings on a live
     job: the bucket count is baked into the physical state layout
@@ -814,6 +823,22 @@ class StreamPlanner(BatchPlanner):
                         # drop-oldest (insertion-ordered dict), not clear()
                         del _AUTO_PROBE_CACHE[next(iter(_AUTO_PROBE_CACHE))]
                     _AUTO_PROBE_CACHE[memo_key] = chosen
+        except _NoProbeTwin as e:
+            # the DOCUMENTED default for unmeasurable sources (rate/
+            # socket/queue): not a fault, so log once per process at
+            # INFO instead of warning on every (re)plan (VERDICT r15
+            # item 6 — resumes were emitting a RuntimeWarning per start)
+            global _TWINLESS_LOGGED
+            if not _TWINLESS_LOGGED:
+                _TWINLESS_LOGGED = True
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "key_buckets='auto': %s; using the static default 64 "
+                    "(documented twin-less fallback — pass an int to "
+                    "choose the layout)", e,
+                )
+            return record(64)
         except Exception as e:  # noqa: BLE001
             warnings.warn(
                 f"key_buckets='auto' probe failed ({type(e).__name__}:"

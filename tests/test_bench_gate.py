@@ -135,3 +135,77 @@ def test_calib_ratchet_ignores_unmeasured(tmp_path):
     bench.update_quiet_sidecar(root, {}, calib_io_min=0.8, calib_cpu_min=-1.0)
     doc = json.load(open(os.path.join(root, "BENCH_QUIET.json")))
     assert doc["calib_io_min"] == 0.8 and doc["calib_cpu_min"] == -1.0
+
+
+# -------------------------------------------- calibration ratchet hysteresis
+
+
+def test_calib_ratchet_fluke_needs_corroboration():
+    """ADVICE r15: one anomalously fast calibration sample (warm page
+    cache) must NOT permanently lower the quiet baseline; it is held as
+    pending until a second run corroborates it within the band."""
+    # first evidence adopts
+    assert bench._ratchet_calib(-1.0, -1.0, 0.70) == (0.70, -1.0)
+    # within-band improvement adopts immediately (0.60*1.25 >= 0.70)
+    assert bench._ratchet_calib(0.70, -1.0, 0.60) == (0.60, -1.0)
+    # >band drop is held pending, baseline unchanged
+    assert bench._ratchet_calib(0.70, -1.0, 0.30) == (0.70, 0.30)
+    # an ordinary next run discards the fluke
+    assert bench._ratchet_calib(0.70, 0.30, 0.68) == (0.68, -1.0)
+    # ...but a second corroborating run adopts the improvement
+    assert bench._ratchet_calib(0.70, 0.30, 0.33) == (0.30, -1.0)
+    # unmeasured runs keep both baseline and pending
+    assert bench._ratchet_calib(0.70, 0.30, -1.0) == (0.70, 0.30)
+    # a slower run never raises the baseline
+    assert bench._ratchet_calib(0.70, -1.0, 0.90) == (0.70, -1.0)
+
+
+def test_calib_ratchet_fluke_held_through_sidecar(tmp_path, monkeypatch):
+    monkeypatch.delenv(bench._IO_SEED_ENV, raising=False)
+    root = str(tmp_path)
+    bench.update_quiet_sidecar(root, {}, calib_io_min=0.70, calib_cpu_min=0.50)
+    # fluke run: far below the quiet min -> pending, not adopted
+    bench.update_quiet_sidecar(root, {}, calib_io_min=0.30, calib_cpu_min=0.50)
+    doc = json.load(open(os.path.join(root, "BENCH_QUIET.json")))
+    assert doc["calib_io_min"] == 0.70 and doc["calib_io_pending"] == 0.30
+    io, _cpu = bench.quiet_baselines(root)
+    assert io == pytest.approx(0.70)  # the gate never sees the fluke
+    # corroborating second run adopts
+    bench.update_quiet_sidecar(root, {}, calib_io_min=0.32, calib_cpu_min=0.50)
+    doc = json.load(open(os.path.join(root, "BENCH_QUIET.json")))
+    assert doc["calib_io_min"] == 0.30 and doc["calib_io_pending"] == -1.0
+
+
+# ------------------------------------------------- capture self-attribution
+
+
+def test_classify_capture_branches():
+    """VERDICT r15 item 5: the artifact stamps its own noise attribution
+    — contended vs quiet vs the degenerate states — plus the
+    quiet-ratchet total over this run's rows."""
+    res_ok = {"calib_io_sec": 0.65, "calib_sec": 0.50}
+    quiet = {"a": 1.0, "b": 2.0}
+    now = {"a": 1.2, "b": 2.4, "c": 3.0}  # c has no quiet baseline
+
+    status, qt = bench.classify_capture(True, res_ok, 1.05, True, quiet, now)
+    assert status == "quiet" and qt == pytest.approx(3.0)
+
+    status, qt = bench.classify_capture(True, res_ok, 1.30, True, quiet, now)
+    assert status == "contended" and qt == pytest.approx(3.0)
+
+    status, _ = bench.classify_capture(False, res_ok, 1.0, False, {}, now)
+    assert status == "ungated"
+
+    status, _ = bench.classify_capture(
+        True, {"calib_io_sec": -1.0, "calib_sec": 0.5}, 1.0, True, quiet, now
+    )
+    assert status == "unmeasured"
+
+    status, qt = bench.classify_capture(True, res_ok, 1.0, False, {}, now)
+    assert status == "no-baseline" and qt == -1.0
+
+    # failed rows (-1) are excluded from the quiet total
+    _, qt = bench.classify_capture(
+        True, res_ok, 1.0, True, quiet, {"a": -1.0, "b": 2.2}
+    )
+    assert qt == pytest.approx(2.0)

@@ -533,3 +533,54 @@ def test_ivf_assign_hierarchical_guards(spark):
     empty = spark.createDataFrame([], "centroid_id int, embedding array<float>")
     with pytest.raises(ValueError, match="empty"):
         ivf_assign_hierarchical(clean, empty, "vec_id", "embedding")
+
+
+def test_ivf_assign_partitioned_matches_hierarchical(spark):
+    """The no-driver-matrix layout (the path past hierarchical's
+    max_centroid_bytes ceiling, VERDICT r15 item 4): given the same
+    centroid table it must produce IDENTICAL assignments to
+    ivf_assign_hierarchical — same super training, same full-super
+    member routing, same live-super row routing, same first-max
+    tie-break over centroid-id-ordered members. Salt must not change
+    results; small k falls back to flat exactly; NULL vectors raise."""
+    import numpy as np
+    import pytest
+
+    from summingbird_spark.functions.similarity import (
+        ivf_assign,
+        ivf_assign_hierarchical,
+        ivf_assign_partitioned,
+        kmeans_train,
+    )
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((100, 12)) * 4
+    rows = [
+        (i, [float(x) for x in centers[i % 100] + rng.standard_normal(12) * 0.05])
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = kmeans_train(df, 100, n_iter=4, sample_fraction=None)
+
+    h = {r.vec_id: r.centroid_id for r in
+         ivf_assign_hierarchical(df, cent, "vec_id", "embedding").collect()}
+    for s in (1, 8):
+        p = {r.vec_id: r.centroid_id for r in ivf_assign_partitioned(
+            df, cent, "vec_id", "embedding", salt=s).collect()}
+        assert p == h, f"salt={s}: partitioned diverged from hierarchical"
+
+    # small k: identical to flat by construction
+    small = kmeans_train(df, 8, n_iter=2, sample_fraction=None)
+    ps = {r.vec_id: r.centroid_id for r in
+          ivf_assign_partitioned(df, small, "vec_id", "embedding").collect()}
+    fs = {r.vec_id: r.centroid_id for r in
+          ivf_assign(df, small, "vec_id", "embedding").collect()}
+    assert ps == fs
+
+    withnull = spark.createDataFrame(
+        [(1, [1.0] * 12), (2, None)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="row 2 has a NULL embedding"):
+        ivf_assign_partitioned(withnull, cent, "vec_id", "embedding").collect()
+    with pytest.raises(ValueError, match="salt"):
+        ivf_assign_partitioned(df, cent, "vec_id", "embedding", salt=0)

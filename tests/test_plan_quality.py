@@ -446,3 +446,54 @@ def test_every_registered_query_lints_scalable(spark):
         if errs:
             violations[name] = [str(f) for f in errs]
     assert not violations, f"scale-lint violations: {violations}"
+
+
+def test_streaming_microbatch_plans_lint_scalable(spark, monkeypatch):
+    """Close the streaming blind spot (VERDICT r15 item 3): the engine-
+    wide gate above lints the DataFrame a ``stream_*`` query RETURNS —
+    the post-run ``spark.read.parquet`` of its output — not the stateful
+    micro-batch plan that executed inside the trigger. Here every
+    StreamingQuery any graded stream_* row starts is intercepted (its
+    ``awaitTermination`` records the handle), and after the row completes
+    each query's last EXECUTED micro-batch plan (``streaming_plan_text``
+    — state-store exchanges and all) goes through the same linter. Every
+    captured kernel must be free of error-level findings, and the
+    capture must actually have seen every stream_* row (a silent
+    no-capture pass would be vacuous)."""
+    from pyspark.sql.streaming import StreamingQuery
+
+    from summingbird_spark.lint import lint_plan, streaming_plan_text
+
+    seen: list = []
+    orig = StreamingQuery.awaitTermination
+
+    def record(self, timeout=None):
+        if self not in seen:
+            seen.append(self)
+        return orig(self, timeout)
+
+    monkeypatch.setattr(StreamingQuery, "awaitTermination", record)
+
+    stream_rows = [n for n in QUERIES if n.startswith("stream_")]
+    assert len(stream_rows) >= 10
+    violations, captured = {}, {}
+    for name in stream_rows:
+        seen.clear()
+        QUERIES[name](spark, SF).collect()
+        assert seen, f"{name} started no StreamingQuery the hook saw"
+        for i, q in enumerate(seen):
+            try:
+                text = streaming_plan_text(q)
+            except Exception as e:
+                violations[f"{name}[{i}]"] = [f"plan capture failed: {e!r:.120}"]
+                continue
+            captured[f"{name}[{i}]"] = text
+            errs = [f for f in lint_plan(None, plan=text) if f.level == "error"]
+            if errs:
+                violations[f"{name}[{i}]"] = [str(f) for f in errs]
+    assert not violations, f"streaming micro-batch lint violations: {violations}"
+    # the micro-batch plans really are the stateful kernels, not scans
+    assert any(
+        "WithState" in t or "StateStore" in t or "SessionWindowStateStore" in t
+        for t in captured.values()
+    )

@@ -2466,7 +2466,10 @@ def test_summer_key_buckets_auto_sizes_from_cardinality(spark, tmp_path):
     assert chosen["small"] != chosen["large"]
 
     # a source with no batch twin (plain g.Source over readStream) falls
-    # back to the static default with a warning, never crashes the plan
+    # back to the static default SILENTLY (logged once at INFO, never a
+    # RuntimeWarning — VERDICT r15 item 6: it is the documented default
+    # for unmeasurable sources, and resumes were warning on every start),
+    # never crashes the plan, and still records the resolved layout
     from summingbird_spark.core import graph as g
 
     def raw_loader(sp):
@@ -2477,7 +2480,10 @@ def test_summer_key_buckets_auto_sizes_from_cardinality(spark, tmp_path):
     with w.catch_warnings(record=True) as rec:
         w.simplefilter("always")
         pl2.plan(_pipeline(raw))
-    assert any("auto" in str(x.message) for x in rec)
+    assert not any(isinstance(x.message, RuntimeWarning) for x in rec)
+    assert pl2.resolved_key_buckets == [
+        {"keys": ["key"], "key_buckets": 64, "auto": True}
+    ]
 
     # 'auto' resolves for the temporal services too (state keyed by the
     # join key → left-side cardinality probe); tiny corpus floors at 8
