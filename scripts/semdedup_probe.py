@@ -8,7 +8,9 @@ id — no RNG state, layout-independent), runs the full pipeline
 (k-means train → assign → blocked within-cluster scan) at each factor,
 and prints wall times, the scaling exponent, and driver RSS.
 
-Usage: python scripts/semdedup_probe.py [factors ...]   (default 1 10)
+Usage: python scripts/semdedup_probe.py [assigner] [factors ...]
+(default: hierarchical 1 10; pass 'partitioned' to probe the
+no-driver-matrix assigner — same routing, member centroids cogrouped)
 """
 
 from __future__ import annotations
@@ -60,7 +62,12 @@ def synth(spark, n: int):
 
 
 def main() -> None:
-    factors = [int(a) for a in sys.argv[1:]] or [1, 10]
+    args = sys.argv[1:]
+    assigner = "hierarchical"
+    if args and not args[0].isdigit():
+        assigner = args[0]
+        args = args[1:]
+    factors = [int(a) for a in args] or [1, 10]
     from pyspark.sql import SparkSession
 
     spark = (
@@ -89,6 +96,7 @@ def main() -> None:
             out = semantic_dedup(
                 emb, threshold=0.995, k_clusters=k, n_iter=4,
                 sample_fraction=min(1.0, 50_000 / n),
+                assigner=assigner,
             )
             from pyspark.sql import functions as F
 
@@ -98,7 +106,7 @@ def main() -> None:
             ).first()
             ts.append(time.perf_counter() - t0)
         rows.append((f, n, k, min(ts), stats["rows"], stats["dropped"], rss_mb()))
-        print(f"factor {f}: n={n} k={k} wall={min(ts):.2f}s "
+        print(f"[{assigner}] factor {f}: n={n} k={k} wall={min(ts):.2f}s "
               f"(runs: {', '.join(f'{t:.2f}' for t in ts)}) "
               f"rows={stats['rows']} dropped={stats['dropped']} "
               f"rss={rss_mb():.0f}MiB", flush=True)

@@ -923,6 +923,7 @@ def semantic_dedup(
     block_rows: int = 1024,
     max_cluster_size: Optional[int] = None,
     on_unassigned: str = "error",
+    assigner: str = "hierarchical",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then mark as duplicates documents whose cosine to
@@ -971,7 +972,11 @@ def semantic_dedup(
 
     Scale shape: one k-means (sample-bounded), one broadcast assign, one
     shuffle on centroid_id, one blocked BLAS pass per cluster. Nothing
-    touches the driver but the k×dim centroids.
+    touches the driver but the k×dim centroids — and past
+    ``ivf_assign_hierarchical``'s driver ceiling (k·dim·8 bytes >
+    ``max_centroid_bytes``), ``assigner='partitioned'`` swaps in
+    ``ivf_assign_partitioned`` (identical assignments, member centroids
+    kept distributed, only ~√k supers driver-side).
 
     ``max_cluster_size`` is the 100 TB guard for PATHOLOGICAL clusters
     (the same trade ``minhash_candidates``' ``max_bucket_size`` makes
@@ -989,13 +994,21 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
-    from .similarity import ivf_assign_hierarchical, kmeans_train
+    from .similarity import (
+        ivf_assign_hierarchical,
+        ivf_assign_partitioned,
+        kmeans_train,
+    )
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1]; got {threshold!r}")
     if on_unassigned not in ("error", "keep"):
         raise ValueError(
             f"on_unassigned must be 'error' or 'keep'; got {on_unassigned!r}"
+        )
+    if assigner not in ("hierarchical", "partitioned"):
+        raise ValueError(
+            f"assigner must be 'hierarchical' or 'partitioned'; got {assigner!r}"
         )
     valid = corpus.where(F.col(vec_col).isNotNull())
     unassigned: Optional[DataFrame] = None
@@ -1042,10 +1055,14 @@ def semantic_dedup(
         # materializes the n x k crossJoin — quadratic under k ∝ n (this
         # function's documented sizing); the hierarchical assigner routes
         # super -> member subset in one shuffle-free mapInPandas pass
-        # (falls back to flat below ~64 clusters)
-        assigned = ivf_assign_hierarchical(
-            valid, centroids, id_col=id_col, vec_col=vec_col
+        # (falls back to flat below ~64 clusters). assigner='partitioned'
+        # swaps in the no-driver-matrix layout (identical assignments)
+        # for k past hierarchical's max_centroid_bytes ceiling.
+        assign_fn = (
+            ivf_assign_partitioned if assigner == "partitioned"
+            else ivf_assign_hierarchical
         )
+        assigned = assign_fn(valid, centroids, id_col=id_col, vec_col=vec_col)
 
     # id typing follows the input (bigint ids stay bigint, string ids —
     # e.g. digests — order lexicographically, matching min-id SQL)

@@ -584,3 +584,15 @@ def test_ivf_assign_partitioned_matches_hierarchical(spark):
         ivf_assign_partitioned(withnull, cent, "vec_id", "embedding").collect()
     with pytest.raises(ValueError, match="salt"):
         ivf_assign_partitioned(df, cent, "vec_id", "embedding", salt=0)
+
+    # the curation verb composes with it: same decisions either way
+    from summingbird_spark.functions.dedup import semantic_dedup
+
+    sd_h = {r.vec_id: (r.centroid_id, r.is_survivor) for r in semantic_dedup(
+        df, 0.98, k_clusters=100, centroids=cent).collect()}
+    sd_p = {r.vec_id: (r.centroid_id, r.is_survivor) for r in semantic_dedup(
+        df, 0.98, k_clusters=100, centroids=cent,
+        assigner="partitioned").collect()}
+    assert sd_p == sd_h
+    with pytest.raises(ValueError, match="assigner"):
+        semantic_dedup(df, 0.98, k_clusters=4, assigner="flat")
