@@ -1063,6 +1063,69 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# r16 variant twin of semantic_dedup: the SAME witness contract through
+# the PARTITIONED assigner (ivf_assign_partitioned — no driver-side
+# member matrix; the layout past hierarchical's max_centroid_bytes
+# ceiling). k_clusters=96 > the two-level cutoff (64) so the cogrouped
+# super->member path really executes at every SF (measured: k_used=96,
+# drops 19/8/119 at sf0.001/0.01/0.1 — dropped_any non-degenerate).
+# Clusters are trained IN-PLAN (the k=32 ANN artifact is a different
+# quantization), so this row also grades kmeans_train end-to-end at
+# large k. Born below-window (one-swap discipline spent on
+# semantic_dedup itself this round).
+@query(
+    "semantic_dedup_partitioned",
+    """
+    SELECT (SELECT count(*) FROM embeddings) AS n_rows,
+           TRUE AS dropped_any, TRUE AS witnesses_verified,
+           TRUE AS sims_exact
+    """,
+)
+def q_semantic_dedup_partitioned(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup through ``ivf_assign_partitioned`` (functions/similarity):
+    spherical k-means at k=96 (two-level routing engaged), min-id
+    survivors at cosine >= 0.4, every drop's witness cosine re-verified
+    in-plan — the same falsifiable contract as ``semantic_dedup``, over
+    the assigner that holds NOTHING driver-side but the ~sqrt(k)
+    supers."""
+    from .functions.dedup import semantic_dedup
+    from .functions.similarity import cosine as _cos
+
+    emb = load_table(spark, sf, "embeddings")
+    sd = semantic_dedup(
+        emb, threshold=0.4, k_clusters=96, n_iter=4, sample_fraction=None,
+        assigner="partitioned",
+    )
+    a = emb.select(F.col("vec_id").alias("__ia__"), F.col("embedding").alias("__va__"))
+    b = emb.select(F.col("vec_id").alias("__ib__"), F.col("embedding").alias("__vb__"))
+    witnessed = (
+        sd.where(F.col("nearest_prior_id").isNotNull())
+        .join(a, F.col("vec_id") == F.col("__ia__"))
+        .join(b, F.col("nearest_prior_id") == F.col("__ib__"))
+        .select(
+            "vec_id", "nearest_prior_id", "nearest_prior_sim", "is_survivor",
+            _cos(F.col("__va__"), F.col("__vb__")).alias("__recos__"),
+        )
+    )
+    checks = witnessed.agg(
+        F.min(
+            F.when(
+                ~F.col("is_survivor"),
+                (F.col("__recos__") >= 0.4)
+                & (F.col("nearest_prior_id") < F.col("vec_id")),
+            ).otherwise(True)
+        ).alias("witnesses_verified"),
+        F.min(
+            F.abs(F.col("__recos__") - F.col("nearest_prior_sim")) < 1e-9
+        ).alias("sims_exact"),
+        F.max(~F.col("is_survivor")).alias("dropped_any"),
+    )
+    total = sd.agg(F.count(F.lit(1)).alias("n_rows"))
+    return total.crossJoin(checks).select(
+        "n_rows", "dropped_any", "witnesses_verified", "sims_exact"
+    )
+
+
 # IVF ANN graded by RECALL CONTRACT: this corpus's embeddings are only
 # weakly clusterable, so per-row equality with the exact result would be
 # dishonest for a 25%-scan probe (measured mean recall@5: 0.60-0.69 across
