@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame
 __all__ = [
     "Finding", "PlanScaleError", "lint_plan", "assert_scalable",
     "streaming_plan_text", "lint_streaming_query",
+    "attach_streaming_lint",
 ]
 
 ERROR = "error"
@@ -109,6 +110,75 @@ def lint_streaming_query(query) -> list[Finding]:
     """``lint_plan`` over a (possibly terminated) StreamingQuery's last
     executed micro-batch plan."""
     return lint_plan(None, plan=streaming_plan_text(query))
+
+
+def attach_streaming_lint(spark, on_error: str = "warn"):
+    """Runtime guard: a ``StreamingQueryListener`` that lints every
+    streaming query's EXECUTED micro-batch plan once, at its first
+    progress event — the always-on deployment counterpart of the
+    run-then-audit pattern (a long-lived job should not need a test
+    harness to notice it shipped a cartesian or a row-at-a-time UDF
+    into its trigger)::
+
+        listener = attach_streaming_lint(spark)   # before .start()
+        ...
+        listener.findings        # {query_id: [Finding, ...]}
+        spark.streams.removeListener(listener)    # detach
+
+    ``on_error='warn'`` (default) emits a ``RuntimeWarning`` naming the
+    query and its error-level findings; ``'log'`` records them in
+    ``listener.findings`` only. Raising is deliberately NOT offered:
+    the listener bus is asynchronous — an exception there cannot fail
+    the query, only kill the listener — so the enforcement posture is
+    observe-and-alarm (gate hard in CI with
+    ``lint_streaming_query``/``assert_scalable`` instead). Queries too
+    short-lived to emit a progress event while active (a drained
+    ``availableNow`` run) are missed here — lint those post-hoc with
+    ``lint_streaming_query(q)``."""
+    import warnings
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    if on_error not in ("warn", "log"):
+        raise ValueError(f"on_error must be 'warn' or 'log'; got {on_error!r}")
+
+    class _LintListener(StreamingQueryListener):
+        def __init__(self):
+            self.findings: dict = {}
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            qid = str(event.progress.id)
+            if qid in self.findings:
+                return
+            try:
+                q = spark.streams.get(qid)
+                if q is None:
+                    return
+                fs = lint_streaming_query(q)
+            except Exception:  # noqa: BLE001 — a lint failure must never
+                return         # disturb the listener bus or the query
+            self.findings[qid] = fs
+            errs = [f for f in fs if f.level == ERROR]
+            if errs and on_error == "warn":
+                name = event.progress.name or qid
+                warnings.warn(
+                    f"streaming query {name!r}: micro-batch plan has scale "
+                    "hazards:\n  " + "\n  ".join(map(str, errs)),
+                    RuntimeWarning,
+                )
+
+    listener = _LintListener()
+    spark.streams.addListener(listener)
+    return listener
 
 
 def lint_plan(df: DataFrame | None, plan: str | None = None) -> list[Finding]:

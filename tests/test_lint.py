@@ -116,3 +116,47 @@ def test_pushdown_warn_on_captured_plan_text():
     assert "pushdown" in {f.code for f in lint_plan(None, plan=plan)}
     ok = plan.replace("PushedFilters: []", "PushedFilters: [IsNotNull(text)]")
     assert "pushdown" not in {f.code for f in lint_plan(None, plan=ok)}
+
+
+def test_attach_streaming_lint_flags_runtime_python_udf(spark, tmp_path):
+    """The runtime guard (r16): attach_streaming_lint lints each
+    streaming query's EXECUTED micro-batch plan at its first progress
+    event — a row-at-a-time F.udf smuggled into a trigger is flagged as
+    an error-level python-udf finding without disturbing the query.
+    Bad on_error values refuse eagerly."""
+    import time
+
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    from summingbird_spark.lint import attach_streaming_lint
+
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [("a", 1), ("b", 2)], "k string, v long"
+    ).coalesce(1).write.parquet(str(src))
+
+    listener = attach_streaming_lint(spark, on_error="log")
+    try:
+        bad = F.udf(lambda s: s.upper(), StringType())
+        q = (
+            spark.readStream.schema("k string, v long").parquet(str(src))
+            .select(bad("k").alias("K"), "v")
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        deadline = time.time() + 90
+        while time.time() < deadline and not listener.findings:
+            time.sleep(0.25)
+        q.stop()
+        assert listener.findings, "listener never linted a progress event"
+        fs = next(iter(listener.findings.values()))
+        assert any(f.code == "python-udf" and f.level == "error" for f in fs)
+    finally:
+        spark.streams.removeListener(listener)
+
+    with pytest.raises(ValueError, match="on_error"):
+        attach_streaming_lint(spark, on_error="raise")
