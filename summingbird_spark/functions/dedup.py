@@ -1147,3 +1147,178 @@ def semantic_dedup(
             )
         )
     return out
+
+
+def semantic_dedup_increment(
+    spark,
+    residents_dir: str,
+    increment_id: int,
+    new_batch: DataFrame,
+    threshold: float,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 1024,
+    assigner: str = "hierarchical",
+) -> DataFrame:
+    """Cross-batch (incremental) SemDeDup — the semantic twin of
+    ``incremental_dedup``'s digest rollforward: each ingest increment is
+    deduplicated against everything already seen WITHOUT rescanning the
+    prior corpus pairwise.
+
+    State is the RESIDENTS table under ``residents_dir`` — one row
+    (id, vector, centroid) per previously-seen document, appended as
+    ``increment=<id>/`` parquet partitions. Dropped documents stay
+    residents: SemDeDup's witness is the nearest EARLIER document
+    regardless of its own survival, so one-shot equivalence requires
+    comparing against all seen rows, not just survivors. The table is
+    the same size as the IVF ``assigned`` artifact plus vectors — disk,
+    never memory.
+
+    Semantics are MIN-ID, identical to ``semantic_dedup``: a new row is
+    dropped iff some SEEN row with a SMALLER id in the same cluster
+    reaches ``threshold``. When ids arrive nondecreasing across
+    increments (append-only corpora with monotone ids — the same
+    convention ``pack_shards`` append-stability leans on), running k
+    increments is EXACTLY the one-shot ``semantic_dedup`` over the
+    union, witnesses included (property-tested). With out-of-order
+    arrivals the already-emitted decisions of earlier increments are
+    never revised (a later smaller-id arrival cannot retroactively drop
+    them — recompute one-shot if that matters), and a seen row with a
+    LARGER id never drops a new row (the mask is by id, not arrival).
+
+    Scale shape: the within-cluster scan scores ONLY the new rows —
+    Θ(N·(R+N)/k) per increment, N = new rows, R = residents — never the
+    residents' own pairs again; one shuffle on centroid_id for the scan
+    plus the per-batch assignment. ``centroids`` is REQUIRED and must be
+    the SAME table every increment (a per-increment k-means would shift
+    cluster boundaries and silently change which pairs ever meet);
+    persist it once (``ensure_ivf_index``) like any index. Re-running an
+    increment is IDEMPOTENT: its partition is overwritten and reads see
+    only ``increment < increment_id``. NULL vectors pass through as
+    survivors (NULL centroid) and never become residents.
+
+    Returns the usual decision table for THE NEW BATCH ONLY::
+
+        (<id_col>, centroid_id, is_survivor,
+         nearest_prior_id, nearest_prior_sim)
+
+    The residents write happens eagerly at call time (this is a
+    state-advancing step, like ``rollforward``); the returned decisions
+    are lazy and depend only on increments before this one.
+    """
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import ivf_assign_hierarchical, ivf_assign_partitioned
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]; got {threshold!r}")
+    if assigner not in ("hierarchical", "partitioned"):
+        raise ValueError(
+            f"assigner must be 'hierarchical' or 'partitioned'; got {assigner!r}"
+        )
+    if centroids is None:
+        raise ValueError(
+            "semantic_dedup_increment requires a FIXED centroids table "
+            "(persist one, e.g. ensure_ivf_index): per-increment k-means "
+            "would shift cluster boundaries between increments."
+        )
+    increment_id = int(increment_id)
+
+    valid = new_batch.where(F.col(vec_col).isNotNull())
+    assign_fn = (
+        ivf_assign_partitioned if assigner == "partitioned"
+        else ivf_assign_hierarchical
+    )
+    assigned = assign_fn(valid, centroids, id_col=id_col, vec_col=vec_col)
+    new_rows = assigned.select(id_col, vec_col, "centroid_id")
+
+    # advance state FIRST (eager, idempotent overwrite of own partition);
+    # reads below filter to strictly-earlier increments, so a re-run of
+    # this same increment sees exactly the state it saw the first time
+    part = os.path.join(residents_dir, f"increment={increment_id}")
+    new_rows.write.mode("overwrite").parquet(part)
+
+    id_ddl = new_batch.schema[id_col].dataType.simpleString()
+    id_is_int = id_ddl in ("tinyint", "smallint", "int", "bigint", "long")
+    try:
+        residents = (
+            spark.read.parquet(residents_dir)
+            .where(F.col("increment") < increment_id)
+            .select(id_col, vec_col, "centroid_id")
+        )
+    except Exception:  # first increment: nothing seen yet
+        residents = None
+
+    union = new_rows.withColumn("__new__", F.lit(True))
+    if residents is not None:
+        union = union.unionByName(
+            residents.withColumn("__new__", F.lit(False))
+        )
+
+    out_schema = (
+        f"{id_col} {id_ddl}, centroid_id int, is_survivor boolean, "
+        f"nearest_prior_id {id_ddl}, nearest_prior_sim double"
+    )
+
+    def scan_new(key, pdf):
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        newm = pdf["__new__"].to_numpy()
+        pos_new = np.nonzero(newm)[0]
+        n_new = len(pos_new)
+        empty = pd.DataFrame({
+            id_col: pd.array([], dtype="Int64" if id_is_int else "object"),
+            "centroid_id": pd.array([], dtype="Int32"),
+            "is_survivor": pd.array([], dtype="boolean"),
+            "nearest_prior_id": pd.array(
+                [], dtype="Int64" if id_is_int else "object"),
+            "nearest_prior_sim": pd.array([], dtype="Float64"),
+        })
+        if n_new == 0:
+            return empty
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        best_sim = np.full(n_new, np.nan)
+        best_j = np.zeros(n_new, dtype=np.int64)
+        # blocked: score ONLY new rows, each against the id-sorted prefix
+        # of ALL seen rows — N x (R+N) work, never residents' own pairs
+        for b in range(0, n_new, block_rows):
+            sel = pos_new[b:b + block_rows]
+            e = int(sel.max()) + 1
+            S = X[sel] @ X[:e].T                       # (|sel|, e)
+            col = np.arange(e)
+            S[col[None, :] >= sel[:, None]] = -np.inf  # strict j < i
+            j = np.argmax(S, axis=1)
+            best_sim[b:b + len(sel)] = S[np.arange(len(sel)), j]
+            best_j[b:b + len(sel)] = j
+        first = ~np.isfinite(best_sim)
+        prior_id = pd.array(
+            ids[best_j], dtype="Int64" if id_is_int else "object"
+        )
+        prior_sim = pd.array(best_sim, dtype="Float64")
+        prior_id[first] = pd.NA
+        prior_sim[first] = pd.NA
+        return pd.DataFrame({
+            id_col: ids[pos_new],
+            "centroid_id": np.full(n_new, key[0], dtype=np.int32),
+            "is_survivor": first | (best_sim < threshold),
+            "nearest_prior_id": prior_id,
+            "nearest_prior_sim": prior_sim,
+        })
+
+    scanned = union.groupBy("centroid_id").applyInPandas(scan_new, out_schema)
+    nulls = (
+        new_batch.where(F.col(vec_col).isNull())
+        .select(
+            F.col(id_col),
+            F.lit(None).cast("int").alias("centroid_id"),
+            F.lit(True).alias("is_survivor"),
+            F.lit(None).cast(id_ddl).alias("nearest_prior_id"),
+            F.lit(None).cast("double").alias("nearest_prior_sim"),
+        )
+    )
+    return scanned.unionByName(nulls)

@@ -1137,6 +1137,84 @@ def q_semantic_dedup_partitioned(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# r16: cross-batch SemDeDup graded by its ONE-SHOT EQUIVALENCE contract
+# (the same falsifiable style as incremental_dedup's rollforward vs
+# one-shot SQL): three semantic_dedup_increment steps over id-ordered
+# thirds of the embeddings — each scoring ONLY its own rows against the
+# residents table — must reproduce the one-shot semantic_dedup decisions
+# over the whole corpus EXACTLY (ids, survivors, witnesses; sims to
+# 1e-9). The residents state lives in a corpus-fingerprinted temp dir
+# (idempotent overwrite per increment), centroids come from the
+# persisted k=32 artifact — a FIXED quantization across increments, the
+# operator's documented requirement. Born below-window.
+@query(
+    "incremental_semantic_dedup",
+    """
+    SELECT (SELECT count(*) FROM embeddings) AS n_rows,
+           TRUE AS matches_one_shot, TRUE AS dropped_any
+    """,
+)
+def q_incremental_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental SemDeDup (functions/dedup.semantic_dedup_increment):
+    each ingest increment deduplicates against everything seen via the
+    residents table — Θ(N·(R+N)/k) per increment, never a corpus
+    rescan — and with monotone ids the k-step composition equals the
+    one-shot scan exactly (graded here, in-plan, at full witness
+    granularity)."""
+    import hashlib
+    import os
+    import tempfile
+    from functools import reduce
+
+    from .functions.dedup import semantic_dedup, semantic_dedup_increment
+    from .functions.similarity import ensure_ivf_index
+    from .sources.tables import corpus_fingerprint
+
+    fp = corpus_fingerprint(os.path.join(sf, "embeddings.parquet"))
+    root = os.path.join(
+        tempfile.gettempdir(), "summingbird_spark_incsem",
+        hashlib.md5(f"{sf}|{fp}".encode()).hexdigest()[:12],
+    )
+    centroids, _ = ensure_ivf_index(spark, sf, k=32, n_iter=5, sample_fraction=0.5)
+    emb = load_table(spark, sf, "embeddings")
+    hi = emb.agg(F.max("vec_id")).first()[0] or 0
+    cut1, cut2 = hi // 3, (2 * hi) // 3
+    parts = [
+        emb.where(F.col("vec_id") <= cut1),
+        emb.where((F.col("vec_id") > cut1) & (F.col("vec_id") <= cut2)),
+        emb.where(F.col("vec_id") > cut2),
+    ]
+    inc = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            semantic_dedup_increment(spark, root, i, batch, 0.4, centroids)
+            for i, batch in enumerate(parts)
+        ],
+    )
+    one = semantic_dedup(emb, threshold=0.4, k_clusters=32, centroids=centroids)
+    # INNER equi-join (broadcastable; full outer would force a
+    # BroadcastNestedLoopJoin on small sides): a row missing from either
+    # side shrinks the count below the oracle's n_rows pin — missing
+    # rows are caught by the row-count gate, mismatched rows by the min
+    j = inc.alias("i").join(one.alias("o"), "vec_id")
+    same_row = (
+        (F.col("i.is_survivor") == F.col("o.is_survivor"))
+        & (F.col("i.centroid_id").eqNullSafe(F.col("o.centroid_id")))
+        & (F.col("i.nearest_prior_id").eqNullSafe(F.col("o.nearest_prior_id")))
+        & (
+            (F.col("i.nearest_prior_sim").isNull()
+             & F.col("o.nearest_prior_sim").isNull())
+            | (F.abs(F.col("i.nearest_prior_sim")
+                     - F.col("o.nearest_prior_sim")) < 1e-9)
+        )
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(same_row).alias("matches_one_shot"),
+        F.max(~F.col("o.is_survivor")).alias("dropped_any"),
+    )
+
+
 # IVF ANN graded by RECALL CONTRACT: this corpus's embeddings are only
 # weakly clusterable, so per-row equality with the exact result would be
 # dishonest for a 25%-scan probe (measured mean recall@5: 0.60-0.69 across

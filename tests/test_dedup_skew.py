@@ -596,3 +596,74 @@ def test_ivf_assign_partitioned_matches_hierarchical(spark):
     assert sd_p == sd_h
     with pytest.raises(ValueError, match="assigner"):
         semantic_dedup(df, 0.98, k_clusters=4, assigner="flat")
+
+
+def test_semantic_dedup_increment_equals_one_shot(spark, tmp_path):
+    """The incremental contract (r16): with monotone ids across
+    increments and a FIXED centroid table, k increments of
+    semantic_dedup_increment produce EXACTLY the one-shot
+    semantic_dedup decisions over the union — survivors, witnesses and
+    sims included — while each increment scores only its own rows.
+    Re-running the last increment is idempotent; NULL vectors pass
+    through and never become residents; missing centroids refuse."""
+    import random
+
+    import pytest
+
+    from summingbird_spark.functions.dedup import (
+        semantic_dedup,
+        semantic_dedup_increment,
+    )
+    from summingbird_spark.functions.similarity import kmeans_train
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(120):
+        base = [rng.gauss(0, 1) for _ in range(8)]
+        rows.append((i * 2, [float(x) for x in base]))
+        if i % 5 == 0:  # near-dup of the previous row, larger id
+            rows.append((i * 2 + 1, [float(x + rng.gauss(0, 0.005)) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = kmeans_train(df, 8, n_iter=3)
+
+    def canon(out):
+        return {
+            r.vec_id: (r.centroid_id, r.is_survivor, r.nearest_prior_id,
+                       None if r.nearest_prior_sim is None
+                       else round(r.nearest_prior_sim, 9))
+            for r in out.collect()
+        }
+
+    one_shot = canon(semantic_dedup(df, 0.95, k_clusters=8, centroids=cent))
+
+    root = str(tmp_path / "residents")
+    got = {}
+    cuts = [(0, 80), (80, 160), (160, 10**9)]
+    for inc, (lo, hi) in enumerate(cuts):
+        batch = df.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        got.update(canon(semantic_dedup_increment(
+            spark, root, inc, batch, 0.95, cent)))
+    assert got == one_shot
+    assert sum(1 for v in got.values() if not v[1]) >= 10  # non-degenerate
+
+    # idempotent re-run of the LAST increment: same decisions, and the
+    # other increments' rows are untouched
+    last = df.where(F.col("vec_id") >= 160)
+    again = canon(semantic_dedup_increment(spark, root, 2, last, 0.95, cent))
+    assert again == {k: v for k, v in one_shot.items() if k >= 160}
+
+    # NULL vectors: survivor, NULL centroid, never a resident
+    nul = spark.createDataFrame(
+        [(10_001, None)], "vec_id long, embedding array<float>"
+    )
+    out = canon(semantic_dedup_increment(spark, root, 3, nul, 0.95, cent))
+    assert out == {10_001: (None, True, None, None)}
+    residents = spark.read.parquet(root)
+    assert residents.where("vec_id = 10001").count() == 0
+    # all prior valid rows ARE residents (dropped ones included)
+    assert residents.where("increment < 3").count() == df.count()
+
+    with pytest.raises(ValueError, match="centroids"):
+        semantic_dedup_increment(spark, root, 4, df, 0.95, None)
+    with pytest.raises(ValueError, match="assigner"):
+        semantic_dedup_increment(spark, root, 4, df, 0.95, cent, assigner="x")

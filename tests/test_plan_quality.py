@@ -425,6 +425,12 @@ def test_every_registered_query_lints_scalable(spark):
       distinct-probe-users (both broadcast distinct-aggregates of
       bounded universes); the graded bloom path itself is the broadcast
       bitset equi-join.
+    * incremental_semantic_dedup — its in-plan assignment at k=32 takes
+      the flat ivf_assign path (below the two-level cutoff): a
+      crossJoin against the BROADCAST 32-row centroid table — Θ(n·k)
+      with k bounded by the quantizer, the module's documented
+      small-k shape (large k routes through the hierarchical/
+      partitioned assigners, which are crossJoin-free).
     """
     from summingbird_spark.lint import lint_plan
 
@@ -432,6 +438,7 @@ def test_every_registered_query_lints_scalable(spark):
         "embedding_cosine_topk": {"cartesian"},
         "embedding_ivf_topk": {"cartesian"},
         "bloom_membership": {"cartesian"},
+        "incremental_semantic_dedup": {"cartesian"},
     }
     violations = {}
     for name, fn in QUERIES.items():
