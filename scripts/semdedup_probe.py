@@ -10,7 +10,12 @@ and prints wall times, the scaling exponent, and driver RSS.
 
 Usage: python scripts/semdedup_probe.py [assigner] [factors ...]
 (default: hierarchical 1 10; pass 'partitioned' to probe the
-no-driver-matrix assigner — same routing, member centroids cogrouped)
+no-driver-matrix assigner — same routing, member centroids cogrouped;
+pass 'incremental' to probe semantic_dedup_increment — the corpus is
+split into 4 id-ordered increments against a residents dir and each
+increment's wall is reported separately: the claim under test is that
+per-increment cost stays ~flat as residents accumulate, i.e.
+Θ(N·(R+N)/k) with k ∝ total corpus, not a rescan)
 """
 
 from __future__ import annotations
@@ -61,6 +66,56 @@ def synth(spark, n: int):
     )
 
 
+def _incremental_probe(spark, factors) -> None:
+    """Per-increment wall of semantic_dedup_increment as residents
+    accumulate: 4 equal id-ordered increments of a factor-F corpus,
+    fixed k ∝ total. Flat per-increment walls = the Θ(N·(R+N)/k) claim;
+    a growing tail would mean the scan is secretly rescanning
+    residents' own pairs."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from summingbird_spark.functions.dedup import semantic_dedup_increment
+    from summingbird_spark.functions.similarity import kmeans_train
+
+    for f in factors:
+        n = BASE_N * f
+        k = max(16, n // TARGET_CLUSTER)
+        emb = synth(spark, n)
+        cent = kmeans_train(
+            emb, k, n_iter=4, sample_fraction=min(1.0, 50_000 / n)
+        )
+        # persist the quantizer like a real deployment (cost excluded —
+        # the probe measures the increments)
+        cent = spark.createDataFrame(cent.collect(), cent.schema)
+        root = tempfile.mkdtemp(prefix="sbspark-incsem-probe-")
+        walls = []
+        dropped = 0
+        q = n // 4
+        for i in range(4):
+            lo, hi = i * q, (i + 1) * q if i < 3 else n
+            batch = emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            t0 = time.perf_counter()
+            out = semantic_dedup_increment(
+                spark, root, i, batch, 0.995, cent
+            )
+            d = out.agg(
+                F.sum((~F.col("is_survivor")).cast("long"))
+            ).first()[0] or 0
+            walls.append(time.perf_counter() - t0)
+            dropped += int(d)
+            print(f"[incremental] factor {f} inc {i}: rows={hi - lo} "
+                  f"residents={lo} wall={walls[-1]:.2f}s dropped+= {d} "
+                  f"rss={rss_mb():.0f}MiB", flush=True)
+        shutil.rmtree(root, ignore_errors=True)
+        ratio = walls[-1] / walls[0] if walls[0] > 0 else float("nan")
+        print(f"[incremental] factor {f}: n={n} k={k} walls="
+              f"{', '.join(f'{w:.2f}' for w in walls)} "
+              f"last/first={ratio:.2f} total_dropped={dropped}", flush=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     assigner = "hierarchical"
@@ -83,6 +138,11 @@ def main() -> None:
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.range(1000).mapInPandas(lambda it: it, "id long").count()
+
+    if assigner == "incremental":
+        _incremental_probe(spark, factors)
+        spark.stop()
+        return
 
     rows = []
     for f in factors:
