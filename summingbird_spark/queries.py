@@ -5400,6 +5400,144 @@ def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _chunked_embeddings_src(spark: SparkSession, sf: str):
+    """Staging for the graded ONLINE-SemDeDup row: the embeddings table
+    split into 3 id-ordered chunk files (the same vec_id thirds as
+    `incremental_semantic_dedup`) with mtimes in id order — one
+    micro-batch per third under maxFilesPerTrigger=1, ids nondecreasing
+    across batches (the operator's one-shot-equivalence convention).
+    Content-fingerprint cached like `_chunked_events_src`."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from .sources.tables import corpus_fingerprint
+
+    fp = corpus_fingerprint(os.path.join(sf, "embeddings.parquet"))[:12]
+    src_dir = os.path.join(tempfile.gettempdir(), f"sbspark-semdd-src1-{fp}")
+    if not os.path.exists(os.path.join(src_dir, "_SUCCESS")):
+        stage = tempfile.mkdtemp(prefix="sbspark-semdd-stage-")
+        emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+        hi = emb.agg(F.max("vec_id")).first()[0] or 0
+        cut1, cut2 = hi // 3, (2 * hi) // 3
+        parts = [
+            emb.where(F.col("vec_id") <= cut1),
+            emb.where((F.col("vec_id") > cut1) & (F.col("vec_id") <= cut2)),
+            emb.where(F.col("vec_id") > cut2),
+        ]
+        out = os.path.join(stage, "src")
+        os.makedirs(out)
+        t0 = _time.time() - 1000
+        for i, p in enumerate(parts):
+            tmp = os.path.join(stage, f"w{i}")
+            p.coalesce(1).write.parquet(tmp)
+            dst = os.path.join(out, f"chunk{i}.parquet")
+            shutil.move(glob.glob(tmp + "/*.parquet")[0], dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, times=(t0 + 10.0 * i, t0 + 10.0 * i))
+        with open(os.path.join(out, "_SUCCESS"), "w"):
+            pass
+        # crash-atomic publish (same discipline as _chunked_events_src)
+        try:
+            os.rename(out, src_dir)
+        except OSError:
+            if not os.path.exists(os.path.join(src_dir, "_SUCCESS")):
+                raise
+        shutil.rmtree(stage, ignore_errors=True)
+    return src_dir
+
+
+# r16: ONLINE SemDeDup under the one-shot equivalence contract — the
+# streaming member of the semantic-dedup family (semantic_dedup one-shot,
+# _increment cross-batch, _stream online). The embeddings replay as 3
+# id-ordered micro-batches through semantic_dedup_stream's per-centroid
+# resident state (applyInPandasWithState), cluster-assigned by a
+# broadcast STREAM-STATIC join against the persisted k=32 IVF artifact
+# (the zero-Python assignment path); the emitted decisions must equal
+# the one-shot semantic_dedup over the whole table EXACTLY — ids,
+# survivors, centroids, witnesses, sims to 1e-9 — the same falsifiable
+# grade as incremental_semantic_dedup, now through the streaming
+# engine's state lifecycle (state round-trips through pickle between
+# micro-batches; a lost or double-counted resident flips rows). Born
+# below-window (one-swap discipline spent on semantic_dedup this round).
+@query(
+    "stream_semantic_dedup",
+    """
+    SELECT (SELECT count(*) FROM embeddings) AS n_rows,
+           TRUE AS matches_one_shot, TRUE AS dropped_any
+    """,
+)
+def q_stream_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Online SemDeDup (streaming/dedup.semantic_dedup_stream): per-
+    centroid resident state, min-id drop at cosine >= 0.4, Θ(N·(R+N)/k)
+    per micro-batch — graded by exact one-shot equivalence over the
+    3-batch monotone-id replay (see contract comment above)."""
+    import tempfile
+
+    from .functions.dedup import semantic_dedup
+    from .functions.similarity import ensure_ivf_index
+    from .streaming.dedup import semantic_dedup_stream
+
+    _, assigned = ensure_ivf_index(spark, sf, k=32, n_iter=5, sample_fraction=0.5)
+    src_dir = _chunked_embeddings_src(spark, sf)
+    work = tempfile.mkdtemp(prefix="sbspark-stream-semdd-")
+
+    stream = (
+        spark.readStream
+        .schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = semantic_dedup_stream(stream, 0.4, assigned=assigned)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("append").parquet(f"{work}/out")
+            )
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming semantic dedup did not finish within 300s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    _publish_stream_metrics("stream_semantic_dedup", q)
+
+    streamed = spark.read.schema(
+        "vec_id bigint, centroid_id int, is_survivor boolean, "
+        "nearest_prior_id bigint, nearest_prior_sim double"
+    ).parquet(f"{work}/out")
+    emb = load_table(spark, sf, "embeddings")
+    one = semantic_dedup(emb, threshold=0.4, k_clusters=32, assigned=assigned)
+    # INNER equi-join (broadcastable): a row missing from either side
+    # shrinks the count below the oracle's n_rows pin; mismatched rows
+    # trip the min (same posture as incremental_semantic_dedup)
+    j = streamed.alias("s").join(one.alias("o"), "vec_id")
+    same_row = (
+        (F.col("s.is_survivor") == F.col("o.is_survivor"))
+        & (F.col("s.centroid_id").eqNullSafe(F.col("o.centroid_id")))
+        & (F.col("s.nearest_prior_id").eqNullSafe(F.col("o.nearest_prior_id")))
+        & (
+            (F.col("s.nearest_prior_sim").isNull()
+             & F.col("o.nearest_prior_sim").isNull())
+            | (F.abs(F.col("s.nearest_prior_sim")
+                     - F.col("o.nearest_prior_sim")) < 1e-9)
+        )
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(same_row).alias("matches_one_shot"),
+        F.max(~F.col("o.is_survivor")).alias("dropped_any"),
+    )
+
+
 @query(
     "stream_asof_running",
     """

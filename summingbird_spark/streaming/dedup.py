@@ -15,6 +15,14 @@ bounded STATE. Two policies:
 
 Dedup key defaults to a content digest so state rows are ~32 bytes, not
 documents.
+
+``semantic_dedup_stream`` is the SEMANTIC member of the family — online
+SemDeDup (Abbas et al. 2023, arXiv:2303.09540) with per-centroid
+resident state: each arriving embedding is scored against every
+already-seen same-cluster embedding and dropped when one with a SMALLER
+id reaches the cosine threshold, exactly the cross-batch contract of
+``functions.dedup.semantic_dedup_increment`` lifted onto
+``applyInPandasWithState``.
 """
 
 from __future__ import annotations
@@ -49,3 +57,305 @@ def dedup_stream(
     else:
         out = df.dropDuplicates(keys)
     return out.drop("__digest__") if text_col is not None else out
+
+
+def semantic_dedup_stream(
+    stream: DataFrame,
+    threshold: float,
+    centroids: Optional[DataFrame] = None,
+    assigned: Optional[DataFrame] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    time_col: Optional[str] = None,
+    watermark: Optional[str] = None,
+    on_unassigned: str = "error",
+    max_residents: Optional[int] = None,
+    block_rows: int = 1024,
+) -> DataFrame:
+    """Online SemDeDup — streaming cluster-scoped embedding dedup with
+    per-centroid RESIDENT state (the streaming twin of
+    ``functions.dedup.semantic_dedup_increment``, the way
+    ``dedup_stream`` is the streaming twin of ``exact_dedup``).
+
+    Each micro-batch row is quantized to its nearest centroid, then
+    scored against every already-seen same-cluster row: it is dropped
+    iff some SEEN row with a SMALLER id reaches ``threshold`` cosine
+    (min-id keep policy, the family convention). Dropped rows still
+    become residents — SemDeDup's witness is the nearest EARLIER row
+    regardless of its own survival — so with ids nondecreasing across
+    micro-batches the emitted decisions EQUAL the one-shot
+    ``semantic_dedup`` over the whole stream, witnesses included (the
+    same monotone-id equivalence ``semantic_dedup_increment`` is graded
+    by; out-of-order arrivals are never retroactively revised). The
+    scoring kernel is byte-identical math to the increment's
+    (id-sorted prefix, blocked masked matmul, first-max argmax).
+
+    Cluster assignment, one of:
+
+    * ``assigned=`` — a STATIC (id, centroid_id) table (the persisted
+      IVF artifact): a broadcast stream-static equi-join, zero Python in
+      the assignment path and exactness by construction.
+      ``on_unassigned`` matches the batch contract: ``'error'`` refuses
+      IN-PLAN on the first row the artifact predates (lazy codegen'd
+      ``raise_error``); ``'keep'`` routes such rows through as
+      survivors with a NULL centroid, like NULL vectors.
+    * ``centroids=`` — a (centroid_id, vector) table, collected ONCE at
+      plan time (k x dim doubles on the driver — the same bounded
+      posture as ``ivf_assign_hierarchical``'s broadcast; streaming k
+      is index-build-sized, tens to thousands) and applied per batch as
+      one Arrow-vectorized ``mapInPandas`` matmul-argmax with the flat
+      assigner's tie-break (first max = smallest centroid_id).
+
+    STATE is one resident set per centroid: ids + float64 vectors
+    (+ event-time ms when ``time_col`` is given), ~(8 + 8*dim) bytes per
+    seen row, sharded across executors by centroid. Two bounds:
+
+    * ``watermark`` (needs ``time_col``): residents whose event time
+      falls behind the query watermark are EVICTED at the start of each
+      batch — state is bounded by the horizon and a duplicate arriving
+      beyond it re-emits as a survivor (at-least-once dedup; the batch
+      layer's ``semantic_dedup`` reconciles, the reference's lambda
+      split). Mirrors ``dedup_stream``'s posture.
+    * ``max_residents`` — a per-cluster cap (the streaming analog of
+      ``semantic_dedup``'s ``max_cluster_size`` pathological-cluster
+      guard): when a cluster's residents exceed it, only the NEWEST
+      ``max_residents`` (by event time, then id) are kept, so a
+      boilerplate sink cannot grow one task's state without bound.
+      Duplicates of evicted residents go undetected — the standard
+      production trade.
+
+    NULL vectors pass through as survivors with a NULL centroid and
+    never enter state. Returns, in ``update`` output mode, one decision
+    row per input row::
+
+        (<id_col>, centroid_id, is_survivor,
+         nearest_prior_id, nearest_prior_sim[, <time_col>])
+
+    Scale shape: one stream-static broadcast join (or one shuffle-free
+    mapInPandas), ONE shuffle on centroid_id into the stateful scan,
+    Θ(N·(R+N)/k) flops per batch (N new rows, R residents) — never the
+    residents' own pairs again. Reference anchor: the reference's
+    online store multiMerge keyed by (K, BatchID)
+    (summingbird-storm/src/main/scala/com/twitter/summingbird/storm/
+    StormPlatform.scala) — here K = centroid, the merge = the resident
+    scan.
+    """
+    import pickle
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]; got {threshold!r}")
+    if (centroids is None) == (assigned is None):
+        raise ValueError("exactly one of centroids= / assigned=")
+    if on_unassigned not in ("error", "keep"):
+        raise ValueError(
+            f"on_unassigned must be 'error' or 'keep'; got {on_unassigned!r}"
+        )
+    if (watermark is not None) and time_col is None:
+        raise ValueError("watermark eviction needs time_col")
+    if max_residents is not None and max_residents < 1:
+        raise ValueError(f"max_residents must be >= 1; got {max_residents!r}")
+
+    id_ddl = stream.schema[id_col].dataType.simpleString()
+    id_is_int = id_ddl in ("tinyint", "smallint", "int", "bigint", "long")
+    tcols = [time_col] if time_col is not None else []
+
+    # ---- assignment: centroid_id onto every row (sentinel -1 = "no
+    # cluster": NULL vectors, and unassigned rows under 'keep')
+    if assigned is not None:
+        a = assigned.select(
+            F.col(id_col), F.col("centroid_id").alias("__cid__")
+        )
+        j = stream.join(F.broadcast(a), id_col, "left")
+        if on_unassigned == "error":
+            cid = F.when(
+                F.col(vec_col).isNull(), F.lit(-1)
+            ).when(
+                F.col("__cid__").isNotNull(), F.col("__cid__")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("semantic_dedup_stream: row "),
+                        F.col(id_col).cast("string"),
+                        F.lit(
+                            " is absent from the supplied `assigned` table"
+                            " (the artifact predates it). Rebuild the"
+                            " index, pass centroids= to assign in-stream,"
+                            " or on_unassigned='keep'."
+                        ),
+                    )
+                ).cast("int")
+            )
+        else:
+            cid = F.when(
+                F.col(vec_col).isNull() | F.col("__cid__").isNull(), F.lit(-1)
+            ).otherwise(F.col("__cid__"))
+        work = j.select(
+            id_col, vec_col, *tcols, cid.cast("int").alias("centroid_id")
+        )
+    else:
+        crows = sorted(
+            centroids.select("centroid_id", vec_col).collect(),
+            key=lambda r: r["centroid_id"],
+        )
+        if not crows:
+            raise ValueError("centroids= is empty")
+        c_ids = np.asarray([r["centroid_id"] for r in crows], dtype=np.int32)
+        C = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in crows])
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+        assign_schema = ", ".join(
+            [f"{id_col} {id_ddl}", f"{vec_col} array<double>"]
+            + [f"{c} timestamp" for c in tcols]
+            + ["centroid_id int"]
+        )
+
+        def assign(pdfs):
+            for pdf in pdfs:
+                out = pdf[[id_col, vec_col, *tcols]].copy()
+                vecs = pdf[vec_col]
+                ok = vecs.notna().to_numpy()
+                cidv = np.full(len(pdf), -1, dtype=np.int32)
+                if ok.any():
+                    X = np.stack(vecs[ok].to_numpy()).astype(np.float64)
+                    X /= np.maximum(
+                        np.linalg.norm(X, axis=1, keepdims=True), 1e-12
+                    )
+                    # first-max argmax over centroid-id-ascending rows ==
+                    # ivf_assign's (sim DESC, centroid_id ASC) tie-break
+                    cidv[ok] = c_ids[np.argmax(X @ C.T, axis=1)]
+                out["centroid_id"] = cidv
+                yield out
+
+        work = stream.mapInPandas(assign, assign_schema)
+
+    if watermark is not None:
+        work = work.withWatermark(time_col, watermark)
+
+    out_schema = ", ".join(
+        [
+            f"{id_col} {id_ddl}",
+            "centroid_id int",
+            "is_survivor boolean",
+            f"nearest_prior_id {id_ddl}",
+            "nearest_prior_sim double",
+        ]
+        + [f"{c} timestamp" for c in tcols]
+    )
+    out_cols = [
+        id_col, "centroid_id", "is_survivor",
+        "nearest_prior_id", "nearest_prior_sim", *tcols,
+    ]
+    state_schema = "blob binary"
+    id_np = "Int64" if id_is_int else "object"
+
+    def scan(key, pdfs, state: GroupState):
+        cid = int(key[0])
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        if not batches:
+            # state-maintenance invocation (e.g. watermark-only batch):
+            # nothing arrived, nothing to emit or evict eagerly
+            return
+        pdf = pd.concat(batches, ignore_index=True)
+        if cid == -1:
+            # no-cluster sentinel: NULL vectors / unassigned-kept rows
+            # pass through as survivors, never touch state
+            out = pd.DataFrame({
+                id_col: pd.array(pdf[id_col], dtype=id_np),
+                "centroid_id": pd.array([pd.NA] * len(pdf), dtype="Int32"),
+                "is_survivor": pd.array([True] * len(pdf), dtype="boolean"),
+                "nearest_prior_id": pd.array([pd.NA] * len(pdf), dtype=id_np),
+                "nearest_prior_sim": pd.array(
+                    [pd.NA] * len(pdf), dtype="Float64"),
+                **{c: pdf[c].to_numpy() for c in tcols},
+            })
+            yield out[out_cols]
+            return
+
+        res = pickle.loads(bytes(state.get[0])) if state.exists else None
+        r_ids = res["ids"] if res is not None else np.array([], dtype=object)
+        r_vecs = (
+            res["vecs"] if res is not None else np.zeros((0, 0), np.float64)
+        )
+        r_ts = res["ts"] if res is not None else np.array([], dtype=np.int64)
+
+        # horizon eviction FIRST: a resident behind the watermark is
+        # forgotten before scoring, so its late duplicates re-emit
+        wm = state.getCurrentWatermarkMs() if watermark is not None else 0
+        if wm > 0 and len(r_ids):
+            keep = r_ts >= wm
+            r_ids, r_ts = r_ids[keep], r_ts[keep]
+            r_vecs = r_vecs[keep]
+
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        n_ids = pdf[id_col].to_numpy()
+        N = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        N /= np.maximum(np.linalg.norm(N, axis=1, keepdims=True), 1e-12)
+        n_ts = (
+            (pdf[time_col].to_numpy().astype("datetime64[ms]").astype(np.int64))
+            if time_col is not None
+            else np.zeros(len(pdf), dtype=np.int64)
+        )
+
+        # seen = residents + this batch, id-sorted — then score ONLY the
+        # new positions against the strict-smaller-id prefix: identical
+        # math to semantic_dedup_increment's scan_new
+        R = len(r_ids)
+        if R and r_vecs.shape[1] != N.shape[1]:
+            raise ValueError(
+                f"semantic_dedup_stream: embedding dim changed "
+                f"{r_vecs.shape[1]} -> {N.shape[1]} for centroid {cid}"
+            )
+        all_ids = np.concatenate([r_ids, n_ids]) if R else n_ids
+        X = np.concatenate([r_vecs, N]) if R else N
+        all_ts = np.concatenate([r_ts, n_ts]) if R else n_ts
+        order = np.argsort(all_ids, kind="mergesort")
+        all_ids, X, all_ts = all_ids[order], X[order], all_ts[order]
+        pos_new = np.nonzero(order >= R)[0]
+        n_new = len(pos_new)
+
+        best_sim = np.full(n_new, np.nan)
+        best_j = np.zeros(n_new, dtype=np.int64)
+        for b in range(0, n_new, block_rows):
+            sel = pos_new[b:b + block_rows]
+            e = int(sel.max()) + 1
+            S = X[sel] @ X[:e].T
+            col = np.arange(e)
+            S[col[None, :] >= sel[:, None]] = -np.inf
+            jj = np.argmax(S, axis=1)
+            best_sim[b:b + len(sel)] = S[np.arange(len(sel)), jj]
+            best_j[b:b + len(sel)] = jj
+        first = ~np.isfinite(best_sim)
+        prior_id = pd.array(all_ids[best_j], dtype=id_np)
+        prior_sim = pd.array(best_sim, dtype="Float64")
+        prior_id[first] = pd.NA
+        prior_sim[first] = pd.NA
+
+        # dropped rows stay residents (the witness contract); cap keeps
+        # the NEWEST rows by (event time, id)
+        if max_residents is not None and len(all_ids) > max_residents:
+            cut = np.lexsort((all_ids, all_ts))[-max_residents:]
+            cut.sort()
+            all_ids, X, all_ts = all_ids[cut], X[cut], all_ts[cut]
+        state.update((pickle.dumps(
+            {"ids": all_ids, "vecs": X, "ts": all_ts}
+        ),))
+
+        out = pd.DataFrame({
+            id_col: pd.array(n_ids, dtype=id_np),
+            "centroid_id": pd.array([cid] * n_new, dtype="Int32"),
+            "is_survivor": pd.array(
+                first | (best_sim < threshold), dtype="boolean"),
+            "nearest_prior_id": prior_id,
+            "nearest_prior_sim": prior_sim,
+            **{c: pdf[c].to_numpy() for c in tcols},
+        })
+        yield out[out_cols]
+
+    return work.groupBy("centroid_id").applyInPandasWithState(
+        scan, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -1,0 +1,272 @@
+"""semantic_dedup_stream — online SemDeDup over micro-batches.
+
+Contract under test (streaming/dedup.py:semantic_dedup_stream):
+* monotone-id chunk replay == one-shot batch ``semantic_dedup`` exactly
+  (ids, survivors, witnesses; sims to 1e-9) — the same equivalence
+  ``semantic_dedup_increment`` is graded by;
+* watermark-horizon eviction forgets residents, so a duplicate beyond
+  the horizon re-emits as a survivor (at-least-once, batch reconciles);
+* ``max_residents`` caps per-cluster state (newest kept);
+* NULL vectors pass through as survivors, never enter state;
+* a stale ``assigned=`` artifact refuses in-plan under 'error' and
+  routes through under 'keep' (the batch contract, streamed).
+"""
+
+import datetime as dt
+import glob
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from summingbird_spark.streaming.dedup import semantic_dedup_stream
+
+DIM = 4
+THRESH = 0.9
+SCHEMA = "vec_id bigint, embedding array<double>, ts timestamp"
+
+
+def _t(i):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)
+
+
+def _vec(cluster, kind):
+    """Well-separated clusters so every assigner agrees: `dup` rows are
+    cosine ~0.999 to the cluster base, `far` rows ~0.71 (below 0.9 —
+    survive, same cluster)."""
+    base = np.zeros(DIM)
+    base[cluster] = 1.0
+    if kind == "dup":
+        v = base + 0.02 * np.roll(base, 1)
+    elif kind == "far":
+        v = base + 1.0 * np.roll(base, 1)
+    else:
+        v = base
+    return [float(x) for x in v / np.linalg.norm(v)]
+
+
+def _centroids(spark, clusters=(0, 1, 2)):
+    rows = [(c, _vec(c, "base")) for c in clusters]
+    return spark.createDataFrame(rows, "centroid_id int, embedding array<double>")
+
+
+def _stage(spark, d, chunks):
+    """One parquet file per chunk => one micro-batch per trigger."""
+    os.makedirs(d, exist_ok=True)
+    for i, rows in enumerate(chunks):
+        tmp = os.path.join(d, f"w{i}")
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(tmp)
+        shutil.move(glob.glob(tmp + "/*.parquet")[0], os.path.join(d, f"chunk{i}.parquet"))
+        shutil.rmtree(tmp)
+    return d
+
+
+def _run(spark, src_dir, out_dir, **kwargs):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = semantic_dedup_stream(stream, THRESH, **kwargs)
+    q = (
+        out.writeStream.foreachBatch(
+            lambda bdf, _bid: bdf.write.mode("append").parquet(out_dir)
+        )
+        .outputMode("update")
+        .option("checkpointLocation", out_dir + ".ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish"
+    return spark.read.parquet(out_dir)
+
+
+def _rows3():
+    """Three monotone-id chunks over 3 clusters with dups within and
+    ACROSS chunks, plus a NULL vector."""
+    return [
+        [  # chunk 0
+            (0, _vec(0, "base"), _t(0)),
+            (1, _vec(1, "base"), _t(1)),
+            (2, _vec(0, "dup"), _t(2)),      # dropped vs 0, in-batch
+            (3, _vec(2, "base"), _t(3)),
+        ],
+        [  # chunk 1
+            (10, _vec(0, "dup"), _t(4)),     # dropped vs resident 0
+            (11, _vec(1, "far"), _t(5)),     # same cluster, survives
+            (12, None, _t(6)),               # NULL vector
+        ],
+        [  # chunk 2
+            (20, _vec(1, "dup"), _t(7)),     # dropped vs resident 1
+            (21, _vec(2, "far"), _t(8)),     # survives
+            (22, _vec(0, "dup"), _t(9)),     # dropped (witness: min sim arg)
+        ],
+    ]
+
+
+def _all_rows():
+    return [r for c in _rows3() for r in c]
+
+
+def test_matches_one_shot_semantic_dedup(spark, tmp_path):
+    from summingbird_spark.functions.dedup import semantic_dedup
+
+    cents = _centroids(spark)
+    src = _stage(spark, str(tmp_path / "src"), _rows3())
+    got = _run(
+        spark, src, str(tmp_path / "out"),
+        centroids=cents, time_col="ts",
+    ).select("vec_id", "centroid_id", "is_survivor",
+             "nearest_prior_id", "nearest_prior_sim")
+
+    df = spark.createDataFrame(_all_rows(), SCHEMA).drop("ts")
+    one = semantic_dedup(df, THRESH, k_clusters=3, centroids=cents)
+
+    j = got.alias("s").join(one.alias("o"), "vec_id", "outer")
+    rows = j.select(
+        "vec_id",
+        F.col("s.is_survivor").alias("ss"), F.col("o.is_survivor").alias("os"),
+        F.col("s.centroid_id").alias("sc"), F.col("o.centroid_id").alias("oc"),
+        F.col("s.nearest_prior_id").alias("sp"),
+        F.col("o.nearest_prior_id").alias("op"),
+        F.col("s.nearest_prior_sim").alias("sv"),
+        F.col("o.nearest_prior_sim").alias("ov"),
+    ).collect()
+    assert len(rows) == len(_all_rows())
+    for r in rows:
+        assert r.ss == r.os, r
+        assert r.sc == r.oc, r
+        assert r.sp == r.op, r
+        if r.sv is None:
+            assert r.ov is None, r
+        else:
+            assert abs(r.sv - r.ov) < 1e-9, r
+    # non-degenerate: the scenario drops rows and carries witnesses
+    dropped = [r for r in rows if not r.ss]
+    assert {r.vec_id for r in dropped} == {2, 10, 20, 22}
+
+
+def test_watermark_evicts_residents(spark, tmp_path):
+    """Resident behind the horizon is forgotten: its late duplicate
+    re-emits as a survivor (at-least-once)."""
+    t0 = dt.datetime(2024, 1, 1)
+    far = t0 + dt.timedelta(days=10)
+    chunks = [
+        [(1, _vec(0, "base"), t0)],
+        # advances the watermark to far - 1d (cluster 1: no interaction)
+        [(2, _vec(1, "base"), far)],
+        # duplicate of row 1 — resident 1 (ts=t0 < wm) evicted => survives
+        [(3, _vec(0, "dup"), far)],
+    ]
+    src = _stage(spark, str(tmp_path / "src"), chunks)
+    got = _run(
+        spark, src, str(tmp_path / "out"),
+        centroids=_centroids(spark), time_col="ts", watermark="1 day",
+    )
+    by_id = {r.vec_id: r for r in got.collect()}
+    assert len(by_id) == 3
+    assert by_id[1].is_survivor
+    assert by_id[3].is_survivor, "evicted resident must not witness a drop"
+    assert by_id[3].nearest_prior_id is None
+
+
+def test_no_watermark_keeps_residents(spark, tmp_path):
+    """Same replay WITHOUT a watermark: the old resident still drops the
+    late duplicate (state unbounded by choice)."""
+    t0 = dt.datetime(2024, 1, 1)
+    far = t0 + dt.timedelta(days=10)
+    chunks = [
+        [(1, _vec(0, "base"), t0)],
+        [(2, _vec(1, "base"), far)],
+        [(3, _vec(0, "dup"), far)],
+    ]
+    src = _stage(spark, str(tmp_path / "src"), chunks)
+    got = _run(
+        spark, src, str(tmp_path / "out"),
+        centroids=_centroids(spark), time_col="ts",
+    )
+    by_id = {r.vec_id: r for r in got.collect()}
+    assert not by_id[3].is_survivor
+    assert by_id[3].nearest_prior_id == 1
+
+
+def test_max_residents_caps_state(spark, tmp_path):
+    """Cap=1 keeps only the newest resident per cluster: a duplicate of
+    the EVICTED older resident re-emits as a survivor."""
+    chunks = [
+        [(1, _vec(0, "base"), _t(0))],
+        [(2, _vec(0, "far"), _t(1))],   # survives (cos ~0.71), displaces 1
+        [(3, _vec(0, "dup"), _t(2))],   # dup of 1 — but 1 was evicted
+    ]
+    src = _stage(spark, str(tmp_path / "src"), chunks)
+    got = _run(
+        spark, src, str(tmp_path / "out"),
+        centroids=_centroids(spark), time_col="ts", max_residents=1,
+    )
+    by_id = {r.vec_id: r for r in got.collect()}
+    assert by_id[2].is_survivor
+    assert by_id[3].is_survivor, "dup of capped-out resident passes through"
+    # witness, if any, can only be the surviving resident 2 (cos < 0.9)
+    assert by_id[3].nearest_prior_id in (None, 2)
+
+
+def test_null_vectors_pass_through(spark, tmp_path):
+    src = _stage(
+        spark, str(tmp_path / "src"),
+        [[(1, None, _t(0)), (2, _vec(0, "base"), _t(0))]],
+    )
+    got = _run(
+        spark, src, str(tmp_path / "out"),
+        centroids=_centroids(spark), time_col="ts",
+    )
+    by_id = {r.vec_id: r for r in got.collect()}
+    assert by_id[1].is_survivor and by_id[1].centroid_id is None
+    assert by_id[2].is_survivor and by_id[2].centroid_id == 0
+
+
+def test_assigned_static_join_and_stale_artifact(spark, tmp_path):
+    """assigned= drives a stream-static broadcast join; a stale artifact
+    refuses under 'error' and passes through under 'keep'."""
+    rows = [(1, _vec(0, "base"), _t(0)), (2, _vec(0, "dup"), _t(1))]
+    assigned_full = spark.createDataFrame(
+        [(1, 0), (2, 0)], "vec_id bigint, centroid_id int"
+    )
+    src = _stage(spark, str(tmp_path / "src"), [rows])
+    got = _run(
+        spark, src, str(tmp_path / "out"),
+        assigned=assigned_full, time_col="ts",
+    )
+    by_id = {r.vec_id: r for r in got.collect()}
+    assert by_id[1].is_survivor and not by_id[2].is_survivor
+
+    stale = spark.createDataFrame([(1, 0)], "vec_id bigint, centroid_id int")
+    with pytest.raises(Exception, match="absent from the supplied"):
+        _run(
+            spark, src, str(tmp_path / "err"),
+            assigned=stale, time_col="ts",
+        )
+    kept = _run(
+        spark, src, str(tmp_path / "keep"),
+        assigned=stale, time_col="ts", on_unassigned="keep",
+    )
+    by_id = {r.vec_id: r for r in kept.collect()}
+    assert by_id[2].is_survivor and by_id[2].centroid_id is None
+
+
+def test_arg_validation(spark):
+    df = spark.createDataFrame([], SCHEMA)
+    cents = _centroids(spark)
+    with pytest.raises(ValueError, match="exactly one"):
+        semantic_dedup_stream(df, 0.9)
+    with pytest.raises(ValueError, match="exactly one"):
+        semantic_dedup_stream(df, 0.9, centroids=cents, assigned=df)
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_dedup_stream(df, 0.0, centroids=cents)
+    with pytest.raises(ValueError, match="needs time_col"):
+        semantic_dedup_stream(df, 0.9, centroids=cents, watermark="1 day")
+    with pytest.raises(ValueError, match="on_unassigned"):
+        semantic_dedup_stream(df, 0.9, assigned=df, on_unassigned="x")
+    with pytest.raises(ValueError, match="max_residents"):
+        semantic_dedup_stream(df, 0.9, centroids=cents, max_residents=0)
