@@ -15,7 +15,10 @@ pass 'incremental' to probe semantic_dedup_increment — the corpus is
 split into 4 id-ordered increments against a residents dir and each
 increment's wall is reported separately: the claim under test is that
 per-increment cost stays ~flat as residents accumulate, i.e.
-Θ(N·(R+N)/k) with k ∝ total corpus, not a rescan)
+Θ(N·(R+N)/k) with k ∝ total corpus, not a rescan; pass 'stream' to
+probe semantic_dedup_stream — the same 4-way id-ordered replay through
+the streaming engine, reporting per-trigger wall and state-store
+rows/bytes from the query progress)
 """
 
 from __future__ import annotations
@@ -116,6 +119,86 @@ def _incremental_probe(spark, factors) -> None:
               f"last/first={ratio:.2f} total_dropped={dropped}", flush=True)
 
 
+def _stream_probe(spark, factors) -> None:
+    """Per-micro-batch trigger wall of semantic_dedup_stream as residents
+    accumulate: a factor-F corpus replayed as 4 id-ordered chunk files
+    (maxFilesPerTrigger=1), fixed centroids with k ∝ total. The claim
+    under test is the same Θ(N·(R+N)/k) shape as the incremental probe,
+    now through the streaming engine's state lifecycle — flat(ish)
+    per-trigger walls and state bytes linear in residents; a growing
+    tail would mean the kernel rescans residents' own pairs (or state
+    ser/de is superlinear)."""
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from summingbird_spark.functions.similarity import kmeans_train
+    from summingbird_spark.streaming.dedup import semantic_dedup_stream
+
+    for f in factors:
+        n = BASE_N * f
+        k = max(16, n // TARGET_CLUSTER)
+        emb = synth(spark, n)
+        cent = kmeans_train(
+            emb, k, n_iter=4, sample_fraction=min(1.0, 50_000 / n)
+        )
+        cent = spark.createDataFrame(cent.collect(), cent.schema)
+        src = tempfile.mkdtemp(prefix="sbspark-semdd-stream-src-")
+        q4 = n // 4
+        for i in range(4):
+            lo, hi = i * q4, (i + 1) * q4 if i < 3 else n
+            tmp = os.path.join(src, f"w{i}")
+            emb.where(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            ).coalesce(1).write.parquet(tmp)
+            dst = os.path.join(src, f"chunk{i}.parquet")
+            shutil.move(glob.glob(tmp + "/*.parquet")[0], dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, times=(1e9 + 10.0 * i, 1e9 + 10.0 * i))
+        work = tempfile.mkdtemp(prefix="sbspark-semdd-stream-work-")
+        stream = (
+            spark.readStream
+            .schema("vec_id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = semantic_dedup_stream(stream, 0.995, centroids=cent)
+        t0 = time.perf_counter()
+        q = (
+            out.writeStream.foreachBatch(
+                lambda bdf, _b: bdf.write.mode("append").parquet(f"{work}/out")
+            )
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(1800), "stream probe did not finish"
+        wall = time.perf_counter() - t0
+        prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        per_batch = [p["durationMs"]["triggerExecution"] / 1e3 for p in prog]
+        state = [
+            (p["stateOperators"][0]["numRowsTotal"],
+             p["stateOperators"][0]["memoryUsedBytes"])
+            for p in prog
+        ]
+        dropped = (
+            spark.read.parquet(f"{work}/out")
+            .agg(F.sum((~F.col("is_survivor")).cast("long"))).first()[0]
+        )
+        ratio = per_batch[-1] / per_batch[0] if per_batch[0] > 0 else float("nan")
+        print(f"[stream] factor {f}: n={n} k={k} total_wall={wall:.2f}s "
+              f"per-trigger={', '.join(f'{w:.2f}' for w in per_batch)}s "
+              f"last/first={ratio:.2f} dropped={dropped} "
+              f"state_rows={[s[0] for s in state]} "
+              f"state_MiB={[round(s[1] / 2**20, 1) for s in state]} "
+              f"rss={rss_mb():.0f}MiB", flush=True)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     assigner = "hierarchical"
@@ -141,6 +224,10 @@ def main() -> None:
 
     if assigner == "incremental":
         _incremental_probe(spark, factors)
+        spark.stop()
+        return
+    if assigner == "stream":
+        _stream_probe(spark, factors)
         spark.stop()
         return
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1250,7 +1251,12 @@ def semantic_dedup_increment(
             .where(F.col("increment") < increment_id)
             .select(id_col, vec_col, "centroid_id")
         )
-    except Exception:  # first increment: nothing seen yet
+    except AnalysisException:
+        # no readable increments yet (an empty FIRST batch writes only
+        # _SUCCESS, so schema inference fails) — legitimately nothing
+        # seen. Anything else (an executor-side read failure at action
+        # time, permissions) PROPAGATES: silently deduplicating against
+        # nothing is the silent-data-loss class this module refuses.
         residents = None
 
     union = new_rows.withColumn("__new__", F.lit(True))

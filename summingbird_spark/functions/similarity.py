@@ -826,7 +826,18 @@ def ivf_assign_partitioned(
 
     def assign_group(l, r):
         base = l.drop(columns=["__sid__", "__salt__"])
-        if len(l) == 0 or len(r) == 0:  # member-only group (no rows)
+        if len(l) and len(r) == 0:
+            # unreachable by construction (rows route only to LIVE
+            # supers, members replicate across every salt) — but if a
+            # routing bug ever manufactures it, refuse rather than
+            # silently dropping corpus rows from an assignment verb
+            raise RuntimeError(
+                "ivf_assign_partitioned: corpus rows reached super "
+                f"{int(l['__sid__'].iloc[0])} (salt "
+                f"{int(l['__salt__'].iloc[0])}) with no member "
+                "centroids in the cogroup — routing invariant broken."
+            )
+        if len(l) == 0:  # member-only group (no rows landed here)
             base = base.iloc[:0].copy()
             base[centroid_id_col] = pd.array([], dtype="int32")
             return base
