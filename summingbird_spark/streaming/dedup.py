@@ -59,6 +59,123 @@ def dedup_stream(
     return out.drop("__digest__") if text_col is not None else out
 
 
+def export_semantic_residents(
+    residents: DataFrame,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    time_col: Optional[str] = None,
+) -> int:
+    """Write a RESIDENTS export ``semantic_dedup_stream(bootstrap_dir=)``
+    can carry in — the batch→stream handoff of the semantic family (the
+    same replay-free generation change ``export_summer_bootstrap`` gives
+    the summer kernels): run the corpus history through batch
+    ``semantic_dedup`` / ``semantic_dedup_increment``, export the seen
+    rows here, and the online kernel continues WITHOUT replaying the
+    history through the stream.
+
+    ``residents`` must carry (id, vector, centroid_id) — e.g. the
+    increment residents table ``spark.read.parquet(residents_dir)``, or
+    ``semantic_dedup``'s decision table joined back to its vectors
+    (dropped rows included: the witness contract needs every seen row).
+    A NULL ``centroid_id`` or vector REFUSES in-plan with the row id —
+    a resident outside any cluster can never be scanned.
+
+    Layout: one partition dir per centroid
+    (``<out_dir>/centroid_id=<cid>/``, columns ``id``/``vec``/``ts_ms``)
+    so each state group's first touch reads ONLY its own cluster, plus
+    a ``_manifest.json`` pinning kind and id type — the kernels refuse
+    a mismatched export instead of mis-seeding (the summer bootstrap's
+    r15 discipline). ``ts_ms`` comes from ``time_col`` when given, else
+    NULL; the kernel seeds NULL as epoch-0, i.e. "historically old" —
+    under a watermark policy carried-in residents evict as soon as the
+    horizon first advances past the epoch, and with no watermark they
+    persist. Returns the exported row count."""
+    import json
+
+    from .planner import _checkpoint_fs, _fs_write_text
+
+    spark = residents.sparkSession
+    id_ddl = residents.schema[id_col].dataType.simpleString()
+    guarded = F.when(
+        F.col("centroid_id").isNotNull() & F.col(vec_col).isNotNull(),
+        F.col("centroid_id"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("export_semantic_residents: row "),
+                F.col(id_col).cast("string"),
+                F.lit(
+                    f" has a NULL centroid_id or {vec_col}; residents "
+                    "must be assigned, non-NULL vectors (NULL-vector "
+                    "rows never become residents — filter them)."
+                ),
+            )
+        ).cast("int")
+    )
+    ts = (
+        F.unix_millis(F.col(time_col)) if time_col is not None
+        else F.lit(None).cast("long")
+    )
+    (
+        residents.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+            ts.alias("ts_ms"),
+            guarded.cast("int").alias("centroid_id"),
+        )
+        .repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(out_dir)
+    )
+    n = spark.read.parquet(out_dir).count()
+    manifest = {
+        "format": "summingbird-spark-bootstrap/1",
+        "kind": "semantic_residents",
+        "id_type": id_ddl,
+        "has_ts": time_col is not None,
+        "rows": int(n),
+    }
+    fs, root, jvm = _checkpoint_fs(spark, str(out_dir))
+    side = jvm.org.apache.hadoop.fs.Path(root, "_manifest.json")
+    _fs_write_text(fs, side, json.dumps(manifest, indent=1), jvm=jvm)
+    return n
+
+
+def _load_semantic_residents(bootstrap_dir: str, cid: int):
+    """Worker-side load of ONE centroid's carried-in residents from an
+    ``export_semantic_residents`` layout. A missing partition dir = no
+    residents for this cluster (normal); any OTHER read error propagates
+    — silently seeding empty would un-dedup the whole cluster."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    part = os.path.join(str(bootstrap_dir), f"centroid_id={int(cid)}")
+    try:
+        t = pq.read_table(part, columns=["id", "vec", "ts_ms"])
+    except FileNotFoundError:
+        return None
+    if t.num_rows == 0:
+        return None
+    ids = np.asarray(t.column("id").to_pylist())
+    vecs = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t.column("vec").to_pylist()]
+    )
+    # normalize HERE: state-resident vectors are stored normalized, and
+    # a seeded resident must score identically to one that arrived via
+    # the stream. ts NULL = epoch-0 ("historically old": first watermark
+    # advance evicts)
+    ts = np.asarray(
+        [v if v is not None else 0 for v in t.column("ts_ms").to_pylist()],
+        dtype=np.int64,
+    )
+    vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    return {"ids": ids, "vecs": vecs, "ts": ts}
+
+
 def semantic_dedup_stream(
     stream: DataFrame,
     threshold: float,
@@ -71,6 +188,7 @@ def semantic_dedup_stream(
     on_unassigned: str = "error",
     max_residents: Optional[int] = None,
     block_rows: int = 1024,
+    bootstrap_dir: Optional[str] = None,
 ) -> DataFrame:
     """Online SemDeDup — streaming cluster-scoped embedding dedup with
     per-centroid RESIDENT state (the streaming twin of
@@ -124,6 +242,17 @@ def semantic_dedup_stream(
       Duplicates of evicted residents go undetected — the standard
       production trade.
 
+    ``bootstrap_dir`` seeds a FRESH checkpoint's state from a batch
+    ``export_semantic_residents`` layout — the lambda handoff: dedup the
+    corpus history offline (``semantic_dedup`` / ``_increment``), export
+    the seen rows, and the stream continues against them with ZERO
+    replay (the semantic twin of ``stateful_summer(bootstrap_dir=)``).
+    Each cluster loads only its own partition dir, on its first touch,
+    worker-side; the export's manifest is verified at plan time (kind +
+    id type) and a resumed checkpoint never re-seeds. Carried-in
+    residents without timestamps count as epoch-old: a watermark policy
+    evicts them the first time the horizon advances.
+
     NULL vectors pass through as survivors with a NULL centroid and
     never enter state. Returns, in ``update`` output mode, one decision
     row per input row::
@@ -161,6 +290,32 @@ def semantic_dedup_stream(
         raise ValueError(f"max_residents must be >= 1; got {max_residents!r}")
 
     id_ddl = stream.schema[id_col].dataType.simpleString()
+    if bootstrap_dir is not None:
+        # plan-time layout pin (the summer bootstrap's r15 discipline):
+        # verify the export exists, is a semantic-residents export, and
+        # routes the same id type — refuse rather than mis-seed
+        from .state_tools import read_bootstrap_manifest
+
+        manifest = read_bootstrap_manifest(stream.sparkSession, bootstrap_dir)
+        if manifest is None:
+            raise ValueError(
+                f"bootstrap_dir {bootstrap_dir!r} has no _manifest.json — "
+                "not an export_semantic_residents layout (or a partial "
+                "write); re-run the export"
+            )
+        if manifest.get("kind") != "semantic_residents":
+            raise ValueError(
+                f"bootstrap_dir {bootstrap_dir!r} holds a "
+                f"{manifest.get('kind')!r} export, not semantic_residents "
+                "— the carried blobs would seed the wrong state shape"
+            )
+        if manifest.get("id_type") != id_ddl:
+            raise ValueError(
+                f"bootstrap_dir {bootstrap_dir!r} was exported with id "
+                f"type {manifest.get('id_type')!r} but the stream's "
+                f"{id_col!r} is {id_ddl!r} — min-id ordering is "
+                "type-sensitive; re-run the export with matching ids"
+            )
     id_is_int = id_ddl in ("tinyint", "smallint", "int", "bigint", "long")
     tcols = [time_col] if time_col is not None else []
 
@@ -276,7 +431,17 @@ def semantic_dedup_stream(
             yield out[out_cols]
             return
 
-        res = pickle.loads(bytes(state.get[0])) if state.exists else None
+        if state.exists:
+            res = pickle.loads(bytes(state.get[0]))
+        elif bootstrap_dir is not None:
+            # first touch of this cluster in a fresh checkpoint: seed
+            # from the batch export (replay-free handoff). Never
+            # re-seeds: every scan ends in state.update, so state.exists
+            # holds from the next micro-batch on — even after the
+            # watermark evicts every carried-in resident.
+            res = _load_semantic_residents(bootstrap_dir, cid)
+        else:
+            res = None
         r_ids = res["ids"] if res is not None else np.array([], dtype=object)
         r_vecs = (
             res["vecs"] if res is not None else np.zeros((0, 0), np.float64)

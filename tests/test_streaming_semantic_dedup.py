@@ -270,3 +270,122 @@ def test_arg_validation(spark):
         semantic_dedup_stream(df, 0.9, assigned=df, on_unassigned="x")
     with pytest.raises(ValueError, match="max_residents"):
         semantic_dedup_stream(df, 0.9, centroids=cents, max_residents=0)
+
+
+def _residents_rows():
+    """Chunks 0+1 of _rows3() as an assigned residents table (NULL-vec
+    row 12 excluded — never a resident)."""
+    rows = []
+    for (i, v, t) in _rows3()[0] + _rows3()[1]:
+        if v is None:
+            continue
+        cl = int(np.argmax([np.dot(v, _vec(c, "base")) for c in (0, 1, 2)]))
+        rows.append((i, v, t, cl))
+    return rows
+
+
+def test_bootstrap_handoff_equals_one_shot(spark, tmp_path):
+    """The lambda handoff: batch history -> export_semantic_residents ->
+    stream continues with ZERO replay; decisions for the streamed tail
+    equal the one-shot scan over the full corpus."""
+    from summingbird_spark.functions.dedup import semantic_dedup
+    from summingbird_spark.streaming.dedup import export_semantic_residents
+
+    res = spark.createDataFrame(
+        _residents_rows(),
+        "vec_id bigint, embedding array<double>, ts timestamp, centroid_id int",
+    )
+    boot = str(tmp_path / "boot")
+    n = export_semantic_residents(res, boot, time_col="ts")
+    assert n == len(_residents_rows())
+
+    src = _stage(spark, str(tmp_path / "src"), [_rows3()[2]])
+    got = _run(
+        spark, src, str(tmp_path / "out"),
+        centroids=_centroids(spark), time_col="ts", bootstrap_dir=boot,
+    )
+    one = semantic_dedup(
+        spark.createDataFrame(_all_rows(), SCHEMA).drop("ts"),
+        THRESH, k_clusters=3, centroids=_centroids(spark),
+    )
+    tail_ids = [r[0] for r in _rows3()[2]]
+    o = {r.vec_id: r for r in one.where(F.col("vec_id").isin(tail_ids)).collect()}
+    s = {r.vec_id: r for r in got.collect()}
+    assert set(s) == set(tail_ids)
+    for i in tail_ids:
+        assert s[i].is_survivor == o[i].is_survivor, i
+        assert s[i].centroid_id == o[i].centroid_id, i
+        assert s[i].nearest_prior_id == o[i].nearest_prior_id, i
+        if o[i].nearest_prior_sim is None:
+            assert s[i].nearest_prior_sim is None, i
+        else:
+            assert abs(s[i].nearest_prior_sim - o[i].nearest_prior_sim) < 1e-9, i
+    # non-degenerate: the tail's drops witness CARRIED-IN residents
+    assert not s[20].is_survivor and s[20].nearest_prior_id == 1
+    assert not s[22].is_survivor and s[22].nearest_prior_id in (0, 2, 10)
+
+
+def test_bootstrap_refusals(spark, tmp_path):
+    from summingbird_spark.streaming.dedup import (
+        export_semantic_residents, semantic_dedup_stream,
+    )
+
+    df = spark.createDataFrame([], SCHEMA)
+    cents = _centroids(spark)
+    with pytest.raises(ValueError, match="does not exist"):
+        semantic_dedup_stream(
+            df, 0.9, centroids=cents, bootstrap_dir=str(tmp_path / "nope"))
+    # a dir without a manifest refuses (partial write / wrong layout)
+    bare = tmp_path / "bare"
+    bare.mkdir()
+    with pytest.raises(ValueError, match="no _manifest.json"):
+        semantic_dedup_stream(
+            df, 0.9, centroids=cents, bootstrap_dir=str(bare))
+    # id-type drift refuses (min-id ordering is type-sensitive)
+    res = spark.createDataFrame(
+        [("a", _vec(0, "base"), _t(0), 0)],
+        "vec_id string, embedding array<double>, ts timestamp, centroid_id int",
+    )
+    boot = str(tmp_path / "boot_str")
+    export_semantic_residents(res, boot, time_col="ts")
+    with pytest.raises(ValueError, match="id type"):
+        semantic_dedup_stream(df, 0.9, centroids=cents, bootstrap_dir=boot)
+    # NULL centroid refuses in-plan at export
+    bad = spark.createDataFrame(
+        [(1, _vec(0, "base"), _t(0), None)],
+        "vec_id bigint, embedding array<double>, ts timestamp, centroid_id int",
+    )
+    with pytest.raises(Exception, match="NULL centroid_id"):
+        export_semantic_residents(bad, str(tmp_path / "bad"), time_col="ts")
+
+
+def test_bootstrap_evicted_seed_never_reseeds(spark, tmp_path):
+    """Watermark evicts a carried-in resident; later batches must NOT
+    re-load it from the export (state.exists pins the generation)."""
+    from summingbird_spark.streaming.dedup import export_semantic_residents
+
+    t0 = dt.datetime(2024, 1, 1)
+    far = t0 + dt.timedelta(days=10)
+    res = spark.createDataFrame(
+        [(1, _vec(0, "base"), t0, 0)],
+        "vec_id bigint, embedding array<double>, ts timestamp, centroid_id int",
+    )
+    boot = str(tmp_path / "boot")
+    export_semantic_residents(res, boot, time_col="ts")
+    chunks = [
+        # batch 0 touches cluster 0: seeds resident 1 (ts=t0), drops 2
+        [(2, _vec(0, "dup"), t0)],
+        # advance the watermark past t0 via cluster 1
+        [(3, _vec(1, "base"), far)],
+        # dup of the seed — seed evicted, export must NOT re-seed
+        [(4, _vec(0, "dup"), far)],
+    ]
+    src = _stage(spark, str(tmp_path / "src"), chunks)
+    got = _run(
+        spark, src, str(tmp_path / "out"),
+        centroids=_centroids(spark), time_col="ts", watermark="1 day",
+        bootstrap_dir=boot,
+    )
+    by_id = {r.vec_id: r for r in got.collect()}
+    assert not by_id[2].is_survivor and by_id[2].nearest_prior_id == 1
+    assert by_id[4].is_survivor, "evicted seed must stay evicted"
