@@ -91,3 +91,13 @@ def test_example_state_migration(tmp_path):
     # the script's own checks: guard refusal + replay-free equality
     assert "guard refused the re-size in place" in out
     assert "migrated state matches one-shot truth: True" in out
+
+
+def test_example_online_semantic_dedup(tmp_path):
+    out = _run(
+        [sys.executable, "examples/online_semantic_dedup.py", SF,
+         str(tmp_path / "w")],
+    )
+    # the script's own end-to-end check: batch->stream handoff == one-shot
+    assert "handoff matches one-shot truth: True" in out
+    assert "dropped against a HISTORICAL resident" in out
