@@ -389,3 +389,65 @@ def test_bootstrap_evicted_seed_never_reseeds(spark, tmp_path):
     by_id = {r.vec_id: r for r in got.collect()}
     assert not by_id[2].is_survivor and by_id[2].nearest_prior_id == 1
     assert by_id[4].is_survivor, "evicted seed must stay evicted"
+
+
+def test_string_ids_order_lexicographically(spark, tmp_path):
+    """String ids ride the object-dtype path end to end; min-id keep
+    policy becomes lexicographic min, matching the batch operator."""
+    schema = "vec_id string, embedding array<double>, ts timestamp"
+    rows = [
+        [("b", _vec(0, "base"), _t(0))],
+        [("a", _vec(0, "dup"), _t(1))],   # SMALLER id arrives later:
+        # seen-row mask is by id, but 'b' (seen) is LARGER than 'a' —
+        # a larger-id resident never drops a new row
+        [("c", _vec(0, "dup"), _t(2))],   # dropped vs 'a' or 'b'
+    ]
+    d = str(tmp_path / "src")
+    os.makedirs(d, exist_ok=True)
+    for i, chunk in enumerate(rows):
+        tmp = os.path.join(d, f"w{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(tmp)
+        shutil.move(glob.glob(tmp + "/*.parquet")[0],
+                    os.path.join(d, f"chunk{i}.parquet"))
+        shutil.rmtree(tmp)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(d)
+    )
+    out = semantic_dedup_stream(
+        stream, THRESH, centroids=_centroids(spark), time_col="ts")
+    outdir = str(tmp_path / "out")
+    q = (
+        out.writeStream.foreachBatch(
+            lambda bdf, _b: bdf.write.mode("append").parquet(outdir))
+        .outputMode("update")
+        .option("checkpointLocation", outdir + ".ckpt")
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180)
+    by_id = {r.vec_id: r for r in spark.read.parquet(outdir).collect()}
+    assert by_id["b"].is_survivor
+    # 'a' arrived after 'b' but has the smaller id: the seen row 'b'
+    # cannot witness a drop of 'a' (id mask, not arrival mask)
+    assert by_id["a"].is_survivor
+    assert not by_id["c"].is_survivor
+    assert by_id["c"].nearest_prior_id in ("a", "b")
+
+
+def test_same_id_rearrival_drops_as_duplicate(spark, tmp_path):
+    """A replayed id meets its own resident (cosine 1.0) and drops —
+    replay-safe at-least-once ingest."""
+    chunks = [
+        [(1, _vec(0, "base"), _t(0))],
+        [(1, _vec(0, "base"), _t(1))],   # the same row again
+    ]
+    src = _stage(spark, str(tmp_path / "src"), chunks)
+    got = _run(
+        spark, src, str(tmp_path / "out"),
+        centroids=_centroids(spark), time_col="ts",
+    )
+    rows = sorted(got.collect(), key=lambda r: r.ts)
+    assert rows[0].is_survivor
+    assert not rows[1].is_survivor
+    assert rows[1].nearest_prior_id == 1
+    assert abs(rows[1].nearest_prior_sim - 1.0) < 1e-9
