@@ -451,3 +451,57 @@ def test_same_id_rearrival_drops_as_duplicate(spark, tmp_path):
     assert not rows[1].is_survivor
     assert rows[1].nearest_prior_id == 1
     assert abs(rows[1].nearest_prior_sim - 1.0) < 1e-9
+
+
+def test_checkpoint_restart_recovers_residents(spark, tmp_path):
+    """Stop after two micro-batches, restart the SAME checkpoint on a
+    new file: resident state recovers from the state store (not from
+    re-reading the stream) and the tail's decisions still equal the
+    one-shot scan."""
+    from summingbird_spark.functions.dedup import semantic_dedup
+
+    cents = _centroids(spark)
+    src = _stage(spark, str(tmp_path / "src"), _rows3()[:2])
+    out_dir = str(tmp_path / "out")
+
+    def go():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        out = semantic_dedup_stream(
+            stream, THRESH, centroids=cents, time_col="ts")
+        q = (
+            out.writeStream.foreachBatch(
+                lambda bdf, _b: bdf.write.mode("append").parquet(out_dir))
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(180)
+
+    go()                                   # generation 1: chunks 0-1
+    n_gen1 = spark.read.parquet(out_dir).count()
+    assert n_gen1 == 7
+    # stage chunk 2 under a FRESH file name (file sources are
+    # append-only: the checkpoint tracks processed paths)
+    tmp = os.path.join(src, "w9")
+    spark.createDataFrame(_rows3()[2], SCHEMA).coalesce(1).write.parquet(tmp)
+    shutil.move(glob.glob(tmp + "/*.parquet")[0],
+                os.path.join(src, "chunk9.parquet"))
+    shutil.rmtree(tmp)
+    go()                                   # generation 2: chunk 2 only
+    got = spark.read.parquet(out_dir)
+    assert got.count() == len(_all_rows())
+
+    one = semantic_dedup(
+        spark.createDataFrame(_all_rows(), SCHEMA).drop("ts"),
+        THRESH, k_clusters=3, centroids=cents,
+    )
+    o = {r.vec_id: r for r in one.collect()}
+    for r in got.collect():
+        assert r.is_survivor == o[r.vec_id].is_survivor, r
+        assert r.nearest_prior_id == o[r.vec_id].nearest_prior_id, r
+    # the restarted generation really dropped vs PRE-restart residents
+    by_id = {r.vec_id: r for r in got.collect()}
+    assert not by_id[20].is_survivor and by_id[20].nearest_prior_id == 1
