@@ -389,6 +389,27 @@ def semantic_dedup_stream(
         work = stream.mapInPandas(assign, assign_schema)
 
     if watermark is not None:
+        # a NULL event time has no place on a horizon: it cannot be
+        # compared to the watermark (NaT would decode as int64-min — an
+        # instantly-evicted resident, silent under-dedup). Refuse
+        # in-plan with the row id (lazy codegen'd check, no extra job).
+        work = work.withColumn(
+            time_col,
+            F.when(F.col(time_col).isNotNull(), F.col(time_col)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("semantic_dedup_stream: row "),
+                        F.col(id_col).cast("string"),
+                        F.lit(
+                            f" has a NULL {time_col}; watermark eviction"
+                            " needs an event time on every row — filter"
+                            " or repair upstream, or run without a"
+                            " watermark."
+                        ),
+                    )
+                ).cast("timestamp")
+            ),
+        )
         work = work.withWatermark(time_col, watermark)
 
     out_schema = ", ".join(

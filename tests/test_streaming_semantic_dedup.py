@@ -505,3 +505,20 @@ def test_checkpoint_restart_recovers_residents(spark, tmp_path):
     # the restarted generation really dropped vs PRE-restart residents
     by_id = {r.vec_id: r for r in got.collect()}
     assert not by_id[20].is_survivor and by_id[20].nearest_prior_id == 1
+
+
+def test_null_event_time_refuses_under_watermark(spark, tmp_path):
+    """A NULL event time cannot sit on a horizon: in-plan refusal names
+    the row (without a watermark, NULL ts rows flow through)."""
+    chunks = [[(1, _vec(0, "base"), None)]]
+    src = _stage(spark, str(tmp_path / "src"), chunks)
+    with pytest.raises(Exception, match="NULL ts"):
+        _run(
+            spark, src, str(tmp_path / "err"),
+            centroids=_centroids(spark), time_col="ts", watermark="1 day",
+        )
+    ok = _run(
+        spark, src, str(tmp_path / "ok"),
+        centroids=_centroids(spark), time_col="ts",
+    )
+    assert ok.count() == 1 and ok.first().is_survivor
