@@ -199,6 +199,106 @@ def _stream_probe(spark, factors) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _handoff_probe(spark, factors) -> None:
+    """Cost of the batch→stream residents handoff vs the replay it
+    avoids: the first 3/4 of a factor-F corpus becomes an
+    `export_semantic_residents` layout; the last 1/4 streams over it
+    with `bootstrap_dir=`. Reported: export wall, the bootstrapped
+    stream's per-trigger walls (the FIRST trigger carries the seed
+    load), and the baseline wall of streaming ALL of the corpus from
+    empty state — the replay a handoff-less deployment would pay."""
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from summingbird_spark.functions.similarity import (
+        ivf_assign_hierarchical, kmeans_train,
+    )
+    from summingbird_spark.streaming.dedup import (
+        export_semantic_residents, semantic_dedup_stream,
+    )
+
+    def stage(df, src, n_chunks, lo, hi):
+        os.makedirs(src, exist_ok=True)
+        q = (hi - lo) // n_chunks
+        for i in range(n_chunks):
+            a = lo + i * q
+            b = lo + (i + 1) * q if i < n_chunks - 1 else hi
+            tmp = os.path.join(src, f"w{i}")
+            df.where(
+                (F.col("vec_id") >= a) & (F.col("vec_id") < b)
+            ).coalesce(1).write.parquet(tmp)
+            dst = os.path.join(src, f"chunk{i}.parquet")
+            shutil.move(glob.glob(tmp + "/*.parquet")[0], dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, times=(1e9 + 10.0 * i, 1e9 + 10.0 * i))
+
+    def run_stream(src, work, cent, boot=None):
+        stream = (
+            spark.readStream
+            .schema("vec_id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = semantic_dedup_stream(
+            stream, 0.995, centroids=cent, bootstrap_dir=boot)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda bdf, _b: bdf.write.mode("append").parquet(
+                    f"{work}/out")
+            )
+            .outputMode("update")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(1800)
+        prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        return [p["durationMs"]["triggerExecution"] / 1e3 for p in prog]
+
+    for f in factors:
+        n = BASE_N * f
+        k = max(16, n // TARGET_CLUSTER)
+        cut = (3 * n) // 4
+        emb = synth(spark, n)
+        cent = kmeans_train(
+            emb, k, n_iter=4, sample_fraction=min(1.0, 50_000 / n))
+        cent = spark.createDataFrame(cent.collect(), cent.schema)
+
+        # batch history -> residents export
+        t0 = time.perf_counter()
+        history = emb.where(F.col("vec_id") < cut)
+        residents = ivf_assign_hierarchical(history, cent).select(
+            "vec_id", "embedding", "centroid_id")
+        boot = tempfile.mkdtemp(prefix="sbspark-handoff-boot-")
+        export_semantic_residents(residents, boot)
+        export_wall = time.perf_counter() - t0
+
+        # bootstrapped stream over the last quarter (2 triggers)
+        src_tail = tempfile.mkdtemp(prefix="sbspark-handoff-tail-")
+        stage(emb, src_tail, 2, cut, n)
+        work = tempfile.mkdtemp(prefix="sbspark-handoff-work-")
+        tail_walls = run_stream(src_tail, work, cent, boot=boot)
+
+        # baseline: replay EVERYTHING from empty state (4 triggers)
+        src_all = tempfile.mkdtemp(prefix="sbspark-handoff-all-")
+        stage(emb, src_all, 4, 0, n)
+        work2 = tempfile.mkdtemp(prefix="sbspark-handoff-work2-")
+        replay_walls = run_stream(src_all, work2, cent)
+
+        print(f"[handoff] factor {f}: n={n} k={k} residents={cut} "
+              f"export={export_wall:.2f}s "
+              f"tail-triggers={', '.join(f'{w:.2f}' for w in tail_walls)}s "
+              f"(first carries seed load) "
+              f"replay-total={sum(replay_walls):.2f}s "
+              f"({', '.join(f'{w:.2f}' for w in replay_walls)}) "
+              f"rss={rss_mb():.0f}MiB", flush=True)
+        for d in (boot, src_tail, work, src_all, work2):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     assigner = "hierarchical"
@@ -228,6 +328,10 @@ def main() -> None:
         return
     if assigner == "stream":
         _stream_probe(spark, factors)
+        spark.stop()
+        return
+    if assigner == "handoff":
+        _handoff_probe(spark, factors)
         spark.stop()
         return
 
