@@ -18,7 +18,8 @@ per-increment cost stays ~flat as residents accumulate, i.e.
 Θ(N·(R+N)/k) with k ∝ total corpus, not a rescan; pass 'stream' to
 probe semantic_dedup_stream — the same 4-way id-ordered replay through
 the streaming engine, reporting per-trigger wall and state-store
-rows/bytes from the query progress)
+rows/bytes from the query progress; pass 'handoff' to probe the
+residents export + bootstrap_dir seed cost vs a full replay)
 """
 
 from __future__ import annotations
