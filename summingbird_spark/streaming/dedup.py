@@ -211,8 +211,10 @@ def semantic_dedup_stream(
     Cluster assignment, one of:
 
     * ``assigned=`` — a STATIC (id, centroid_id) table (the persisted
-      IVF artifact): a broadcast stream-static equi-join, zero Python in
-      the assignment path and exactness by construction.
+      IVF artifact): a stream-static equi-join (auto-broadcast when the
+      artifact is small; shuffled per micro-batch when it is
+      corpus-sized — it is one row per corpus row, so no forced hint),
+      zero Python in the assignment path and exactness by construction.
       ``on_unassigned`` matches the batch contract: ``'error'`` refuses
       IN-PLAN on the first row the artifact predates (lazy codegen'd
       ``raise_error``); ``'keep'`` routes such rows through as
@@ -325,7 +327,14 @@ def semantic_dedup_stream(
         a = assigned.select(
             F.col(id_col), F.col("centroid_id").alias("__cid__")
         )
-        j = stream.join(F.broadcast(a), id_col, "left")
+        # NO broadcast hint: the artifact is one row per CORPUS row — at
+        # index scale that side is un-broadcastable (a forced hint would
+        # OOM every executor at 10^9 ids). Catalyst still auto-broadcasts
+        # a small artifact (autoBroadcastJoinThreshold works from static
+        # size estimates even with AQE off in stateful streams); a big
+        # one gets a per-micro-batch shuffled equi-join, which is the
+        # right plan — the stream side is the small one each trigger.
+        j = stream.join(a, id_col, "left")
         if on_unassigned == "error":
             cid = F.when(
                 F.col(vec_col).isNull(), F.lit(-1)
