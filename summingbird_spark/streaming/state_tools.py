@@ -739,3 +739,74 @@ def suggest_key_buckets(
         "max_bucket_keys": int(agg["max_keys"] or 0),
         "max_bucket_bytes": int(agg["max_bytes"] or 0),
     }
+
+
+def read_semantic_residents(
+    spark: SparkSession,
+    checkpoint: str,
+    id_type: str = "bigint",
+    include_vectors: bool = False,
+    batch_id: Optional[int] = None,
+    operator_id: int = 0,
+) -> DataFrame:
+    """Decode an ONLINE-SemDeDup checkpoint
+    (``streaming.dedup.semantic_dedup_stream``) into one row per
+    RESIDENT: ``(centroid_id int, <id> id_type, ts_ms bigint[, vec
+    array<double>])`` — the live answer to "what has the online dedup
+    seen, per cluster", read distributively off the state store like
+    the summer decoders (no stream restart, ``batch_id`` time travel).
+
+    Uses: per-cluster residency/skew audits (``groupBy(centroid_id)``
+    on the result — the semantic analog of ``state_skew_report``),
+    verifying an eviction policy actually bounded state, or exporting a
+    live checkpoint's residents with ``export_semantic_residents`` to
+    re-seed a new generation (pass ``include_vectors=True``, which
+    carries the full float64 vectors — leave it off for audits; the id
+    and timestamp rows are ~1/100th the bytes at dim 768).
+
+    Vectors come back L2-NORMALIZED (exactly as the kernel stores and
+    scores them), so a re-export scores identically. ``ts_ms`` is 0 for
+    rows ingested without a ``time_col``."""
+    import numpy as np
+    import pandas as pd
+
+    st = _load_statestore(spark, checkpoint, batch_id, operator_id)
+    state_key_cols = st.schema["key"].dataType.fieldNames()
+    if state_key_cols != ["centroid_id"]:
+        raise ValueError(
+            f"checkpoint {checkpoint!r} operator {operator_id} holds state "
+            f"keyed by {state_key_cols} — not a semantic_dedup_stream "
+            "kernel (its state key is ['centroid_id']). Pick the right "
+            "operator_id, or use read_summer_state/read_keyed_state."
+        )
+    vcols = ", vec array<double>" if include_vectors else ""
+    out_schema = f"centroid_id int, id {id_type}, ts_ms bigint{vcols}"
+    cols = ["centroid_id", "id", "ts_ms"] + (["vec"] if include_vectors else [])
+    src = st.select(
+        F.col("key.centroid_id").alias("centroid_id"),
+        # the kernel's state schema is "blob binary" (the summer kernels
+        # name their single field "state" — hence not _STATE_COL)
+        F.col("value.groupState.blob").alias("state"),
+    )
+
+    def decode(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for cid, blob in zip(pdf["centroid_id"], pdf["state"]):
+                if blob is None:
+                    continue
+                res = pickle.loads(bytes(blob))
+                ids, ts = res["ids"], res["ts"]
+                if include_vectors:
+                    vecs = np.asarray(res["vecs"], dtype=np.float64)
+                    rows.extend(
+                        (int(cid), i, int(t), v.tolist())
+                        for i, t, v in zip(ids, ts, vecs)
+                    )
+                else:
+                    rows.extend(
+                        (int(cid), i, int(t)) for i, t in zip(ids, ts)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(decode, out_schema)

@@ -522,3 +522,69 @@ def test_null_event_time_refuses_under_watermark(spark, tmp_path):
         centroids=_centroids(spark), time_col="ts",
     )
     assert ok.count() == 1 and ok.first().is_survivor
+
+
+def test_read_semantic_residents_decodes_checkpoint(spark, tmp_path):
+    """State observability: the checkpoint decodes to one row per
+    resident (dropped docs included), with normalized vectors under
+    include_vectors and a wrong-kernel refusal."""
+    from summingbird_spark.streaming.state_tools import (
+        read_semantic_residents,
+    )
+
+    src = _stage(spark, str(tmp_path / "src"), _rows3())
+    out_dir = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out = semantic_dedup_stream(
+        stream, THRESH, centroids=_centroids(spark), time_col="ts")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        out.writeStream.foreachBatch(
+            lambda bdf, _b: bdf.write.mode("append").parquet(out_dir))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180)
+
+    res = read_semantic_residents(spark, ckpt).collect()
+    # every non-NULL-vector row is a resident, dropped docs included
+    expect = {r[0] for r in _all_rows() if r[1] is not None}
+    assert {r.id for r in res} == expect
+    by_id = {r.id: r for r in res}
+    assert by_id[0].centroid_id == by_id[2].centroid_id  # same cluster
+    assert all(r.ts_ms > 0 for r in res)  # ingested with time_col
+
+    withv = read_semantic_residents(
+        spark, ckpt, include_vectors=True).collect()
+    v = np.asarray({r.id: r for r in withv}[0].vec)
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-9  # stored normalized
+
+    # point-in-time: after batch 0 only chunk-0 residents exist
+    early = read_semantic_residents(spark, ckpt, batch_id=0).collect()
+    assert {r.id for r in early} == {0, 1, 2, 3}
+
+    # a differently-keyed stateful checkpoint is refused by key-shape
+    from summingbird_spark.streaming.dedup import dedup_stream
+
+    stream2 = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    dd = dedup_stream(
+        stream2, key_cols=["vec_id"], time_col="ts", watermark="1 day")
+    ckpt2 = str(tmp_path / "ckpt2")
+    q2 = (
+        # the batch fn must run an action: a pure no-op foreachBatch
+        # never completes its trigger under availableNow
+        dd.writeStream.foreachBatch(lambda bdf, _b: bdf.count())
+        .outputMode("update")
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True).start()
+    )
+    assert q2.awaitTermination(180)
+    with pytest.raises(ValueError, match="not a semantic_dedup_stream"):
+        read_semantic_residents(spark, ckpt2)
