@@ -747,8 +747,18 @@ def contamination(
                 out[i] = bool(np.all((bits[p >> 3] >> (p & 7)) & 1))
             return pd.Series(out)
 
+        # asNondeterministic (guide §4.4): the probe references the join
+        # key (__bp__ derives from __gd__), so InferFiltersFromConstraints
+        # copied the whole ArrowEvalPython filter onto the EVAL side of
+        # the equi-join (measured in the r16 before-plan: two
+        # might_contain nodes) — pure waste there, the filter cannot
+        # reject an eval gram by construction. Marking it
+        # non-deterministic pins it to the corpus side only; the filter
+        # itself still runs exactly where written, so results are
+        # unchanged (it is a prefilter ahead of an exact join).
+        probe = pandas_udf(might_contain, BooleanType()).asNondeterministic()
         tr = tr.withColumn("__bp__", positions(F.col("__gd__"))).where(
-            pandas_udf(might_contain, BooleanType())(F.col("__bp__"))
+            probe(F.col("__bp__"))
         ).drop("__bp__")
     hits = tr.join(F.broadcast(ev), "__gd__")
     return hits.groupBy(id_col).agg(
@@ -1242,6 +1252,22 @@ def semantic_dedup_increment(
     # this same increment sees exactly the state it saw the first time
     part = os.path.join(residents_dir, f"increment={increment_id}")
     new_rows.write.mode("overwrite").parquet(part)
+    # r16 optimization round: the eager write above already materialized
+    # the batch's assignment; re-pointing the lazy decision path at the
+    # just-written partition means the assigner (broadcast matmul or the
+    # two-level routing — Python-boundary work either way) runs ONCE per
+    # increment instead of again at action time. Parquet round-trips the
+    # float vectors bit-exactly, so decisions are unchanged (guide §1.2:
+    # don't compute things twice).
+    try:
+        new_rows = spark.read.parquet(part).select(
+            id_col, vec_col, "centroid_id"
+        )
+    except AnalysisException:
+        # an EMPTY increment writes only _SUCCESS (no schema to infer);
+        # keep the computed (empty) assignment — recomputing nothing is
+        # free, and the semantics are identical either way
+        pass
 
     id_ddl = new_batch.schema[id_col].dataType.simpleString()
     id_is_int = id_ddl in ("tinyint", "smallint", "int", "bigint", "long")

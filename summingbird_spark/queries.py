@@ -1035,31 +1035,42 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     b = emb.select(F.col("vec_id").alias("__ib__"), F.col("embedding").alias("__vb__"))
     from .functions.similarity import cosine as _cos
 
-    witnessed = (
-        sd.where(F.col("nearest_prior_id").isNotNull())
-        .join(a, F.col("vec_id") == F.col("__ia__"))
-        .join(b, F.col("nearest_prior_id") == F.col("__ib__"))
-        .select(
-            "vec_id", "nearest_prior_id", "nearest_prior_sim", "is_survivor",
-            _cos(F.col("__va__"), F.col("__vb__")).alias("__recos__"),
+    # One pass over sd (r16 optimization round): the old shape was
+    # total.crossJoin(checks) with sd referenced in BOTH branches — the
+    # physical plan held TWO FlatMapGroupsInPandas(scan_cluster) subtrees
+    # (no ReusedExchange fires above the pandas node), so the Θ(n²/k)
+    # pairwise pass ran twice per action. LEFT joins keep every sd row
+    # (witness ids always resolve; NULL nearest_prior_id rows simply
+    # carry NULL vectors), so count(*) still equals sd's row count and
+    # the three check columns aggregate only witnessed rows via
+    # when(isNotNull) — min/max skip NULLs — exactly the old `witnessed`
+    # frame's semantics, including the NULL checks on an all-firsts
+    # corpus. Guide §2.4 (remove duplicated subtrees/shuffles).
+    w = F.col("nearest_prior_id").isNotNull()
+    recos = _cos(F.col("__va__"), F.col("__vb__"))
+    return (
+        sd.join(a, F.col("vec_id") == F.col("__ia__"), "left")
+        .join(b, F.col("nearest_prior_id") == F.col("__ib__"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max(F.when(w, ~F.col("is_survivor"))).alias("dropped_any"),
+            F.min(
+                F.when(
+                    w,
+                    F.when(
+                        ~F.col("is_survivor"),
+                        (recos >= 0.4)
+                        & (F.col("nearest_prior_id") < F.col("vec_id")),
+                    ).otherwise(True),
+                )
+            ).alias("witnesses_verified"),
+            F.min(
+                F.when(
+                    w, F.abs(recos - F.col("nearest_prior_sim")) < 1e-9
+                )
+            ).alias("sims_exact"),
         )
-    )
-    checks = witnessed.agg(
-        F.min(
-            F.when(
-                ~F.col("is_survivor"),
-                (F.col("__recos__") >= 0.4)
-                & (F.col("nearest_prior_id") < F.col("vec_id")),
-            ).otherwise(True)
-        ).alias("witnesses_verified"),
-        F.min(
-            F.abs(F.col("__recos__") - F.col("nearest_prior_sim")) < 1e-9
-        ).alias("sims_exact"),
-        F.max(~F.col("is_survivor")).alias("dropped_any"),
-    )
-    total = sd.agg(F.count(F.lit(1)).alias("n_rows"))
-    return total.crossJoin(checks).select(
-        "n_rows", "dropped_any", "witnesses_verified", "sims_exact"
+        .select("n_rows", "dropped_any", "witnesses_verified", "sims_exact")
     )
 
 
@@ -1109,31 +1120,37 @@ def q_semantic_dedup_partitioned(spark: SparkSession, sf: str) -> DataFrame:
     )
     a = emb.select(F.col("vec_id").alias("__ia__"), F.col("embedding").alias("__va__"))
     b = emb.select(F.col("vec_id").alias("__ib__"), F.col("embedding").alias("__vb__"))
-    witnessed = (
-        sd.where(F.col("nearest_prior_id").isNotNull())
-        .join(a, F.col("vec_id") == F.col("__ia__"))
-        .join(b, F.col("nearest_prior_id") == F.col("__ib__"))
-        .select(
-            "vec_id", "nearest_prior_id", "nearest_prior_sim", "is_survivor",
-            _cos(F.col("__va__"), F.col("__vb__")).alias("__recos__"),
+    # Single-pass witness aggregation (r16 optimization round): the
+    # partitioned assigner's whole pipeline (supers k-means + routing +
+    # the (super, salt) cogroup — 8 Python-boundary nodes) used to run
+    # TWICE because total.crossJoin(checks) duplicated the sd subtree
+    # with no exchange reuse above the pandas nodes. Same equivalence
+    # argument as q_semantic_dedup's rewrite. Guide §2.4.
+    w = F.col("nearest_prior_id").isNotNull()
+    recos = _cos(F.col("__va__"), F.col("__vb__"))
+    return (
+        sd.join(a, F.col("vec_id") == F.col("__ia__"), "left")
+        .join(b, F.col("nearest_prior_id") == F.col("__ib__"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max(F.when(w, ~F.col("is_survivor"))).alias("dropped_any"),
+            F.min(
+                F.when(
+                    w,
+                    F.when(
+                        ~F.col("is_survivor"),
+                        (recos >= 0.4)
+                        & (F.col("nearest_prior_id") < F.col("vec_id")),
+                    ).otherwise(True),
+                )
+            ).alias("witnesses_verified"),
+            F.min(
+                F.when(
+                    w, F.abs(recos - F.col("nearest_prior_sim")) < 1e-9
+                )
+            ).alias("sims_exact"),
         )
-    )
-    checks = witnessed.agg(
-        F.min(
-            F.when(
-                ~F.col("is_survivor"),
-                (F.col("__recos__") >= 0.4)
-                & (F.col("nearest_prior_id") < F.col("vec_id")),
-            ).otherwise(True)
-        ).alias("witnesses_verified"),
-        F.min(
-            F.abs(F.col("__recos__") - F.col("nearest_prior_sim")) < 1e-9
-        ).alias("sims_exact"),
-        F.max(~F.col("is_survivor")).alias("dropped_any"),
-    )
-    total = sd.agg(F.count(F.lit(1)).alias("n_rows"))
-    return total.crossJoin(checks).select(
-        "n_rows", "dropped_any", "witnesses_verified", "sims_exact"
+        .select("n_rows", "dropped_any", "witnesses_verified", "sims_exact")
     )
 
 
@@ -2890,18 +2907,30 @@ def q_corpus_to_shards(spark: SparkSession, sf: str) -> DataFrame:
     from .functions.dedup import contamination
     from .functions.packing import deterministic_shuffle, pack_shards
 
+    from pyspark.sql.window import Window
+
     docs = load_table(spark, sf, "documents")
     toks = T.tokenize(F.lower(F.col("text")))
+    # r16 optimization round: the old shape computed `quality` (corpus
+    # scan + tokenize) TWICE — once under the min-id groupBy and once on
+    # the join-back side (no subtree reuse fires). The min-id survivor
+    # pick is a window over the SAME key instead: one scan, one tokenize,
+    # one shuffle of three narrow columns (doc_id, n_tokens, md5) — the
+    # text bytes are projected away before the exchange (guide §2.3/§2.4).
+    # Identical rows: keep doc_id == min(doc_id) per md5(text), the same
+    # min-id-per-hash rule, under the same no-collision assumption.
     quality = docs.where((F.size(toks) >= 20) & (F.size(toks) <= 5000)).select(
-        "doc_id", "text", F.size(toks).cast("long").alias("n_tokens")
-    )
-    survivors = quality.groupBy(F.md5("text").alias("__h__")).agg(
-        F.min("doc_id").alias("doc_id")
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.md5("text").alias("__h__"),
     )
     eval_set = docs.where(F.col("doc_id") % 97 == 0)
     contaminated = contamination(docs, eval_set, "doc_id", "text", shingle_n=3)
     clean = (
-        quality.join(survivors.select("doc_id"), "doc_id")
+        quality.withColumn(
+            "__mn__", F.min("doc_id").over(Window.partitionBy("__h__"))
+        )
+        .where(F.col("doc_id") == F.col("__mn__"))
         .join(contaminated.select("doc_id"), "doc_id", "left_anti")
         .select("doc_id", "n_tokens")
     )
