@@ -847,39 +847,51 @@ def remove_duplicate_spans(
     ``(id, clean_text, n_tokens, n_removed)`` — ``clean_text`` is
     space-normalized (the reassembly joins tokens with single spaces).
 
-    Plan: tokens posexplode once; gram digests get their document
-    frequency from a count window over the digest partition (uniform
-    16-byte keys); hot grams' start positions expand to covered token
-    positions (bounded fan-out: × shingle_n); an anti-join on
-    (doc, position) keeps survivors; one final per-doc sort-agg rebuilds
-    the text. Every shuffle keys on digest or doc id. The corpus is
-    token-exploded — the same volume the gram signal already pays —
-    and nothing is ever driver-resident.
+    Plan: tokens posexplode once (per-doc totals ride the same pass);
+    gram digests get their document frequency from a count window over
+    the digest partition (uniform 16-byte keys), start positions
+    collected in the same aggregation; hot grams' starts expand to
+    covered token positions (bounded fan-out: × shingle_n); a flag-join
+    on (doc, position) marks covered tokens (partial aggregation drops
+    them map-side); one final per-doc sort-agg rebuilds the text. Every
+    shuffle keys on digest or doc id. The corpus is token-exploded —
+    the same volume the gram signal already pays — and nothing is ever
+    driver-resident.
     """
     from pyspark.sql.window import Window
 
+    from .text import token_count
+
+    # ONE token pass (r16 optimization round, guide §2.4): per-doc totals
+    # ride the explode (computed scan-side, carried via first()) instead
+    # of a fourth corpus scan + re-tokenize + final join. posexplode_outer
+    # keeps token-less documents as a NULL-position row so they reach the
+    # rebuild aggregate — the job the totals left-join used to do.
+    low = F.lower(F.col(text_col))
     toks = df.select(
         F.col(id_col).alias(id_col),
-        F.posexplode(tokenize(F.lower(F.col(text_col)))).alias("__p__", "__t__"),
+        token_count(low).alias("__total__"),
+        F.posexplode_outer(tokenize(low)).alias("__p__", "__t__"),
     )
     grams = df.select(
         F.col(id_col).alias(id_col),
         F.posexplode(shingles(F.col(text_col), shingle_n)).alias("__s__", "__g__"),
     ).select(id_col, "__s__", F.md5(F.col("__g__")).alias("__gd__"))
-    # document frequency WITHOUT unbounded window state: one row per
-    # (doc, gram) first, then a count window over the digest partition
-    # (each row is O(1) — no collect_set of 10M doc ids for a
-    # boilerplate gram), then re-attach the occurrences' start positions
+    # document frequency WITHOUT unbounded window state: ONE aggregation
+    # collapses each (doc, gram) to a row carrying its start positions
+    # (bounded by the doc's own occurrence count), then a count window
+    # over the digest partition (each row is O(1) — no collect_set of
+    # 10M doc ids for a boilerplate gram). The old shape scanned+exploded
+    # the corpus a second time to re-attach starts via a join-back
+    # (measured: two grams subtrees in the r16 before-plan).
     w = Window.partitionBy("__gd__")
-    hot_doc_grams = (
-        grams.select(id_col, "__gd__")
-        .distinct()
-        .withColumn("__df__", F.count(F.lit(1)).over(w))
-        .where(F.col("__df__") >= min_df)
-        .select(id_col, "__gd__")
+    occ = grams.groupBy(id_col, "__gd__").agg(
+        F.collect_list("__s__").alias("__ss__")
     )
-    hot_starts = grams.join(hot_doc_grams, [id_col, "__gd__"]).select(
-        id_col, "__s__"
+    hot_starts = (
+        occ.withColumn("__df__", F.count(F.lit(1)).over(w))
+        .where(F.col("__df__") >= min_df)
+        .select(id_col, F.explode("__ss__").alias("__s__"))
     )
     covered = hot_starts.select(
         id_col,
@@ -887,37 +899,34 @@ def remove_duplicate_spans(
             F.sequence(F.col("__s__"), F.col("__s__") + (shingle_n - 1))
         ).alias("__p__"),
     ).distinct()
-    kept = toks.join(covered, [id_col, "__p__"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
+    # flag-join instead of anti-join: a fully-covered document keeps its
+    # (flagged) rows, so the per-doc rebuild still emits it with
+    # clean_text '' — previously the totals join restored such docs.
+    # Partial aggregation drops the flagged rows' NULL structs map-side,
+    # so the rebuild exchange carries the same bytes the anti-join did.
+    flagged = toks.join(
+        covered.withColumn("__c__", F.lit(True)), [id_col, "__p__"], "left"
+    )
+    keep = F.col("__c__").isNull()
+    return flagged.groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct(F.col("__p__"), F.col("__t__")))
+                    F.collect_list(
+                        F.when(keep, F.struct(F.col("__p__"), F.col("__t__")))
+                    )
                 ),
                 lambda s: s["__t__"],
             ),
             " ",
         ).alias("clean_text"),
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-    )
-    # totals from the SOURCE df (scan-side token_count), not the explode:
-    # an empty document must still appear in the output with zero counts
-    from .text import token_count
-
-    totals = df.select(
-        F.col(id_col).alias(id_col),
-        token_count(F.lower(F.col(text_col))).alias("__total__"),
-    )
-    return (
-        totals.join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
-            (F.col("__total__") - F.coalesce(F.col("n_tokens"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-        )
+        F.count(F.when(keep, F.col("__t__"))).cast("long").alias("n_tokens"),
+        F.first("__total__").alias("__total__"),
+    ).select(
+        id_col,
+        "clean_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("__total__") - F.col("n_tokens")).cast("long").alias("n_removed"),
     )
 
 

@@ -176,6 +176,15 @@ def ngram_repetition(
     which is as uniform as keys get — no hot keys, no driver state, and
     the gram strings never leave the first aggregation.
     """
+    # Shape note (r16 optimization round): a fused single-scan variant
+    # (both n-gram streams through one explode_outer over concatenated
+    # (n, gram) struct arrays, per-doc scalars carried via first()) was
+    # BUILT, MEASURED, AND REJECTED — interleaved A/B at sf0.1: fused
+    # 1.98-2.15 s vs this shape's 1.55-1.72 s. The struct-array
+    # materialization before the explode plus two extra first() buffers
+    # per (doc, n, gram) group cost more than the two parquet scans they
+    # save; the scans prune to (id, text) and the per-row split work is
+    # identical either way.
     did = F.col(id_col)
     low = F.lower(F.col(text_col))
     grams = df.select(

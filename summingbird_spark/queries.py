@@ -860,7 +860,13 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     verified = ngram_jaccard_pairs(
         docs, cand, "doc_id", "text", shingle_n=3, threshold=0.5
     ).select("id_a", "id_b")
-    out = dup_clusters(verified, ids=docs.select("doc_id"))
+    # ids through a NARROW read, not load_table: the CPU-heavy spread
+    # repartition exists for per-row text work, but this branch only
+    # carries doc_id into a hash join — the plan showed the id column
+    # round-robin-shuffled and then immediately hash-shuffled again
+    # (stacked Exchanges, guide §2.4). Same rows either way.
+    ids = read_parquet(spark, f"{sf}/documents.parquet").select("doc_id")
+    out = dup_clusters(verified, ids=ids)
     return out.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
@@ -1035,42 +1041,48 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     b = emb.select(F.col("vec_id").alias("__ib__"), F.col("embedding").alias("__vb__"))
     from .functions.similarity import cosine as _cos
 
-    # One pass over sd (r16 optimization round): the old shape was
-    # total.crossJoin(checks) with sd referenced in BOTH branches — the
-    # physical plan held TWO FlatMapGroupsInPandas(scan_cluster) subtrees
-    # (no ReusedExchange fires above the pandas node), so the Θ(n²/k)
-    # pairwise pass ran twice per action. LEFT joins keep every sd row
-    # (witness ids always resolve; NULL nearest_prior_id rows simply
-    # carry NULL vectors), so count(*) still equals sd's row count and
-    # the three check columns aggregate only witnessed rows via
-    # when(isNotNull) — min/max skip NULLs — exactly the old `witnessed`
-    # frame's semantics, including the NULL checks on an all-firsts
-    # corpus. Guide §2.4 (remove duplicated subtrees/shuffles).
-    w = F.col("nearest_prior_id").isNotNull()
-    recos = _cos(F.col("__va__"), F.col("__vb__"))
-    return (
-        sd.join(a, F.col("vec_id") == F.col("__ia__"), "left")
-        .join(b, F.col("nearest_prior_id") == F.col("__ib__"), "left")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.max(F.when(w, ~F.col("is_survivor"))).alias("dropped_any"),
-            F.min(
-                F.when(
-                    w,
-                    F.when(
-                        ~F.col("is_survivor"),
-                        (recos >= 0.4)
-                        & (F.col("nearest_prior_id") < F.col("vec_id")),
-                    ).otherwise(True),
-                )
-            ).alias("witnesses_verified"),
-            F.min(
-                F.when(
-                    w, F.abs(recos - F.col("nearest_prior_sim")) < 1e-9
-                )
-            ).alias("sims_exact"),
+    # One pandas pass (r16 optimization round, guide §2.4): the old shape
+    # was total.crossJoin(checks) with sd referenced in BOTH branches —
+    # the physical plan held TWO FlatMapGroupsInPandas(scan_cluster)
+    # subtrees (no ReusedExchange fires above a pandas node), so the
+    # Θ(n²/k) pairwise pass ran twice per action. The decision columns
+    # (never the vectors) are localCheckpoint-ed — same in-plan
+    # materialization dup_clusters uses — so both the total and the
+    # witnessed-only checks read ONE pipeline execution, and the witness
+    # joins stay filtered to the handful of witnessed rows exactly as
+    # before. A left-join single-aggregation variant was also measured:
+    # one pass, but it pushed every row (vectors attached) through both
+    # joins — this hybrid beat it 3.81 s vs 4.07 s min on the partitioned
+    # twin's A/B. Aggregation semantics are byte-identical to the
+    # original (it IS the original shape over a materialized input).
+    dec = sd.select(
+        "vec_id", "nearest_prior_id", "nearest_prior_sim", "is_survivor"
+    ).localCheckpoint()
+    witnessed = (
+        dec.where(F.col("nearest_prior_id").isNotNull())
+        .join(a, F.col("vec_id") == F.col("__ia__"))
+        .join(b, F.col("nearest_prior_id") == F.col("__ib__"))
+        .select(
+            "vec_id", "nearest_prior_id", "nearest_prior_sim", "is_survivor",
+            _cos(F.col("__va__"), F.col("__vb__")).alias("__recos__"),
         )
-        .select("n_rows", "dropped_any", "witnesses_verified", "sims_exact")
+    )
+    checks = witnessed.agg(
+        F.min(
+            F.when(
+                ~F.col("is_survivor"),
+                (F.col("__recos__") >= 0.4)
+                & (F.col("nearest_prior_id") < F.col("vec_id")),
+            ).otherwise(True)
+        ).alias("witnesses_verified"),
+        F.min(
+            F.abs(F.col("__recos__") - F.col("nearest_prior_sim")) < 1e-9
+        ).alias("sims_exact"),
+        F.max(~F.col("is_survivor")).alias("dropped_any"),
+    )
+    total = dec.agg(F.count(F.lit(1)).alias("n_rows"))
+    return total.crossJoin(checks).select(
+        "n_rows", "dropped_any", "witnesses_verified", "sims_exact"
     )
 
 
@@ -1120,37 +1132,41 @@ def q_semantic_dedup_partitioned(spark: SparkSession, sf: str) -> DataFrame:
     )
     a = emb.select(F.col("vec_id").alias("__ia__"), F.col("embedding").alias("__va__"))
     b = emb.select(F.col("vec_id").alias("__ib__"), F.col("embedding").alias("__vb__"))
-    # Single-pass witness aggregation (r16 optimization round): the
+    # One pipeline pass (r16 optimization round, guide §2.4): the
     # partitioned assigner's whole pipeline (supers k-means + routing +
     # the (super, salt) cogroup — 8 Python-boundary nodes) used to run
     # TWICE because total.crossJoin(checks) duplicated the sd subtree
-    # with no exchange reuse above the pandas nodes. Same equivalence
-    # argument as q_semantic_dedup's rewrite. Guide §2.4.
-    w = F.col("nearest_prior_id").isNotNull()
-    recos = _cos(F.col("__va__"), F.col("__vb__"))
-    return (
-        sd.join(a, F.col("vec_id") == F.col("__ia__"), "left")
-        .join(b, F.col("nearest_prior_id") == F.col("__ib__"), "left")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.max(F.when(w, ~F.col("is_survivor"))).alias("dropped_any"),
-            F.min(
-                F.when(
-                    w,
-                    F.when(
-                        ~F.col("is_survivor"),
-                        (recos >= 0.4)
-                        & (F.col("nearest_prior_id") < F.col("vec_id")),
-                    ).otherwise(True),
-                )
-            ).alias("witnesses_verified"),
-            F.min(
-                F.when(
-                    w, F.abs(recos - F.col("nearest_prior_sim")) < 1e-9
-                )
-            ).alias("sims_exact"),
+    # with no exchange reuse above the pandas nodes. Same checkpoint
+    # hybrid as q_semantic_dedup (see the rationale there; measured
+    # 3.81 s vs 4.26 s old / 4.07 s left-join-single-agg at sf0.1).
+    dec = sd.select(
+        "vec_id", "nearest_prior_id", "nearest_prior_sim", "is_survivor"
+    ).localCheckpoint()
+    witnessed = (
+        dec.where(F.col("nearest_prior_id").isNotNull())
+        .join(a, F.col("vec_id") == F.col("__ia__"))
+        .join(b, F.col("nearest_prior_id") == F.col("__ib__"))
+        .select(
+            "vec_id", "nearest_prior_id", "nearest_prior_sim", "is_survivor",
+            _cos(F.col("__va__"), F.col("__vb__")).alias("__recos__"),
         )
-        .select("n_rows", "dropped_any", "witnesses_verified", "sims_exact")
+    )
+    checks = witnessed.agg(
+        F.min(
+            F.when(
+                ~F.col("is_survivor"),
+                (F.col("__recos__") >= 0.4)
+                & (F.col("nearest_prior_id") < F.col("vec_id")),
+            ).otherwise(True)
+        ).alias("witnesses_verified"),
+        F.min(
+            F.abs(F.col("__recos__") - F.col("nearest_prior_sim")) < 1e-9
+        ).alias("sims_exact"),
+        F.max(~F.col("is_survivor")).alias("dropped_any"),
+    )
+    total = dec.agg(F.count(F.lit(1)).alias("n_rows"))
+    return total.crossJoin(checks).select(
+        "n_rows", "dropped_any", "witnesses_verified", "sims_exact"
     )
 
 
@@ -1365,7 +1381,10 @@ def q_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
     verified = ngram_jaccard_pairs(
         docs, cand, "doc_id", "text", shingle_n=3, threshold=0.5
     ).select("id_a", "id_b")
-    clusters = dup_clusters(verified, ids=docs.select("doc_id"))
+    # narrow ids read — see q_dedup_clusters: skip the CPU-heavy spread
+    # shuffle on a column that goes straight into a hash join
+    ids = read_parquet(spark, f"{sf}/documents.parquet").select("doc_id")
+    clusters = dup_clusters(verified, ids=ids)
     scored = docs.select(
         "doc_id", F.round(T.quality_score(F.col("text")), 4).alias("quality")
     )
@@ -3613,15 +3632,37 @@ def q_embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
     the positional self-join this implementation exists to avoid.)"""
     from .functions.similarity import covariance_matrix
 
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf, "embeddings")
     cov, _, _ = covariance_matrix(emb, "embedding")
     dim = cov.shape[0]
-    rows = [
-        (i, j, round(float(cov[i, j]), 6))
-        for i in range(dim)
-        for j in range(dim)
-    ]
-    return spark.createDataFrame(rows, "i long, j long, cov double")
+    # vectorized grid + Arrow-path createDataFrame (guide §6): the old
+    # Python-tuple list paid a py4j row round trip per cell; a pandas
+    # frame crosses as one Arrow batch. Cell values keep the exact
+    # per-cell Python round() the hash gate has always seen (np.round's
+    # scale-multiply can differ in the last decimal on edge cases).
+    i = np.repeat(np.arange(dim, dtype=np.int64), dim)
+    j = np.tile(np.arange(dim, dtype=np.int64), dim)
+    pdf = pd.DataFrame(
+        {
+            "i": i,
+            "j": j,
+            "cov": np.array(
+                [round(float(v), 6) for v in cov.ravel()], dtype=np.float64
+            ),
+        }
+    )
+    prev = spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", None)
+    try:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        return spark.createDataFrame(pdf, "i long, j long, cov double")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.pyspark.enabled")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", prev)
 
 
 @query(
