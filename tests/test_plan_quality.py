@@ -504,3 +504,45 @@ def test_streaming_microbatch_plans_lint_scalable(spark, monkeypatch):
         "WithState" in t or "StateStore" in t or "SessionWindowStateStore" in t
         for t in captured.values()
     )
+
+
+# ---------------------------------------------------------------- r16 pins
+# Optimization-round plan-shape regressions: each pin guards a measured r16
+# fix against the optimizer (or a refactor) silently reintroducing the
+# duplicated work. Evidence for each: plans/r16/<query>_{before,after}.txt.
+
+
+def test_bloom_probe_evaluates_once(spark):
+    # r16: InferFiltersFromConstraints used to copy the ArrowEvalPython
+    # bloom probe onto the eval side of the equi-join (two probe nodes in
+    # the before-plan); asNondeterministic pins it to the corpus side.
+    plan = plan_of(spark, "decontaminate_bloom")
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_witness_queries_run_the_pipeline_once(spark):
+    # r16: total.crossJoin(checks) used to hold TWO FlatMapGroupsInPandas
+    # scan subtrees (no exchange reuse fires above a pandas node). The
+    # decision columns now come from one localCheckpoint-ed pipeline
+    # execution, so the RETURNED plan contains no pandas scan at all —
+    # only the checkpointed decisions plus the witnessed-only joins.
+    for name in ("semantic_dedup", "semantic_dedup_partitioned"):
+        plan = plan_of(spark, name)
+        assert "FlatMapGroupsInPandas" not in plan, (name, plan)
+        assert "FlatMapCoGroupsInPandas" not in plan, (name, plan)
+        assert "ExistingRDD" in plan, (name, plan)
+
+
+def test_remove_duplicate_spans_two_corpus_scans(spark):
+    # r16: four documents scans -> two (grams join-back and the totals
+    # branch both fused away); the token pass and the gram pass remain.
+    plan = plan_of(spark, "remove_duplicate_spans")
+    assert sum("documents.parquet" in l for l in scans_of(plan)) == 2, plan
+
+
+def test_dedup_ids_path_not_double_shuffled(spark):
+    # r16: ids came from the CPU-heavy spread load_table, paying a
+    # round-robin shuffle immediately re-shuffled by hash for the join;
+    # the narrow read leaves exactly one spread (the quality scan's).
+    plan = plan_of(spark, "dedup_survivors")
+    assert plan.count("RoundRobinPartitioning") == 1, plan
