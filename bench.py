@@ -218,11 +218,26 @@ def _ratchet_calib(
     return prev, new  # suspected fluke: hold for corroboration
 
 
+def _sidecar_cpus(repo_root: str) -> str:
+    """The core count the committed quiet sidecar's floors were captured
+    at. Missing field (pre-r16 sidecars) defaults to '32' — every
+    committed graded artifact records cpus=32. Floors are only comparable
+    and only ratchetable at the same width: overhead-bound rows run
+    FASTER on fewer cores, so a scaling pass would otherwise write
+    lower-core floors that flag every later full-width capture."""
+    try:
+        with open(os.path.join(repo_root, _QUIET_PATH)) as f:
+            return str(json.load(f).get("cpus", "32"))
+    except (OSError, ValueError):
+        return str(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
 def update_quiet_sidecar(
     repo_root: str,
     timings_min: dict[str, float],
     calib_io_min: float = -1.0,
     calib_cpu_min: float = -1.0,
+    cpus: str = "32",
 ) -> None:
     """Ratchet the persistent per-query quiet mins down with this run —
     and the calibration minimums with them (with ``_ratchet_calib``'s
@@ -257,6 +272,7 @@ def update_quiet_sidecar(
             f"suspected-fluke minimum (>{_CALIB_BAND}x below the quiet "
             "min) awaiting a second corroborating run."
         ),
+        "cpus": cpus,
         "calib_io_min": round(io_min, 3),
         "calib_cpu_min": round(cpu_min, 3),
         "calib_io_pending": round(pend_io, 3),
@@ -282,7 +298,9 @@ def classify_capture(
     """(calib_status, quiet_ratchet_total) for the artifact's own
     attribution (VERDICT r15 item 5). Status values:
 
-    * ``ungated``    — iteration run at a non-graded SF (no baselines)
+    * ``ungated``    — iteration shape: a non-graded SF, or the graded
+      dir at a core count other than the sidecar's committed width (the
+      driver's scaling pass) — no comparable baselines either way
     * ``unmeasured`` — a calibration row failed to sample
     * ``no-baseline``— first graded run on this host (nothing to compare)
     * ``contended``  — calibration out-of-band vs the quiet baseline even
@@ -617,11 +635,27 @@ def main() -> None:
     graded_run = os.path.realpath(sf_dir) == os.path.realpath(
         "/root/testdata/sf0.1"
     )
+    # The quiet sidecar's floors are per (host, CORE COUNT) — a lower-core
+    # run of the graded dir (the driver's scaling pass) must neither
+    # ratchet them (overhead-bound rows run FASTER on fewer cores, so an
+    # 8-core sweep writes 8-core floors that make every later full-width
+    # capture read as contended/flagged — observed live this round) nor
+    # clobber the committed full-width BENCH_DETAIL. Such runs still
+    # print the full compact line; their detail lands in /tmp and their
+    # calib_status reads 'ungated' like any other iteration shape.
+    official_shape = graded_run and str(cpus) == _sidecar_cpus(repo_root)
+    if graded_run and not official_shape:
+        print(
+            f"bench: graded dir at cpus={cpus} != sidecar shape "
+            f"{_sidecar_cpus(repo_root)} — scaling pass: baselines, "
+            "sidecar ratchet and repo-root detail are skipped",
+            file=sys.stderr,
+        )
 
     calib_io_prev, calib_cpu_prev = (
-        quiet_baselines(repo_root) if graded_run else (-1.0, -1.0)
+        quiet_baselines(repo_root) if official_shape else (-1.0, -1.0)
     )
-    quiet_mins = quiet_query_mins(repo_root) if graded_run else {}
+    quiet_mins = quiet_query_mins(repo_root) if official_shape else {}
 
     def _noise_score(r):
         """max contention ratio vs the quiet baselines (1.0 = quiet)."""
@@ -634,7 +668,7 @@ def main() -> None:
 
     res = sweep()
     reran = False
-    if graded_run and _noise_score(res) > 1.15:
+    if official_shape and _noise_score(res) > 1.15:
         print(
             f"bench: calibration {res['calib_io_sec']}s io / "
             f"{res['calib_sec']}s cpu vs quiet baseline {calib_io_prev}/"
@@ -673,15 +707,16 @@ def main() -> None:
     # compact line itself, alongside the quiet-ratchet total for the same
     # row set, so a judge/CI reads the attribution without a session
     calib_status, quiet_total = classify_capture(
-        graded_run, res, _noise_score(res),
+        official_shape, res, _noise_score(res),
         calib_io_prev > 0 or calib_cpu_prev > 0, quiet_mins, timings_min,
     )
-    if graded_run:
+    if official_shape:
         # ratchet with MEDIANS (what the gate compares), not min3 — a
         # burst-minimum baseline would fire the gate on every later run
         update_quiet_sidecar(
             repo_root, timings_min,
             calib_io_min=calib_io_sec, calib_cpu_min=calib_sec,
+            cpus=str(cpus),
         )
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
@@ -729,15 +764,17 @@ def main() -> None:
     except Exception as e:
         print(f"bench error reading stream metrics: {e}", file=sys.stderr)
     # the repo-root sidecar is the graded sf0.1 artifact — an iteration
-    # run at another SF (SPARK_GRAFT_SF_DIR override) must not clobber it
-    # with numbers at the wrong scale; those land in /tmp instead.
-    # realpath, not normpath: a symlinked or relative spelling of the
-    # canonical dir is still the graded corpus (ADVICE r10).
-    if graded_run:
+    # run at another SF (SPARK_GRAFT_SF_DIR override) or at a core count
+    # other than the sidecar's committed shape (the driver's scaling
+    # pass) must not clobber it with numbers at the wrong scale/width;
+    # those land in /tmp instead. realpath, not normpath: a symlinked or
+    # relative spelling of the canonical dir is still the graded corpus
+    # (ADVICE r10).
+    if official_shape:
         detail_path = repo_detail_path
     else:
         tag = os.path.basename(str(sf_dir).rstrip("/")) or "custom"
-        detail_path = f"/tmp/BENCH_DETAIL_{tag}.json"
+        detail_path = f"/tmp/BENCH_DETAIL_{tag}_cpus{cpus}.json"
     try:
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1)

@@ -209,3 +209,34 @@ def test_classify_capture_branches():
         True, res_ok, 1.0, True, quiet, {"a": -1.0, "b": 2.2}
     )
     assert qt == pytest.approx(2.0)
+
+
+# ------------------------------------------------------ sidecar core shape
+
+
+def test_sidecar_records_and_reports_core_shape(tmp_path):
+    """r16: the quiet floors are per (host, core count). The sidecar
+    stamps the width it was captured at; a missing field (pre-r16
+    sidecars) reads as the committed graded shape '32'. main() uses this
+    to skip ratcheting/flagging/clobbering on the driver's lower-core
+    scaling pass — an 8-core sweep of the graded dir wrote 8-core floors
+    into the sidecar this round (overhead-bound rows run FASTER on fewer
+    cores) and every later full-width capture would have read flagged."""
+    root = str(tmp_path)
+    _write(
+        os.path.join(root, "BENCH_QUIET.json"),
+        {"queries_min3": {"a": 1.0}},
+    )
+    assert bench._sidecar_cpus(root) == "32"
+    bench.update_quiet_sidecar(root, {"a": 0.9}, cpus="32")
+    assert bench._sidecar_cpus(root) == "32"
+    bench.update_quiet_sidecar(root, {"a": 0.8}, cpus="8")
+    # the writer records whatever width the caller passed; the SKIP
+    # decision lives in main() (official_shape), which never calls the
+    # writer on a mismatch — this pins the field round-trip
+    assert bench._sidecar_cpus(root) == "8"
+
+
+def test_sidecar_cpus_defaults_when_missing(tmp_path):
+    assert bench._sidecar_cpus(str(tmp_path)) in ("32", os.environ.get(
+        "SPARK_GRAFT_CPUS", "32"))
