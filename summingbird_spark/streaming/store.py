@@ -7,10 +7,27 @@ the online store is a versioned parquet KV table keyed by
 (key..., batch_id); each micro-batch's deltas semigroup-merge in via
 ``foreachBatch`` (bulk, not per-key IO).
 
+Two write disciplines, same read contract:
+
+* ``multi_merge`` — read-merge-write: every call materializes a full new
+  store version (read current, full-outer join, rewrite). The serving
+  shape when every trigger must leave a directly-readable snapshot.
+* ``append_delta`` — the accumulator (r17, guide §2.4/§1.2): each
+  micro-batch appends ONE small per-key delta partition
+  (``delta/__epoch__=<id>/``) — no read of the current store, no join, no
+  full rewrite per trigger. ``read`` folds pending delta epochs onto the
+  newest version lazily, in EPOCH ORDER, with the same ``merge_null_safe``
+  left fold the sequential path applies — bit-identical results. The
+  store contents as of any trigger remain reconstructable from the
+  written data (each delta carries its epoch; ``read(through_epoch=e)``
+  replays the prefix), which is what keeps per-trigger versioning
+  semantics. ``compact`` folds pending deltas into a materialized
+  version when a deployment wants bounded read cost back.
+
 Local-fs versioning uses the same atomic-_SUCCESS protocol as the batch
 VersionedBatchStore; on a real deployment this becomes a Delta/Iceberg
-MERGE or an external KV bulk-write — the interface (multi_merge / read /
-lookup) is the stable part.
+MERGE or an external KV bulk-write — the interface (multi_merge /
+append_delta / read / lookup) is the stable part.
 """
 
 from __future__ import annotations
@@ -26,6 +43,7 @@ from pyspark.sql import functions as F
 from ..core import semigroup as sg_mod
 
 _VER_DIR = re.compile(r"^v=(\d+)$")
+_DELTA_DIR = re.compile(r"^__epoch__=(\d+)$")
 
 
 class OnlineStore:
@@ -47,30 +65,202 @@ class OnlineStore:
                 out.append(int(m.group(1)))
         return sorted(out)
 
-    def read(self, spark: SparkSession) -> Optional[DataFrame]:
+    # -- delta log (append_delta accumulator) ---------------------------
+    @property
+    def _delta_root(self) -> str:
+        return os.path.join(self.path, "delta")
+
+    def _delta_epochs(self) -> list[int]:
+        root = self._delta_root
+        if not os.path.isdir(root):
+            return []
+        out = []
+        for d in os.listdir(root):
+            m = _DELTA_DIR.match(d)
+            if m and os.path.exists(os.path.join(root, d, "_SUCCESS")):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _version_epoch(self, v: int) -> int:
+        """Epoch high-water stamped into version ``v`` (-1 if unstamped)."""
+        p = os.path.join(self.path, f"v={v}", "_epoch")
+        if os.path.exists(p):
+            with open(p) as f:
+                return int(f.read().strip())
+        return -1
+
+    def _pending_epochs(self) -> list[int]:
+        """Delta epochs newer than the newest version's applied high-water
+        — the suffix ``read`` must still fold on."""
         vs = self._versions()
-        if not vs:
+        applied = self._version_epoch(vs[-1]) if vs else -1
+        return [e for e in self._delta_epochs() if e > applied]
+
+    def read(
+        self, spark: SparkSession, through_epoch: Optional[int] = None
+    ) -> Optional[DataFrame]:
+        """Current store contents: newest version ⊕ pending delta epochs,
+        folded per key in epoch order (bit-identical to having
+        ``multi_merge``-ed each epoch sequentially — same left fold, same
+        ``merge_null_safe`` expression).
+
+        ``through_epoch`` replays only delta epochs ≤ it — the
+        per-trigger version reconstruction hook (only meaningful while
+        the requested prefix is still on disk, i.e. newer than the
+        newest materialized version)."""
+        vs = self._versions()
+        base = (
+            spark.read.parquet(os.path.join(self.path, f"v={vs[-1]}"))
+            if vs
+            else None
+        )
+        pending = self._pending_epochs()
+        if through_epoch is not None:
+            pending = [e for e in pending if e <= through_epoch]
+        if not pending:
+            return base
+        df = self._read_delta_epochs(spark, pending)
+        if df is None:
+            return base
+        return self._fold_onto(base, df)
+
+    def _read_delta_epochs(
+        self, spark: SparkSession, epochs: list[int]
+    ) -> Optional[DataFrame]:
+        paths = [
+            os.path.join(self._delta_root, f"__epoch__={e}") for e in epochs
+        ]
+        try:
+            return spark.read.option("basePath", self._delta_root).parquet(
+                *paths
+            )
+        except Exception:
+            # every listed epoch wrote zero rows (a _SUCCESS-only dir has
+            # no schema to infer) — legitimately nothing pending
             return None
-        return spark.read.parquet(os.path.join(self.path, f"v={vs[-1]}"))
+
+    def _fold_onto(self, base: Optional[DataFrame], deltas: DataFrame) -> DataFrame:
+        """base ⊕ deltas, per key, deltas folded in __epoch__ order — the
+        exact left fold sequential multi_merge produces: base (when
+        present) seeds the fold, each epoch's value merges on via
+        ``merge_null_safe`` (values inside a store are never NULL, so
+        this is ``sg.merge`` at every step)."""
+        sg = self.semigroup
+        all_rows = deltas.select(
+            *self.key_cols, F.col("__epoch__").cast("long"), "value"
+        )
+        if base is not None:
+            all_rows = all_rows.unionByName(
+                base.select(
+                    *self.key_cols,
+                    # below any real epoch id: the base folds FIRST
+                    F.lit(-(1 << 62)).cast("long").alias("__epoch__"),
+                    "value",
+                )
+            )
+        # array_sort with an epoch-only comparator, NOT sort_array:
+        # struct ordering would compare the carrier too, and map-typed
+        # carriers (quantile sketches) are unorderable. Epochs are unique
+        # per key (one folded row per key per epoch), so the order is
+        # total either way.
+        seq = F.array_sort(
+            F.collect_list(F.struct("__epoch__", "value")),
+            lambda l, r: F.when(l["__epoch__"] < r["__epoch__"], F.lit(-1))
+            .when(l["__epoch__"] > r["__epoch__"], F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        vals = F.transform(seq, lambda s: s["value"])
+        folded = F.aggregate(
+            F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+            F.element_at(vals, 1),
+            lambda a, b: sg.merge_null_safe(a, b),
+        )
+        return all_rows.groupBy(*self.key_cols).agg(folded.alias("value"))
 
     def last_epoch(self) -> int:
-        """Newest streaming epoch id applied to this store (-1 if none).
+        """Newest streaming epoch applied to this store (-1 if none) —
+        the max over retained version high-waters AND delta-log epochs.
 
         Epochs are monotone for a single writer, so the max over retained
         versions is the high-water mark even after old versions vacuum."""
         out = -1
         for v in self._versions():
-            p = os.path.join(self.path, f"v={v}", "_epoch")
-            if os.path.exists(p):
-                with open(p) as f:
-                    out = max(out, int(f.read().strip()))
+            out = max(out, self._version_epoch(v))
+        epochs = self._delta_epochs()
+        if epochs:
+            out = max(out, epochs[-1])
         return out
+
+    def append_delta(
+        self, delta_df: DataFrame, value_col: str = "delta",
+        epoch_id: Optional[int] = None,
+    ) -> None:
+        """Accumulate one micro-batch of per-(key, batch) deltas WITHOUT
+        rewriting the store: fold the frame per key (``agg_carrier``,
+        exactly as ``multi_merge`` does) and append it as one small
+        ``delta/__epoch__=<id>/`` parquet partition. ``read`` folds
+        pending epochs onto the newest version in epoch order, so results
+        are bit-identical to per-trigger ``multi_merge`` at a fraction of
+        the per-trigger cost (no store read, no join, no full rewrite —
+        guide §2.4). The replay guard is the same as ``multi_merge``'s:
+        an epoch at or below the applied high-water is consumed and
+        skipped (at-least-once foreachBatch)."""
+        if epoch_id is None:
+            raise ValueError("append_delta requires epoch_id (the delta log is keyed by it)")
+        if epoch_id <= self.last_epoch():
+            # Replayed micro-batch after a crash-restart: already applied
+            # (as a version write or an earlier delta). Still CONSUME
+            # every partition — state-store commits ride on partition
+            # consumption (see multi_merge).
+            delta_df.count()
+            return
+        sg = self.semigroup
+        delta = delta_df.groupBy(*self.key_cols).agg(
+            sg.agg_carrier(F.col(value_col)).alias("value")
+        )
+        delta.write.mode("overwrite").parquet(
+            os.path.join(self._delta_root, f"__epoch__={int(epoch_id)}")
+        )
+
+    def compact(self, spark: SparkSession) -> None:
+        """Materialize pending delta epochs into a new store version
+        (read cost back to one pruned scan) and vacuum the folded delta
+        dirs. Equivalent by construction to having ``multi_merge``-ed
+        each epoch in order."""
+        pending = self._pending_epochs()
+        if not pending:
+            return
+        merged = self.read(spark)
+        if merged is None:
+            return
+        self._write_version(merged, high_water=self.last_epoch())
+        for e in self._delta_epochs():
+            if e <= pending[-1]:
+                shutil.rmtree(
+                    os.path.join(self._delta_root, f"__epoch__={e}"),
+                    ignore_errors=True,
+                )
+
+    def _write_version(self, merged: DataFrame, high_water: int) -> None:
+        """Write ``merged`` as the next version, stamped with the epoch
+        high-water it covers (compute it BEFORE calling — the merged frame
+        folds every pending delta epoch, and a version that silently
+        forgot them would let ``read`` re-apply them: double count)."""
+        nxt = (self._versions()[-1] + 1) if self._versions() else 0
+        vdir = os.path.join(self.path, f"v={nxt}")
+        merged.select(*self.key_cols, "value").write.mode("overwrite").parquet(vdir)
+        if high_water >= 0:
+            with open(os.path.join(vdir, "_epoch"), "w") as f:
+                f.write(str(high_water))
+        for v in self._versions()[: -self.versions_to_keep]:
+            shutil.rmtree(os.path.join(self.path, f"v={v}"), ignore_errors=True)
 
     def multi_merge(
         self, delta_df: DataFrame, value_col: str = "delta",
         epoch_id: Optional[int] = None,
     ) -> None:
-        """Bulk merge one micro-batch of per-(key, batch) deltas.
+        """Bulk merge one micro-batch of per-(key, batch) deltas into a
+        full new store version (read-merge-write).
 
         ``epoch_id`` (the foreachBatch batch id) makes the merge
         IDEMPOTENT per micro-batch: foreachBatch is at-least-once — a
@@ -90,6 +280,11 @@ class OnlineStore:
             return
         spark = delta_df.sparkSession
         sg = self.semigroup
+        # the high-water the new version will cover: every delta epoch
+        # `read` folds below plus this merge's own epoch
+        high_water = max(
+            self.last_epoch(), epoch_id if epoch_id is not None else -1
+        )
         # deltas within one micro-batch frame are already per-(key, batch)
         # singletons from the stateful summer; fold defensively anyway.
         # CARRIER fold (agg_carrier), not agg: the summer emits lifted
@@ -98,7 +293,7 @@ class OnlineStore:
         delta = delta_df.groupBy(*self.key_cols).agg(
             sg.agg_carrier(F.col(value_col)).alias("__d__")
         )
-        cur = self.read(spark)
+        cur = self.read(spark)  # includes any pending delta epochs
         if cur is None:
             merged = delta.select(*self.key_cols, F.col("__d__").alias("value"))
         else:
@@ -110,14 +305,7 @@ class OnlineStore:
                     sg.merge_null_safe(F.col("__a__"), F.col("__d__")).alias("value"),
                 )
             )
-        nxt = (self._versions()[-1] + 1) if self._versions() else 0
-        vdir = os.path.join(self.path, f"v={nxt}")
-        merged.write.mode("overwrite").parquet(vdir)
-        if epoch_id is not None:
-            with open(os.path.join(vdir, "_epoch"), "w") as f:
-                f.write(str(epoch_id))
-        for v in self._versions()[: -self.versions_to_keep]:
-            shutil.rmtree(os.path.join(self.path, f"v={v}"), ignore_errors=True)
+        self._write_version(merged, high_water=high_water)
 
     def lookup(self, spark: SparkSession, key_filter=None) -> DataFrame:
         df = self.read(spark)
@@ -132,9 +320,22 @@ def run_summer_to_store(
     checkpoint: str,
     trigger_available_now: bool = True,
     state_store_provider: Optional[str] = None,
+    accumulate_deltas: bool = True,
 ):
-    """writeStream.foreachBatch bulk-merging each trigger's (prev, delta)
+    """writeStream.foreachBatch merging each trigger's (prev, delta)
     rows into the online store; returns the StreamingQuery.
+
+    ``accumulate_deltas=True`` (default, r17): each trigger appends ONE
+    per-key delta partition (``OnlineStore.append_delta``) — a single
+    Spark action per micro-batch — and ``store.read`` folds the epochs
+    in order at read time. Per-trigger versions stay reconstructable
+    (each delta carries its epoch; ``read(through_epoch=...)``), results
+    are bit-identical to the sequential merge, and the per-trigger cost
+    drops from read+full-join+rewrite (plus an isEmpty probe that
+    re-ran the whole micro-batch plan before caching was added) to one
+    small grouped write. ``False`` restores read-merge-write
+    ``multi_merge`` per trigger — every trigger leaves a directly
+    readable materialized version (the external-KV serving shape).
 
     ``state_store_provider``: optional state-store provider class (e.g.
     ``streaming.planner.ROCKSDB_STATE_STORE`` — disk-backed state, the
@@ -142,19 +343,25 @@ def run_summer_to_store(
     heap). Scoped around the query start only; the provider pins to the
     checkpoint at creation."""
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # Persist: the sink takes two actions on the micro-batch frame
-        # (isEmpty probe, then the merge write), and foreachBatch frames
-        # re-execute their whole plan — source scan + shuffle +
-        # applyInPandasWithState — per action. Caching halves the
-        # per-trigger cost (~2.5 s → ~1.5 s per trigger at sf0.1).
-        batch_df.persist()
-        try:
-            if batch_df.isEmpty():
-                return
-            store.multi_merge(batch_df, epoch_id=batch_id)
-        finally:
-            batch_df.unpersist()
+    if accumulate_deltas:
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            # ONE action per trigger: the grouped delta write (which also
+            # consumes every partition, as state-store commits require)
+            store.append_delta(batch_df, epoch_id=batch_id)
+    else:
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            # Persist: the sink takes two actions on the micro-batch frame
+            # (isEmpty probe, then the merge write), and foreachBatch frames
+            # re-execute their whole plan — source scan + shuffle +
+            # applyInPandasWithState — per action. Caching halves the
+            # per-trigger cost (~2.5 s → ~1.5 s per trigger at sf0.1).
+            batch_df.persist()
+            try:
+                if batch_df.isEmpty():
+                    return
+                store.multi_merge(batch_df, epoch_id=batch_id)
+            finally:
+                batch_df.unpersist()
 
     from .planner import guard_state_checkpoint
 
