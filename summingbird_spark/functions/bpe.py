@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..core.materialize import materialize as _materialize
 from .text import tokenize
 
 
@@ -124,7 +125,7 @@ def bpe_learn(
     table). The symbol table is localCheckpointed each step to keep the
     lineage flat (an iterative plan would otherwise stack K mapInPandas
     stages deep)."""
-    symbols = initial_symbols(word_freqs(df, text_col)).localCheckpoint()
+    symbols = initial_symbols(word_freqs(df, text_col)).transform(_materialize)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         best = top_pair(symbols)
@@ -132,7 +133,7 @@ def bpe_learn(
             break
         a, b, _ = best
         merges.append((a, b))
-        symbols = apply_merge(symbols, a, b).localCheckpoint()
+        symbols = apply_merge(symbols, a, b).transform(_materialize)
     return merges, symbols
 
 
@@ -168,7 +169,7 @@ def bpe_encode(
         # recomputing different ids and mis-joining tokens back to rows
         # (ADVICE r5); blocks free with the DataFrame via the context
         # cleaner. Prefer passing a real id_col at scale.
-        src = df.withColumn("__rid__", F.monotonically_increasing_id()).localCheckpoint()
+        src = df.withColumn("__rid__", F.monotonically_increasing_id()).transform(_materialize)
     toks = src.select(
         F.col(key).alias(key),
         F.posexplode(tokenize(F.lower(F.col(text_col)))).alias("__p__", "__w__"),

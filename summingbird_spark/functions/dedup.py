@@ -28,6 +28,7 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..core.materialize import materialize as _materialize
 from .text import shingles, tokenize
 
 
@@ -461,7 +462,7 @@ def dup_clusters(
         edges.select(F.col("a").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        .localCheckpoint()
+        .transform(_materialize)
     )
     for _round in range(max_iter):
         # one shuffle round: neighbor labels union own label, then a
@@ -487,7 +488,7 @@ def dup_clusters(
         )
         # lazy checkpoint: the changed-count action below materializes
         # it — one action per round instead of two
-        agg = agg.localCheckpoint(eager=False)
+        agg = _materialize(agg, eager=False)
         changed = agg.where(F.col("label") < F.col("__old__")).count()
         labels = agg.select("id", "label")
         if changed == 0:
@@ -530,7 +531,7 @@ def _dup_clusters_star(
     # joins + unions every iteration — without cutting lineage the plan
     # tree doubles per round and the driver OOMs on plan compilation long
     # before the data is large
-    E = e0.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    E = e0.where(F.col("u") != F.col("v")).distinct().transform(_materialize)
     n_prev = E.count()
 
     for _ in range(max_iter):
@@ -556,7 +557,7 @@ def _dup_clusters_star(
             .unionByName(mins2.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=False)  # materialized by the count
+            .transform(lambda d: _materialize(d, eager=False))  # materialized by the count
         )
         n = S.count()
         converged = n == n_prev and S.subtract(E).isEmpty()
@@ -1226,6 +1227,15 @@ def semantic_dedup_increment(
     The residents write happens eagerly at call time (this is a
     state-advancing step, like ``rollforward``); the returned decisions
     are lazy and depend only on increments before this one.
+
+    .. note:: (r16 optimization) the lazy decision frame re-reads this
+       increment's just-written partition instead of recomputing the
+       assigner, so it depends on ON-DISK state at action time: act on
+       the decisions before ``increment=<id>`` is overwritten or
+       vacuumed (re-running the same increment first would silently
+       swap the assignment under a deferred action). Callers that must
+       defer actions across a rewrite should cache/localCheckpoint the
+       returned frame first (ADVICE r16).
     """
     import os
 
