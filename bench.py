@@ -229,7 +229,13 @@ def _sidecar_cpus(repo_root: str) -> str:
         with open(os.path.join(repo_root, _QUIET_PATH)) as f:
             return str(json.load(f).get("cpus", "32"))
     except (OSError, ValueError):
-        return str(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        # unreadable/corrupt sidecar: return the fixed committed width,
+        # NOT the current run's $SPARK_GRAFT_CPUS — echoing the run's
+        # width would let a lower-core graded run count as
+        # official_shape in the bootstrap path and commit lower-core
+        # floors (ADVICE r16 item 1; the exact failure the r16
+        # lower-core guard fixed for the non-bootstrap path)
+        return "32"
 
 
 def update_quiet_sidecar(
