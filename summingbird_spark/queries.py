@@ -6005,14 +6005,24 @@ def q_lambda_avg_by_user(spark: SparkSession, sf: str) -> DataFrame:
         value_col="value",
     )
 
-    # speed layer: the FULL replay through the streaming summer — no
-    # time filter needed, because the client merge's dropBatches bound
-    # (offline_batch=cut_batch) discards every online batch the batch
-    # layer already owns (MergeOperations.dropBatches semantics, which
-    # this row therefore also grades)
+    # speed layer: ONLY the tail the batch layer does not own (r17,
+    # guide §1.2 — don't compute what you throw away). The client
+    # merge's dropBatches bound (offline_batch=cut_batch) discards every
+    # online batch ≤ cut_batch, so pre-filtering the stream to
+    # batch_of(ts) > cut_batch — expressed as the pushdown-friendly
+    # event-time bound ts ≥ earliest_time_of(cut_batch + 1), exact for
+    # the fixed-width batcher — removes exactly the rows dropBatches
+    # would discard: the merged view is identical by construction, and
+    # the summer shuffles/holds ~70% less per trigger. (dropBatches
+    # semantics with below-bound online data stay graded by
+    # tests/test_streaming_parity.py::test_client_merge_lambda_parity
+    # and tests/test_client_stores.py.) The r16 profile attributed this
+    # row's floor to summer addBatch (~0.55-0.75 s/trigger), not the
+    # sink — the sink cost fell with the r17 delta-log accumulator.
+    tail_lo = batcher.earliest_time_of(cut_batch + 1).replace(tzinfo=None)
     p = (
         stream_source(src_dir, schema, time_col="ts", max_files_per_trigger=1)
-        .filter("event_type = 'purchase'")
+        .filter(f"event_type = 'purchase' AND ts >= timestamp'{tail_lo.isoformat()}'")
         .sum_by_key("user_id", cents, semigroup="avg", batcher=batcher)
     )
     plan = StreamPlanner(spark).plan(p)
@@ -6020,7 +6030,17 @@ def q_lambda_avg_by_user(spark: SparkSession, sf: str) -> DataFrame:
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q = run_summer_to_store(plan.dataframe, online, f"{work}/ckpt")
+        # read-merge-write sink, NOT the r17 delta-log accumulator: this
+        # is the client-SERVING row — the store is immediately re-read
+        # through client_view, and one materialized snapshot reads
+        # cheaper than folding delta epochs at view time (measured
+        # interleaved A/B at sf0.1: 2.56 vs 3.04 s min-of-3; with the
+        # tail pre-filter the first two triggers are empty, so exactly
+        # ONE merge writes). The pure summer rows keep the accumulator
+        # (it wins there — see stream_sum/moments/quantile).
+        q = run_summer_to_store(
+            plan.dataframe, online, f"{work}/ckpt", accumulate_deltas=False
+        )
         if not q.awaitTermination(300):
             q.stop()
             raise RuntimeError("streaming summer did not finish within 300s")
@@ -6030,10 +6050,15 @@ def q_lambda_avg_by_user(spark: SparkSession, sf: str) -> DataFrame:
 
     online_df = online.read(spark)
     if online_df is None:
-        raise RuntimeError("speed layer produced an empty online store")
-    merged = client_view(
-        offline, online_df, ["user_id"], "avg", offline_batch=cut_batch
-    )
+        # with the tail pre-filter an empty online store is legitimate
+        # (no purchases after the cutoff): the merged view is exactly
+        # the batch layer. The graded corpora all have non-empty tails,
+        # so the graded path still exercises the client merge.
+        merged = offline.select("user_id", "value")
+    else:
+        merged = client_view(
+            offline, online_df, ["user_id"], "avg", offline_batch=cut_batch
+        )
     v = F.col("value")
     return merged.select(
         "user_id",
