@@ -29,7 +29,23 @@ def _nanos_cols(path: str) -> tuple[str, ...]:
             return ()
         path = os.path.join(path, inner[0])
     schema = pq.read_schema(path)
-    return tuple(f.name for f in schema if str(f.type) == "timestamp[ns]")
+    out = [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    if not out:
+        return ()
+    # INT96 (legacy Spark/Impala timestamps, e.g. Spark's default
+    # outputTimestampType on some builds) surfaces as timestamp[ns] in
+    # the ARROW schema, but Spark reads it natively as TimestampType —
+    # the nanosAsLong+rebuild path must only fire for true
+    # TIMESTAMP(NANOS) annotations (r17 fix: reading a Spark-written
+    # INT96 file through load_table used to mis-rebuild and fail with a
+    # TIMESTAMP div BIGINT type error). Check the parquet PHYSICAL type.
+    phys = pq.ParquetFile(path).schema
+    int96 = {
+        phys.column(i).name
+        for i in range(len(phys))
+        if phys.column(i).physical_type == "INT96"
+    }
+    return tuple(c for c in out if c not in int96)
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
