@@ -228,14 +228,18 @@ class OnlineStore:
         dirs. Equivalent by construction to having ``multi_merge``-ed
         each epoch in order."""
         pending = self._pending_epochs()
-        if not pending:
-            return
-        merged = self.read(spark)
-        if merged is None:
-            return
-        self._write_version(merged, high_water=self.last_epoch())
+        if pending:
+            merged = self.read(spark)
+            if merged is None:
+                return
+            self._write_version(merged, high_water=self.last_epoch())
+        # vacuum every delta dir the newest version now covers —
+        # including dirs an interleaved multi_merge already folded (its
+        # version stamp covers them, so read() never consults them again)
+        vs = self._versions()
+        applied = self._version_epoch(vs[-1]) if vs else -1
         for e in self._delta_epochs():
-            if e <= pending[-1]:
+            if e <= applied:
                 shutil.rmtree(
                     os.path.join(self._delta_root, f"__epoch__={e}"),
                     ignore_errors=True,

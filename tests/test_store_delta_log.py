@@ -62,6 +62,12 @@ def test_append_delta_replay_guard_is_noop(spark, tmp_path):
     acc.multi_merge(_mk(spark, EPOCHS[1]), epoch_id=1)
     acc.append_delta(_mk(spark, EPOCHS[1]), epoch_id=1)  # replayed
     assert _contents(acc.read(spark)) == {("a", 0): 3, ("b", 0): 10, ("c", 0): 100}
+    # compact with nothing pending still vacuums the delta dirs the
+    # multi_merge's version already covers, without changing contents
+    acc.compact(spark)
+    assert acc._delta_epochs() == []
+    assert _contents(acc.read(spark)) == {("a", 0): 3, ("b", 0): 10, ("c", 0): 100}
+    assert acc.last_epoch() == 1
 
 
 def test_append_delta_requires_epoch(spark, tmp_path):
