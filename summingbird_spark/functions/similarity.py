@@ -1177,9 +1177,16 @@ def ensure_ivf_index(
         )
         assigned = ivf_assign(corpus, centroids, id_col, vec_col)
         centroids.write.mode("overwrite").parquet(c_path)
-        assigned.select(id_col, "centroid_id").write.mode("overwrite").partitionBy(
+        # repartition ON the partition column before the partitioned
+        # write (guide §6, small files): ivf_assign's max_by aggregation
+        # leaves up-to-shuffle-partitions output partitions, and a
+        # partitionBy write fans out (tasks × lists) files — measured
+        # 765 vs 96 files at k=96/sf0.1, a flat +0.15-0.3 s of file-open
+        # overhead on EVERY query that scans the index. One task per
+        # list writes exactly one file per list.
+        assigned.select(id_col, "centroid_id").repartition(
             "centroid_id"
-        ).parquet(a_path)
+        ).write.mode("overwrite").partitionBy("centroid_id").parquet(a_path)
     return spark.read.parquet(c_path), spark.read.parquet(a_path)
 
 
