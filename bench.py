@@ -62,11 +62,22 @@ _QUIET_PATH = "BENCH_QUIET.json"
 
 
 def _harvest_calibrations(repo_root: str) -> tuple[list[float], list[float]]:
-    """(io_vals, cpu_vals) from every committed round artifact."""
+    """(io_vals, cpu_vals) from every committed round artifact.
+
+    Artifacts captured at a core count other than the sidecar's
+    committed width are skipped: the driver's lower-core scaling pass
+    (e.g. BENCH_r16_c8.json, cpus=8) runs the single-threaded CPU
+    calibration with far less scheduler interference, so its calib_sec
+    (0.315 vs 0.44-0.50 at 32 cores) would become the global minimum and
+    stamp every full-width capture 'contended' forever. Calibration
+    baselines, like the per-query floors, are only comparable at the
+    same width. Wrappers without a cpus field (pre-r16) are full-width
+    rounds and are kept."""
     import glob
 
     io_vals: list[float] = []
     cpu_vals: list[float] = []
+    width = _sidecar_cpus(repo_root)
 
     def _harvest(doc):
         for dest, key in ((io_vals, "calib_io_sec"), (cpu_vals, "calib_sec")):
@@ -88,6 +99,8 @@ def _harvest_calibrations(repo_root: str) -> tuple[list[float], list[float]]:
         # round artifacts wrap the compact stdout line under "parsed"
         # (may be null when a round's tail capture failed to parse)
         if isinstance(doc, dict):
+            if "cpus" in doc and str(doc["cpus"]) != width:
+                continue
             _harvest(doc.get("parsed") or doc)
     return io_vals, cpu_vals
 

@@ -94,6 +94,31 @@ def test_quiet_baselines_harvests_round_artifacts(tmp_path, monkeypatch):
     assert cpu == pytest.approx(0.75)
 
 
+def test_quiet_baselines_skip_lower_core_artifacts(tmp_path, monkeypatch):
+    """A committed lower-core scaling artifact (wrapper cpus != sidecar
+    width) must not contribute its calibration: at 8 cores the
+    single-threaded CPU calib runs faster than any full-width capture
+    can, so harvesting it stamps every later official run 'contended'
+    (observed live with BENCH_r16_c8.json, calib 0.315 vs 0.44+)."""
+    monkeypatch.delenv(bench._IO_SEED_ENV, raising=False)
+    root = str(tmp_path)
+    _write(
+        os.path.join(root, "BENCH_r01.json"),
+        {"cpus": 32, "parsed": {"calib_io_sec": 2.0, "calib_sec": 2.2}},
+    )
+    _write(
+        os.path.join(root, "BENCH_r01_c8.json"),
+        {"cpus": 8, "parsed": {"calib_io_sec": 1.1, "calib_sec": 0.3}},
+    )
+    # pre-r16 wrapper without a cpus field: full-width round, kept
+    _write(
+        os.path.join(root, "BENCH_r02.json"),
+        {"parsed": {"calib_io_sec": 1.9, "calib_sec": 2.1}},
+    )
+    io, cpu = bench.quiet_baselines(root)
+    assert io == pytest.approx(1.9) and cpu == pytest.approx(2.1)
+
+
 def test_quiet_baselines_foreign_host_ignores_seed(tmp_path, monkeypatch):
     monkeypatch.delenv(bench._IO_SEED_ENV, raising=False)
     root = str(tmp_path)
