@@ -4357,10 +4357,20 @@ def q_bloom_membership(spark: SparkSession, sf: str) -> DataFrame:
 
     sg = get_sg("bloom1024x3")
     ev = load_table(spark, sf, "events")
-    members = (
+    # members feeds FOUR consumers (bitset build, FP-probe anti-join, the
+    # member union arm, and the types list); without a pin each one
+    # re-runs scan+filter+distinct — 5 events scans / 4 distinct
+    # aggregates in the before plan (plans/r17). Pin the narrow
+    # (event_type, user) decision table once (guide §2.4; the r16
+    # witness-row pattern). materialize: localCheckpoint by default,
+    # reliable escape hatch for cluster deployments (see q_semantic_dedup).
+    from .core.materialize import materialize
+
+    members = materialize(
         ev.where(F.col("value") > 95)
         .select("event_type", F.col("user_id").cast("string").alias("__u__"))
-        .distinct()
+        .distinct(),
+        eager=True,
     )
     blooms = sg.bitset_table(members, "event_type", "__u__")
     # FP-rate probe set: a deterministic hash-sample of the user universe

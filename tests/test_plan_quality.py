@@ -546,3 +546,16 @@ def test_dedup_ids_path_not_double_shuffled(spark):
     # the narrow read leaves exactly one spread (the quality scan's).
     plan = plan_of(spark, "dedup_survivors")
     assert plan.count("RoundRobinPartitioning") == 1, plan
+
+
+def test_bloom_members_pinned_once(spark):
+    # r17: members (scan+filter+distinct over events) fed four consumers
+    # — bitset build, FP-probe anti-join, the member union arm, and the
+    # types list — each re-running the subtree (5 events scans in the
+    # before plan). One eager pin leaves the returned plan reading the
+    # pinned rows (ExistingRDD) with at most the two remaining event
+    # scans (the bitset input is the pin, the probe universe keeps its
+    # own scan). Evidence: plans/r17/bloom_membership_{before,after}.txt.
+    plan = plan_of(spark, "bloom_membership")
+    assert "ExistingRDD" in plan, plan
+    assert sum("events.parquet" in l for l in scans_of(plan)) <= 2, plan
