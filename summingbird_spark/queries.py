@@ -2943,6 +2943,7 @@ def q_corpus_to_shards(spark: SparkSession, sf: str) -> DataFrame:
     packing over the SHUFFLED order. Every stage is an operator graded
     separately; this grades their composition — including that the
     distributed prefix sum packs by the shuffle position, not raw id."""
+    from .core.materialize import materialize
     from .functions.dedup import contamination
     from .functions.packing import deterministic_shuffle, pack_shards
 
@@ -2973,7 +2974,20 @@ def q_corpus_to_shards(spark: SparkSession, sf: str) -> DataFrame:
         .join(contaminated.select("doc_id"), "doc_id", "left_anti")
         .select("doc_id", "n_tokens")
     )
+    # r17 optimization round (guide §2.4, the bloom_membership §10
+    # pattern): each two-phase prefix sum downstream FORKS its input —
+    # bucket totals + the offsets join-back, plus pack_shards' min/max
+    # pre-scan — so the expensive `clean` subtree (scan + tokenize +
+    # survivor window + the contamination grams anti-join) re-ran FOUR
+    # times and the rank windows twice (24 parquet scans in the before
+    # plan). Pin the two narrow hand-offs once each: `clean`
+    # (doc_id, n_tokens) before the shuffle rank and `shuffled` (+pos)
+    # before the packing prefix sum. Rows identical by construction
+    # (materialize is a pass-through pin); measured 3.03 → 1.47 s
+    # min-of-3 interleaved at sf0.1, scans 24 → 4 in the returned plan.
+    clean = materialize(clean, eager=True)
     shuffled = deterministic_shuffle(clean, "doc_id", seed=0, position_col="pos")
+    shuffled = materialize(shuffled, eager=True)
     packed = pack_shards(shuffled, "n_tokens", 2048, "pos")
     return packed.select("doc_id", "pos", "n_tokens", "shard_id")
 

@@ -548,6 +548,20 @@ def test_dedup_ids_path_not_double_shuffled(spark):
     assert plan.count("RoundRobinPartitioning") == 1, plan
 
 
+def test_corpus_to_shards_clean_pinned_once(spark):
+    # r17: the two chained prefix sums each FORK their input (bucket
+    # totals + offsets join-back, plus pack_shards' min/max pre-scan),
+    # so the expensive clean subtree (scan + tokenize + survivor window
+    # + contamination anti-join) ran four times — 24 parquet scans in
+    # the before plan. Pinning the narrow clean and shuffled hand-offs
+    # leaves the returned plan reading ONLY the pins (zero parquet
+    # scans; the pipeline executes once at pin time). Evidence:
+    # plans/r17/corpus_to_shards_{before,after}.txt, 3.03 -> 1.47 s.
+    plan = plan_of(spark, "corpus_to_shards")
+    assert "ExistingRDD" in plan, plan
+    assert len(scans_of(plan)) == 0, plan
+
+
 def test_bloom_members_pinned_once(spark):
     # r17: members (scan+filter+distinct over events) fed four consumers
     # — bitset build, FP-probe anti-join, the member union arm, and the
