@@ -1228,7 +1228,9 @@ def q_incremental_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # shared-artifact cost that IS hoisted away is the per-call guard —
     # ivf_assign_hierarchical's count+dim probes fused to one job (r17,
     # functions/similarity._centroid_stats), ×4 calls here.
-    centroids, _ = ensure_ivf_index(spark, sf, k=32, n_iter=5, sample_fraction=0.5)
+    centroids, assigned = ensure_ivf_index(
+        spark, sf, k=32, n_iter=5, sample_fraction=0.5
+    )
     emb = load_table(spark, sf, "embeddings")
     hi = emb.agg(F.max("vec_id")).first()[0] or 0
     cut1, cut2 = hi // 3, (2 * hi) // 3
@@ -1244,7 +1246,15 @@ def q_incremental_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
             for i, batch in enumerate(parts)
         ],
     )
-    one = semantic_dedup(emb, threshold=0.4, k_clusters=32, centroids=centroids)
+    # r17 (second addendum): the one-shot WITNESS reads the persisted
+    # assignment artifact instead of re-assigning the corpus in-plan —
+    # exactly what the graded semantic_dedup row does (the amortized-index
+    # deployment posture, guide §1.2). The increments still assign
+    # in-plan (their job), and matches_one_shot verifies their
+    # composition against the artifact-assigned one-shot row-for-row:
+    # measured equal (matches TRUE) at sf0.001/sf0.01, 3.24 -> 2.90 s
+    # min-of-4 interleaved at sf0.1.
+    one = semantic_dedup(emb, threshold=0.4, k_clusters=32, assigned=assigned)
     # INNER equi-join (broadcastable; full outer would force a
     # BroadcastNestedLoopJoin on small sides): a row missing from either
     # side shrinks the count below the oracle's n_rows pin — missing
